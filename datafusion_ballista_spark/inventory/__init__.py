@@ -1,0 +1,48 @@
+"""Operator inventory: one named query per SURVEY.md §2 capability row.
+
+Each entry pairs a Spark DataFrame-API implementation with an equivalent
+ANSI-SQL oracle string DuckDB can run on the same parquet fixtures. The
+driver executes both at sf0.01 and hash-compares (CORRECTNESS_r{N}.json);
+``oracle=None`` marks genuinely non-SQL-expressible ops (rows-only check).
+
+Determinism contract (so value hashes match across engines AND across Spark
+partition orderings):
+- money/double aggregates are summed in DECIMAL (exact, order-independent)
+  and cast to double at the end;
+- every computed column is explicitly aliased identically on both sides;
+- floating outputs that involve genuine double math are rounded on both
+  sides at a precision far above data noise;
+- top-k queries always carry a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None for rows-only
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from datafusion_ballista_spark.inventory import (
+        events,
+        functions_cov,
+        pipeline_text,
+        pipeline_vector,
+        relational,
+        tpch,
+        windows,
+    )
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (tpch, relational, windows, functions_cov, events, pipeline_text, pipeline_vector):
+        for name, spec in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name: {name}"
+            out[name] = spec
+    return out

@@ -1,0 +1,763 @@
+"""TPC-H-adapted query suite over the driver's simplified star schema.
+
+The reference's primary correctness oracle is golden-answer TPC-H
+(benchmarks/queries/q1..q22.sql, verified in CI —
+.github/workflows/rust.yml:179-192, benchmarks/src/bin/tpch.rs:684-694).
+The driver's fixture schema drops some columns (no ps_supplycost,
+l_shipmode, l_commitdate/receiptdate, o_comment), so each query here keeps
+the *operator shape* of its TPC-H counterpart — same joins, same aggregate
+structure, same subquery pattern — with predicates recalibrated to the
+synthetic data (TESTDATA.md). q21 is omitted (needs commit/receipt dates).
+
+Scale notes applied throughout:
+- dimension tables (region/nation, and part/supplier at driver SFs) are
+  explicitly ``F.broadcast()``-hinted where a 1000-executor plan wants a
+  broadcast-hash join; the big fact-fact joins (orders x lineitem) shuffle
+  on their join key and rely on AQE for skew/coalesce;
+- aggregates go through exact DECIMAL sums (order-independent — see
+  inventory/__init__ determinism contract);
+- every top-k is ``orderBy().limit()`` so Catalyst plans TakeOrderedAndProject
+  (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import D, davg, dsum, tables
+
+# Exact per-row money expressions (double math -> exact decimal; both
+# engines compute identical IEEE doubles, the cast pins the value).
+def _rev():  # l_extendedprice * (1 - l_discount), exact to 4 dp
+    return D(F.col("l_extendedprice") * (1 - F.col("l_discount")), 27, 4)
+
+
+_REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))"
+
+
+def q1(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "lineitem")
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(D("l_quantity"), "sum_qty"),
+            dsum(D("l_extendedprice"), "sum_base_price"),
+            dsum(_rev(), "sum_disc_price"),
+            dsum(
+                D(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")),
+                    27,
+                    6,
+                ),
+                "sum_charge",
+            ),
+            davg(D("l_quantity"), "avg_qty"),
+            davg(D("l_extendedprice"), "avg_price"),
+            davg(D("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q2_min_cost_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q2 shape: correlated min() subquery, decorrelated to a join."""
+    t = tables(spark, sf, "part")
+    mins = t.part.groupBy(F.col("p_size").alias("ms_size")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        t.part.join(
+            F.broadcast(mins),
+            (F.col("p_size") == F.col("ms_size"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_size", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+Q2_SQL = """
+SELECT p.p_size, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_size = p.p_size)
+ORDER BY p.p_size, p.p_partkey
+"""
+
+
+def q3(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "customer", "orders", "lineitem")
+    return (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < "1998-01-01")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > "1998-01-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q4(spark: SparkSession, sf: str) -> DataFrame:
+    """q4 shape: EXISTS correlated subquery -> left-semi join."""
+    t = tables(spark, sf, "orders", "lineitem")
+    late = t.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        t.orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q5(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "region", "nation", "customer", "supplier", "orders", "lineitem")
+    return (
+        t.region.where(F.col("r_name") == "ASIA")
+        .join(F.broadcast(t.nation), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t.customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "lineitem")
+    return t.lineitem.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(D(F.col("l_extendedprice") * F.col("l_discount"), 27, 4), "revenue"))
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q7(spark: SparkSession, sf: str) -> DataFrame:
+    """q7 shape: two nation role-joins + disjunctive pair filter."""
+    t = tables(spark, sf, "nation", "customer", "supplier", "orders", "lineitem")
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """q8 shape: conditional aggregate ratio inside year groups."""
+    t = tables(spark, sf, "region", "nation", "customer", "orders", "lineitem")
+    return (
+        t.region.where(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(t.nation), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t.customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", _rev()).otherwise(D(F.lit(0), 27, 4)))
+                .cast("double")
+                / F.sum(_rev()).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+  ROUND(
+    CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+    / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS mkt_share
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q9(spark: SparkSession, sf: str) -> DataFrame:
+    """q9 shape: profit per nation-year (supplycost replaced by retailprice)."""
+    t = tables(spark, sf, "nation", "supplier", "part", "orders", "lineitem")
+    amount = D(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"),
+        27,
+        4,
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_name").contains("gear"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      - 0.5 * p_retailprice * l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "nation", "customer", "orders", "lineitem")
+    return (
+        t.lineitem.where(F.col("l_returnflag") == "R")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """q11 shape: HAVING against a scalar fraction of the global total."""
+    t = tables(spark, sf, "lineitem")
+    per_part = t.lineitem.groupBy("l_partkey").agg(dsum(_rev(), "value"))
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > 0.002 * F.col("total"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS value
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, ROUND(value, 4) AS value
+FROM per_part
+WHERE value > 0.002 * (SELECT SUM(value) FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """q12 shape: conditional counts by class (shipmode -> orderpriority)."""
+    t = tables(spark, sf, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """q13 shape: left outer join + count distribution."""
+    t = tables(spark, sf, "customer", "orders")
+    per_cust = (
+        t.customer.join(
+            t.orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "part", "lineitem")
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(D(F.lit(0), 27, 4))
+                ).cast("double")
+                / F.sum(_rev()).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(100 *
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+  / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """q15 shape: view over agg + scalar-max self filter."""
+    t = tables(spark, sf, "supplier", "lineitem")
+    rev = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev(), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_part_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """q16 shape: NOT IN subquery + count(distinct) by group."""
+    t = tables(spark, sf, "supplier", "part", "lineitem")
+    bad_supp = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_brand") != "Brand#1")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """q17 shape: correlated avg subquery (decorrelated via broadcast join).
+
+    The per-part average is computed with an exact decimal sum so the
+    comparison boundary is deterministic across engines/partitionings.
+    """
+    t = tables(spark, sf, "part", "lineitem")
+    avg_qty = t.lineitem.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.sum(D("l_quantity")).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_brand") == "Brand#3")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.round(F.sum(D("l_extendedprice")).cast("double") / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq
+  FROM lineitem GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = ap
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * aq
+"""
+
+
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "customer", "orders", "lineitem")
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(D("l_quantity")).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(tables(spark, sf, "lineitem").lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(D("l_quantity"), "sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf, "part", "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q20_semi_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """q20 shape: nested IN subqueries -> chained semi joins."""
+    t = tables(spark, sf, "nation", "supplier", "part", "lineitem")
+    hot_parts = t.part.where(F.col("p_name").startswith("hot")).select("p_partkey")
+    heavy = (
+        t.lineitem.join(hot_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .where((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(D("l_quantity")).alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t.supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+ORDER BY s_name
+"""
+
+
+def q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """q22 shape: scalar avg subquery + NOT EXISTS anti join."""
+    t = tables(spark, sf, "customer", "orders")
+    avg_bal = t.customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(D("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(D("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1": QuerySpec(q1, Q1_SQL),
+    "tpch_q2_min_cost_part": QuerySpec(q2_min_cost_part, Q2_SQL),
+    "tpch_q3": QuerySpec(q3, Q3_SQL),
+    "tpch_q4_exists": QuerySpec(q4, Q4_SQL),
+    "tpch_q5": QuerySpec(q5, Q5_SQL),
+    "tpch_q6": QuerySpec(q6, Q6_SQL),
+    "tpch_q7_volume_shipping": QuerySpec(q7, Q7_SQL),
+    "tpch_q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
+    "tpch_q9_profit": QuerySpec(q9, Q9_SQL),
+    "tpch_q10_returned": QuerySpec(q10, Q10_SQL),
+    "tpch_q11_important_parts": QuerySpec(q11_important_parts, Q11_SQL),
+    "tpch_q12_priority_shipping": QuerySpec(q12_priority_shipping, Q12_SQL),
+    "tpch_q13_custdist": QuerySpec(q13, Q13_SQL),
+    "tpch_q14_promo": QuerySpec(q14_promo, Q14_SQL),
+    "tpch_q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
+    "tpch_q16_part_supplier": QuerySpec(q16_part_supplier, Q16_SQL),
+    "tpch_q17_small_qty": QuerySpec(q17_small_qty, Q17_SQL),
+    "tpch_q18_large_volume": QuerySpec(q18, Q18_SQL),
+    "tpch_q19_disjunctive": QuerySpec(q19_disjunctive, Q19_SQL),
+    "tpch_q20_semi_chain": QuerySpec(q20_semi_chain, Q20_SQL),
+    "tpch_q22_global_sales": QuerySpec(q22_global_sales, Q22_SQL),
+}

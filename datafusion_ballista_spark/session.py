@@ -1,0 +1,135 @@
+"""Session facade mirroring Ballista's client session surface on Spark.
+
+Reference surfaces reproduced (SURVEY.md §3):
+- ``SessionContext::remote()/standalone()`` (ballista/client/src/extension.rs:64-127)
+  -> ``BallistaSession.standalone()`` / ``.remote(master_url)``
+- PyBallista ``SessionContext`` methods ``sql/read_parquet/read_csv/read_json/
+  register_*`` (python/python/ballista/extension.py:38-120)
+- ``SET``-able config keys (ballista/core/src/config.rs:32-171) translated to
+  Spark confs via :mod:`datafusion_ballista_spark.config`.
+
+Spark provides parse/optimize/schedule/shuffle/AQE natively, so this layer is
+deliberately thin: its job is API parity, config translation, and SQL-dialect
+rewrites, not execution.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_ballista_spark.config import SPARK_DEFAULTS, translate
+from datafusion_ballista_spark.sql import rewrite_sql
+
+_SET_RE = re.compile(r"^\s*SET\s+(\S+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
+
+
+def get_session(
+    master: str | None = None,
+    app_name: str = "datafusion-ballista-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    b = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(SPARK_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+class BallistaSession:
+    """API-parity facade over ``SparkSession``.
+
+    Mirrors the reference's dual SQL/DataFrame entry points
+    (examples/examples/remote-sql.rs, remote-dataframe.rs) — both drive the
+    same Catalyst logical plan here, exactly as both drive the same
+    DataFusion LogicalPlan there.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- constructors mirroring SessionContextExt (extension.rs:64-127) -----
+    @classmethod
+    def standalone(cls, cpus: int | None = None, **conf: str) -> "BallistaSession":
+        master = f"local[{cpus}]" if cpus else None
+        return cls(get_session(master=master, extra_conf=conf or None))
+
+    @classmethod
+    def remote(cls, master_url: str, **conf: str) -> "BallistaSession":
+        return cls(get_session(master=master_url, extra_conf=conf or None))
+
+    # -- SQL entry point -----------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL after dialect rewrites; handles SET key=value inline
+        (reference test: ballista/client/tests/context_checks.rs:239-340)."""
+        m = _SET_RE.match(query)
+        if m:
+            k, v = translate(m.group(1), m.group(2).strip("'\""))
+            self.spark.conf.set(k, str(v))
+            return self.spark.sql("SELECT 1 AS ok").limit(0)
+        return self.spark.sql(rewrite_sql(query))
+
+    # -- config (core/src/config.rs) ------------------------------------------
+    def set(self, key: str, value: object) -> None:
+        k, v = translate(key, value)
+        self.spark.conf.set(k, str(v))
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        k, _ = translate(key, None)
+        return self.spark.conf.get(k, default)
+
+    # -- readers (python/python/ballista/extension.py:60-120) ----------------
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_csv(self, path: str, **options) -> DataFrame:
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        return self.spark.read.options(**options).csv(path)
+
+    def read_json(self, path: str, **options) -> DataFrame:
+        return self.spark.read.options(**options).json(path)
+
+    def read_avro(self, path: str, **options) -> DataFrame:
+        return self.spark.read.format("avro").options(**options).load(path)
+
+    def read_arrow(self, path: str) -> DataFrame:
+        from datafusion_ballista_spark.sources.arrow_ipc import read_arrow_ipc
+
+        return read_arrow_ipc(self.spark, path)
+
+    # -- register as table (extension.py register_* methods) -----------------
+    def register_parquet(self, name: str, path: str) -> None:
+        self.read_parquet(path).createOrReplaceTempView(name)
+
+    def register_csv(self, name: str, path: str, **options) -> None:
+        self.read_csv(path, **options).createOrReplaceTempView(name)
+
+    def register_json(self, name: str, path: str, **options) -> None:
+        self.read_json(path, **options).createOrReplaceTempView(name)
+
+    def register_arrow(self, name: str, path: str) -> None:
+        self.read_arrow(path).createOrReplaceTempView(name)
+
+    def register_view(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    # -- catalog parity (SHOW TABLES / information_schema, SURVEY §2.2) ------
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def stop(self) -> None:
+        self.spark.stop()

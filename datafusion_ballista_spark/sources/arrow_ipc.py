@@ -1,0 +1,66 @@
+"""Arrow IPC file reader shim.
+
+The reference scans Arrow IPC files as tables (datafusion.proto:1159-1162;
+client test should_execute_sql_collect_from_arrow_file,
+ballista/client/tests/context_checks.rs:1319). Spark has no native IPC
+reader, so we bridge through pyarrow -> createDataFrame (Arrow-accelerated).
+
+Scale note: this is a compat path for small sideload files (the reference's
+own use is test fixtures). For bulk data the answer is "convert to parquet";
+for medium files we read per-file on the driver but keep the resulting
+DataFrame distributed. A truly huge IPC dataset would get a mapInPandas
+reader over a file-list DataFrame — implemented in ``read_arrow_ipc_dist``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _read_one(path: str) -> pa.Table:
+    try:
+        with ipc.open_file(path) as r:
+            return r.read_all()
+    except pa.ArrowInvalid:
+        with ipc.open_stream(path) as r:
+            return r.read_all()
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Read one IPC file (file or stream format) into a DataFrame."""
+    paths = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    tbl = pa.concat_tables([_read_one(p) for p in paths])
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def read_arrow_ipc_dist(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed IPC read: executors open their own file subsets."""
+    if not paths:
+        raise ValueError("no paths given")
+    schema = spark.createDataFrame(_read_one(paths[0]).slice(0, 1).to_pandas()).schema
+    files_df = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(
+        min(len(paths), 64)
+    )
+
+    def _load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield _read_one(p).to_pandas()
+
+    return files_df.mapInPandas(_load, schema=schema)
+
+
+def write_arrow_ipc(df: DataFrame, path: str) -> None:
+    """Write a DataFrame to a single Arrow IPC file (small-result sink)."""
+    tbl = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with ipc.new_file(path, tbl.schema) as w:
+        w.write_table(tbl)

@@ -1,0 +1,57 @@
+"""Fixture-table registry: scale-aware loading of the driver testdata.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet each under an sf dir.
+
+Scale notes (the 100 TB story):
+- Loads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+  pushdown / column pruning / partition pruning; never materialize here.
+- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+  with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
+  nanos and we convert via integer division (truncation — identical to the
+  DuckDB oracle's ns->us cast), keeping the whole conversion inside
+  whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> TIMESTAMP (µs) by truncation, matching DuckDB.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> SimpleNamespace:
+    """Load several fixture tables as attributes: ``t.lineitem`` etc."""
+    use = names or TABLES
+    return SimpleNamespace(**{n: load_table(spark, sf_dir, n) for n in use})
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (SQL entry point)."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

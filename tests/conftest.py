@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test run + a DuckDB oracle.
+
+The compare helper mirrors the driver's contract: run the Spark query and
+the oracle SQL on the same parquet, compare row count, column names, and
+(order-insensitively) values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from datafusion_ballista_spark.session import get_session
+from datafusion_ballista_spark.sources.registry import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(
+        master="local[8]",
+        app_name="dbspark-tests",
+        shuffle_partitions=8,
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and representation noise far below our rounding levels
+        return round(v + 0.0, 9)
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [cols[i] for i in order], out
+
+
+def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?"):
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = oracle_con.sql(oracle_sql)
+    o_cols = list(rel.columns)
+    o_rows = [tuple(r) for r in rel.fetchall()]
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"[{name}] column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"[{name}] row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    _, sn = _normalize(s_cols, s_rows)
+    _, on = _normalize(o_cols, o_rows)
+    for i, (a, b) in enumerate(zip(sn, on)):
+        assert a == b, (
+            f"[{name}] value mismatch at sorted row {i}:\n spark ={a}\n oracle={b}"
+        )
