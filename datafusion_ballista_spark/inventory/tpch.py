@@ -10,10 +10,16 @@ structure, same subquery pattern — with predicates recalibrated to the
 synthetic data (TESTDATA.md). q21 is omitted (needs commit/receipt dates).
 
 Scale notes applied throughout:
-- dimension tables (region/nation, and part/supplier at driver SFs) are
-  explicitly ``F.broadcast()``-hinted where a 1000-executor plan wants a
-  broadcast-hash join; the big fact-fact joins (orders x lineitem) shuffle
-  on their join key and rely on AQE for skew/coalesce;
+- ``F.broadcast()`` hints appear ONLY on sides whose size is bounded in SF:
+  region/nation (fixed 5/25 rows) and genuine 1-row scalar aggregates. Any
+  side that grows with the scale factor (part, supplier, computed aggregates
+  keyed by a fact column) is joined WITHOUT a hint so AQE's runtime
+  DynamicJoinSelection promotes to broadcast only when actually small —
+  a forced hint on part/supplier is a multi-GB OOM at SF1000
+  (reference does the same size-threshold promotion,
+  ballista/scheduler/src/planner.rs:430-560);
+- the big fact-fact joins (orders x lineitem) shuffle on their join key and
+  rely on AQE for skew/coalesce;
 - aggregates go through exact DECIMAL sums (order-independent — see
   inventory/__init__ determinism contract);
 - every top-k is ``orderBy().limit()`` so Catalyst plans TakeOrderedAndProject
@@ -26,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, davg, dsum, tables
+from datafusion_ballista_spark.inventory.util import D, davg, dsum, not_in_join, tables
 
 # Exact per-row money expressions (double math -> exact decimal; both
 # engines compute identical IEEE doubles, the cast pins the value).
@@ -183,7 +189,7 @@ def q5(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )
@@ -241,7 +247,7 @@ def q7(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(
@@ -328,10 +334,10 @@ def q9(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part.where(F.col("p_name").contains("gear"))),
+            t.part.where(F.col("p_name").contains("gear")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -387,25 +393,33 @@ LIMIT 20
 
 
 def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
-    """q11 shape: HAVING against a scalar fraction of the global total."""
+    """q11 shape: HAVING against a scalar fraction of the global total.
+
+    The threshold compare stays in exact DECIMAL end-to-end (value*500 >
+    total ⟺ value > 0.002*total) so a borderline part can never flip
+    between partition orderings or engines; only the output casts to double.
+    """
     t = tables(spark, sf, "lineitem")
-    per_part = t.lineitem.groupBy("l_partkey").agg(dsum(_rev(), "value"))
-    total = per_part.agg(F.sum("value").alias("total"))
+    per_part = t.lineitem.groupBy("l_partkey").agg(F.sum(_rev()).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("value") > 0.002 * F.col("total"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .where(F.col("value_dec") * 500 > F.col("total_dec"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec").cast("double"), 4).alias("value"),
+        )
         .orderBy(F.desc("value"), "l_partkey")
     )
 
 
 Q11_SQL = f"""
 WITH per_part AS (
-  SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS value
+  SELECT l_partkey, SUM({_REV_SQL}) AS value_dec
   FROM lineitem GROUP BY l_partkey)
-SELECT l_partkey, ROUND(value, 4) AS value
+SELECT l_partkey, ROUND(CAST(value_dec AS DOUBLE), 4) AS value
 FROM per_part
-WHERE value > 0.002 * (SELECT SUM(value) FROM per_part)
+WHERE value_dec * 500 > (SELECT SUM(value_dec) FROM per_part)
 ORDER BY value DESC, l_partkey
 """
 
@@ -474,7 +488,7 @@ def q14_promo(spark: SparkSession, sf: str) -> DataFrame:
         t.lineitem.where(
             (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
         )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100
@@ -533,13 +547,14 @@ ORDER BY s_suppkey
 
 
 def q16_part_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """q16 shape: NOT IN subquery + count(distinct) by group."""
+    """q16 shape: NOT IN subquery (null-aware) + count(distinct) by group."""
     t = tables(spark, sf, "supplier", "part", "lineitem")
     bad_supp = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    joined = t.lineitem.join(
+        t.part, F.col("l_partkey") == F.col("p_partkey")
+    ).where(F.col("p_brand") != "Brand#1")
     return (
-        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-        .where(F.col("p_brand") != "Brand#1")
-        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        not_in_join(joined, "l_suppkey", bad_supp, "s_suppkey")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -568,10 +583,10 @@ def q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part.where(F.col("p_brand") == "Brand#3")),
+            t.part.where(F.col("p_brand") == "Brand#3"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap"))
         .where(F.col("l_quantity") < 0.5 * F.col("aq"))
         .agg(
             F.round(F.sum(D("l_extendedprice")).cast("double") / 7.0, 4).alias(
@@ -605,7 +620,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(tables(spark, sf, "lineitem").lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(D("l_quantity"), "sum_qty"))
         .select(
@@ -657,7 +672,7 @@ def q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(dsum(_rev(), "revenue"))
     )

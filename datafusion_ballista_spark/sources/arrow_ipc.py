@@ -34,18 +34,36 @@ def _read_one(path: str) -> pa.Table:
             return r.read_all()
 
 
-def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
-    """Read one IPC file (file or stream format) into a DataFrame."""
+def _spark_schema(arrow_schema: pa.Schema):
+    """Spark StructType straight from the Arrow schema — no pandas round
+    trip, so nullable ints stay ints and empty files still carry types."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)
+
+
+def read_arrow_ipc(
+    spark: SparkSession, path: str, dist_threshold_bytes: int = 128 << 20
+) -> DataFrame:
+    """Read IPC file(s) (file or stream format) into a DataFrame.
+
+    Small inputs go through a single driver-side Arrow table (cheap, exact);
+    anything above ``dist_threshold_bytes`` total routes through the
+    distributed ``mapInPandas`` reader so the driver never materializes it.
+    """
     paths = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    if len(paths) > 1 and total > dist_threshold_bytes:
+        return read_arrow_ipc_dist(spark, paths)
     tbl = pa.concat_tables([_read_one(p) for p in paths])
-    return spark.createDataFrame(tbl.to_pandas())
+    return spark.createDataFrame(tbl.to_pandas(), schema=_spark_schema(tbl.schema))
 
 
 def read_arrow_ipc_dist(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Distributed IPC read: executors open their own file subsets."""
     if not paths:
         raise ValueError("no paths given")
-    schema = spark.createDataFrame(_read_one(paths[0]).slice(0, 1).to_pandas()).schema
+    schema = _spark_schema(_read_one(paths[0]).schema)
     files_df = spark.createDataFrame([(p,) for p in paths], ["path"]).repartition(
         min(len(paths), 64)
     )

@@ -5,28 +5,80 @@ test ballista/client/tests/context_checks.rs:381), SIMILAR TO
 (datafusion.proto:595-615). Spark-side targets per SURVEY.md §7.1 step 4.
 
 Deliberately regex-light: these are syntactic renames, not a SQL parser.
-Anything semantically different (GROUPS frames) raises with a clear error.
+Anything semantically different (GROUPS frames, non-literal SIMILAR TO
+patterns) raises ``UnsupportedSQLFeature`` instead of silently
+mis-translating.
 """
 
 from __future__ import annotations
 
 import re
 
+# Column list with one nesting level of parens, enough for DECIMAL(10,2)-style
+# parameterized types inside the list.
+_BALANCED = r"\((?:[^()]|\([^()]*\))*\)"
+
 _EXTERNAL_TABLE_RE = re.compile(
-    r"CREATE\s+EXTERNAL\s+TABLE\s+(?P<name>\w+)\s*"
-    r"(?P<cols>\([^)]*\))?\s*"
-    r"STORED\s+AS\s+(?P<fmt>\w+)\s+"
+    r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    rf"(?P<cols>{_BALANCED})?\s*"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
+    r"(?P<header>WITH\s+HEADER\s+ROW\s*)?"
+    rf"(?:PARTITIONED\s+BY\s+(?P<partcols>{_BALANCED})\s*)?"
+    rf"(?:OPTIONS\s*(?P<opts>{_BALANCED})\s*)?"
     r"LOCATION\s+(?P<loc>'[^']+')",
     re.IGNORECASE | re.DOTALL,
 )
 
-_SIMILAR_TO_RE = re.compile(r"\bSIMILAR\s+TO\b", re.IGNORECASE)
-_NOT_SIMILAR_TO_RE = re.compile(r"\bNOT\s+SIMILAR\s+TO\b", re.IGNORECASE)
+# Clauses the reference proto supports that we do not translate yet
+# (datafusion.proto:163-180: WITH ORDER, constraints). Reject loudly.
+_EXTERNAL_UNSUPPORTED_RE = re.compile(
+    r"CREATE\s+EXTERNAL\s+TABLE[^;]*WITH\s+ORDER\b", re.IGNORECASE | re.DOTALL
+)
+
+_SIMILAR_LIT_RE = re.compile(
+    r"(?P<not>NOT\s+)?SIMILAR\s+TO\s+'(?P<pat>[^']*)'", re.IGNORECASE
+)
+_SIMILAR_ANY_RE = re.compile(r"\bSIMILAR\s+TO\b", re.IGNORECASE)
 _GROUPS_FRAME_RE = re.compile(r"\bGROUPS\s+BETWEEN\b", re.IGNORECASE)
+
+# SIMILAR TO metacharacters that carry over to regex unchanged (SQL spec:
+# | * + ? { } ( ) [ ]); everything else regex-special must be escaped.
+_SIMILAR_META = set("|*+?{}()[]")
+_REGEX_SPECIAL = set(".^$\\")
 
 
 class UnsupportedSQLFeature(Exception):
     """Raised for reference features with no Spark equivalent (SURVEY §7.2)."""
+
+
+def similar_to_regex(pattern: str) -> str:
+    """Translate a SQL ``SIMILAR TO`` pattern to an anchored Java regex.
+
+    SIMILAR TO is a whole-string match using ``%``/``_`` wildcards on top of
+    a regex subset; RLIKE is an unanchored regex search. Both differences are
+    corrected here: wildcards are translated and the result is wrapped in
+    ``^(?:...)$``.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):  # escaped literal
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in _SIMILAR_META:
+            out.append(c)
+        elif c in _REGEX_SPECIAL:
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
 
 
 def rewrite_sql(query: str) -> str:
@@ -37,18 +89,42 @@ def rewrite_sql(query: str) -> str:
             "GROUPS window frames are not supported by Spark; rewrite with a "
             "dense_rank()-keyed RANGE frame (see SURVEY.md §2.6)"
         )
+    if _EXTERNAL_UNSUPPORTED_RE.search(query):
+        raise UnsupportedSQLFeature(
+            "CREATE EXTERNAL TABLE ... WITH ORDER is not supported; create "
+            "the table without an order clause"
+        )
 
     def _ext(m: re.Match) -> str:
-        cols = m.group("cols") or ""
+        cols = f" {m.group('cols')}" if m.group("cols") else ""
+        fmt = m.group("fmt").lower()
+        opts: list[str] = []
+        if m.group("opts"):
+            opts.append(m.group("opts")[1:-1].strip())
+        if m.group("header"):
+            opts.append("header 'true'")
+        part = (
+            f" PARTITIONED BY {m.group('partcols')}" if m.group("partcols") else ""
+        )
+        options = f" OPTIONS ({', '.join(opts)})" if opts else ""
         return (
-            f"CREATE TABLE {m.group('name')} {cols} "
-            f"USING {m.group('fmt')} LOCATION {m.group('loc')}"
+            f"CREATE TABLE {m.group('name')}{cols} "
+            f"USING {fmt}{options}{part} LOCATION {m.group('loc')}"
         )
 
     query = _EXTERNAL_TABLE_RE.sub(_ext, query)
-    # SIMILAR TO <regex> -> RLIKE; DataFusion/PG SIMILAR TO anchors the whole
-    # string, Spark RLIKE is a contains-match: anchoring is the caller's
-    # responsibility in complex cases, but we keep the common path working.
-    query = _NOT_SIMILAR_TO_RE.sub("NOT RLIKE", query)
-    query = _SIMILAR_TO_RE.sub("RLIKE", query)
+
+    def _sim(m: re.Match) -> str:
+        neg = "NOT " if m.group("not") else ""
+        # Spark string literals consume one level of backslash escaping.
+        rx = similar_to_regex(m.group("pat")).replace("\\", "\\\\")
+        return f"{neg}RLIKE '{rx}'"
+
+    query = _SIMILAR_LIT_RE.sub(_sim, query)
+    if _SIMILAR_ANY_RE.search(query):
+        # Non-literal pattern: translating at rewrite time is impossible.
+        raise UnsupportedSQLFeature(
+            "SIMILAR TO with a non-literal pattern is not supported; use "
+            "RLIKE with an anchored regex"
+        )
     return query
