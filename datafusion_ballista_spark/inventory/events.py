@@ -1,4 +1,210 @@
-"""Placeholder — populated in this round."""
-from datafusion_ballista_spark.inventory import QuerySpec
+"""Time-bucketed event analytics (SURVEY §2.10 batch-events gap analysis).
 
-QUERIES: dict[str, QuerySpec] = {}
+The reference is batch-only; its closest surface is ``date_bin``
+(registry date/time defaults, ballista/core/src/registry.rs:20-23) over
+event-shaped data. This module covers the date_bin ↔ ``F.window()``
+equivalence both ways, sessionization via lag-gap windows, and
+retention-style distinct-user rollups, all over the ``events`` fixture
+(TIMESTAMP(NANOS) parquet read through the ns→µs shim in
+sources/registry.py).
+
+Scale notes (100 TB): every query aggregates after keying by (bucket) or
+(user_id) — a single hash shuffle each; sessionization shuffles once on
+user_id and sorts within user partitions (Spark window), which is the
+canonical distributed sessionization plan. No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.functions import date_bin
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import D, dsum, tables
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return tables(spark, sf, "events").events
+
+
+def ev_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """date_bin(1 hour) rollup per event_type (compat-layer date_bin)."""
+    e = _events(spark, sf)
+    return (
+        e.groupBy(
+            date_bin(3600, F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(D("value"), "total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+EV_HOURLY_SQL = """
+SELECT TIMESTAMP '1970-01-01'
+         + ((floor(epoch(ts))::BIGINT // 3600) * 3600) * INTERVAL 1 SECOND
+         AS bucket,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
+def ev_window_bucketing(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-native F.window() tumbling bucket — the idiomatic Spark form of
+    date_bin; must produce the same buckets as the epoch-math oracle."""
+    e = _events(spark, sf)
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(D("value"), "total_value"))
+        .select(F.col("w.start").alias("bucket"), "n", "total_value")
+        .orderBy("bucket")
+    )
+
+
+EV_WINDOW_SQL = """
+SELECT TIMESTAMP '1970-01-01'
+         + ((floor(epoch(ts))::BIGINT // 900) * 900) * INTERVAL 1 SECOND
+         AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag-gap flag → running
+    session counter → per-user session stats. One shuffle on user_id."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("longest_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+  MAX(n_events) AS longest_session
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def ev_type_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix via lag over per-user timelines."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+EV_TRANSITIONS_SQL = """
+SELECT prev_type, event_type, COUNT(*) AS n
+FROM (SELECT event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def ev_daily_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day retention: of users active on day d, how many were also
+    active on d+1. Self-join of the per-day distinct-user set on itself —
+    shuffles on (user_id) then aggregates by day."""
+    e = _events(spark, sf)
+    day_users = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    nxt = day_users.select(
+        F.date_add("d", -1).alias("d_prev"), F.col("user_id").alias("u2")
+    )
+    return (
+        day_users.join(
+            nxt,
+            (F.col("d") == F.col("d_prev")) & (F.col("user_id") == F.col("u2")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_day"),
+        )
+        .orderBy("d")
+    )
+
+
+EV_RETENTION_SQL = """
+WITH day_users AS (
+  SELECT DISTINCT ts::DATE AS d, user_id FROM events)
+SELECT du.d, COUNT(*) AS active_users,
+  COUNT(nx.user_id) AS retained_next_day
+FROM day_users du
+LEFT JOIN day_users nx
+  ON nx.d = du.d + INTERVAL 1 DAY AND nx.user_id = du.user_id
+GROUP BY du.d
+ORDER BY du.d
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ev_hourly_rollup": QuerySpec(ev_hourly_rollup, EV_HOURLY_SQL),
+    "ev_window_bucketing": QuerySpec(ev_window_bucketing, EV_WINDOW_SQL),
+    "ev_sessionize": QuerySpec(ev_sessionize, EV_SESSIONIZE_SQL),
+    "ev_type_transitions": QuerySpec(ev_type_transitions, EV_TRANSITIONS_SQL),
+    "ev_daily_retention": QuerySpec(ev_daily_retention, EV_RETENTION_SQL),
+}
