@@ -1,0 +1,47 @@
+"""Cross-technique checks for the near-dup pipeline: the exact n-gram
+Jaccard pairs are ground truth; the sketch techniques must recover them."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_ballista_spark.inventory.pipeline_text import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark):
+    return {
+        (r.da, r.db): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+
+
+def test_fixture_has_planted_near_dups(true_pairs):
+    assert len(true_pairs) >= 5, "fixture should contain planted near-dups"
+    assert max(true_pairs.values()) >= 0.9
+
+
+def test_minhash_recall_and_precision(spark, true_pairs):
+    cand = {
+        (r.da, r.db): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    high = {p for p, j in true_pairs.items() if j >= 0.9}
+    found = high & set(cand)
+    assert len(found) >= 0.9 * len(high), f"minhash recall too low: {len(found)}/{len(high)}"
+    # every candidate with strong signature agreement must be a true near-dup
+    strong = {p for p, e in cand.items() if e >= 0.75}
+    assert strong <= set(true_pairs), f"false positives: {strong - set(true_pairs)}"
+
+
+def test_simhash_recall(spark, true_pairs):
+    pairs = {(r.da, r.db) for r in dedup_simhash(spark, SF_DIR).collect()}
+    high = {p for p, j in true_pairs.items() if j >= 0.95}
+    found = high & pairs
+    assert len(found) >= 0.8 * len(high), f"simhash recall too low: {len(found)}/{len(high)}"
+    assert pairs <= set(true_pairs), f"false positives: {pairs - set(true_pairs)}"
