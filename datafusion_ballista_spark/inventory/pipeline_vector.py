@@ -1,4 +1,349 @@
-"""Placeholder — populated in this round."""
-from datafusion_ballista_spark.inventory import QuerySpec
+"""Vector similarity pipeline: ANN search over embeddings (beyond-reference).
 
-QUERIES: dict[str, QuerySpec] = {}
+Covers the similarity-search half of the LLM-data layer over the
+``embeddings`` fixture (vec_id, embedding array<float> 64-d unit-norm,
+label): brute-force cosine top-k (the exactness baseline), random-hyperplane
+LSH bucketed ANN (the scale path), kNN label voting, cosine-threshold
+near-dup pairs, and label-centroid statistics.
+
+Numerics: both engines compute cosine as an explicit left-fold double dot
+product (Spark ``F.aggregate``/``zip_with`` over array<double>; DuckDB
+``list_dot_product`` over DOUBLE[]) — verified bitwise-identical — so
+rankings agree exactly; displayed similarities are rounded. Array means use
+DECIMAL accumulation for partition-order independence.
+
+Scale notes (100 TB):
+- Brute-force is O(Q·N) by construction; it exists as the correctness
+  oracle and for small Q. It broadcasts the QUERY side (bounded), never the
+  corpus: the corpus stays partitioned, each executor scans its shard once —
+  the canonical distributed exact-kNN plan.
+- The LSH path buckets by hyperplane sign-pattern: candidates come from a
+  groupBy(bucket) join, cost Σ per-bucket sizes. More tables/probes trade
+  recall for cost without changing the plan shape. An IVF variant is the
+  same plan with learned centroids as the bucketer.
+- No Python in the data path: dot products are codegen'd lambda folds.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import tables
+
+_DIM = 64
+_N_PLANES = 8
+_rng = random.Random(42)
+# Rademacher (+/-1) hyperplanes: a valid sign-LSH family, literal-friendly.
+_PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        tables(spark, sf, "embeddings")
+        .embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _plane_col(p: list[int]) -> Column:
+    return F.array(*[F.lit(float(c)) for c in p])
+
+
+def _bucket(v: Column) -> Column:
+    """LSH bucket id: sign bit per hyperplane, packed to an int."""
+    bits = [
+        F.when(_dot(v, _plane_col(p)) >= 0, 1 << h).otherwise(0)
+        for h, p in enumerate(_PLANES)
+    ]
+    return sum(bits).cast("int")
+
+
+_DOT_SQL = "list_dot_product({a}, {b})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL
+    return (
+        f"{d.format(a=a, b=b)} / "
+        f"(sqrt({d.format(a=a, b=a)}) * sqrt({d.format(a=b, b=b)}))"
+    )
+
+
+def _plane_sql(p: list[int]) -> str:
+    return "[" + ", ".join(f"{float(c)}" for c in p) + "]::DOUBLE[]"
+
+
+def _bucket_sql(v: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {_DOT_SQL.format(a=v, b=_plane_sql(p))} >= 0 "
+            f"THEN {1 << h} ELSE 0 END"
+            for h, p in enumerate(_PLANES)
+        )
+        + ")::INTEGER"
+    )
+
+
+_EMB_CTE = (
+    "emb AS (SELECT vec_id, label,"
+    " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < 5): the
+    brute-force baseline. The bounded query side is broadcast; the corpus
+    side is scanned once, partition-parallel."""
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "nid", F.round("sim", 6).alias("cosine"), "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+sims AS (
+  SELECT qid, e.vec_id AS nid,
+    round({_cos_sql('qv', 'e.v')}, 9) AS sim
+  FROM q JOIN emb e ON e.vec_id <> qid),
+ranked AS (
+  SELECT qid, nid, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM sims)
+SELECT qid, nid, round(sim, 6) AS cosine, rk
+FROM ranked WHERE rk <= 5
+ORDER BY qid, rk
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): sign-pattern buckets from 8
+    deterministic Rademacher hyperplanes; candidates share the query's
+    bucket; exact cosine re-rank inside the bucket, top-3."""
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "bucket")
+    sims = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("qid", "nid", F.round("sim", 6).alias("cosine"), "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 20),
+sims AS (
+  SELECT qid, c.vec_id AS nid,
+    round({_cos_sql('qv', 'c.v')}, 9) AS sim
+  FROM q JOIN bucketed c USING (bucket)
+  WHERE c.vec_id <> qid),
+ranked AS (
+  SELECT qid, nid, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM sims)
+SELECT qid, nid, round(sim, 6) AS cosine, rk
+FROM ranked WHERE rk <= 3
+ORDER BY qid, rk
+"""
+
+
+def emb_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN label vote (k=10): classify held-out vectors (vec_id < 20)
+    against the rest; deterministic vote tiebreak (count desc, label asc)."""
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "qid", "true_label", "nid", "nlabel",
+        F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    top = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    votes = top.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nlabel").alias("pred_label"), "n")
+        .orderBy("qid")
+    )
+
+
+EMB_KNN_SQL = f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+      FROM emb WHERE vec_id < 20),
+c AS (SELECT vec_id AS nid, label AS nlabel, v AS nv
+      FROM emb WHERE vec_id >= 20),
+sims AS (
+  SELECT qid, true_label, nid, nlabel,
+    round({_cos_sql('qv', 'nv')}, 9) AS sim
+  FROM q, c),
+top AS (
+  SELECT * FROM (
+    SELECT qid, true_label, nlabel,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+    FROM sims) WHERE rk <= 10),
+votes AS (
+  SELECT qid, true_label, nlabel, COUNT(*) AS n
+  FROM top GROUP BY 1, 2, 3)
+SELECT qid, true_label, nlabel AS pred_label, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, nlabel) AS vr
+  FROM votes)
+WHERE vr = 1
+ORDER BY qid
+"""
+
+
+def emb_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine-threshold near-dup pairs (θ >= 0.4), exact. At 100 TB the
+    same query runs over the LSH buckets (ann_lsh_bucketed's plan) instead
+    of the full pair space; exact form kept here as the oracle-checkable
+    ground truth."""
+    e = _emb(spark, sf)
+    a = e.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.round(_cos(F.col("va"), F.col("vb")), 9).alias("sim")
+        )
+        .where(F.col("sim") >= 0.4)
+        .select("da", "db", F.round("sim", 6).alias("cosine"))
+        .orderBy("da", "db")
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS da, b.vec_id AS db,
+  round(round({_cos_sql('a.v', 'b.v')}, 9), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.v', 'b.v')}, 9) >= 0.4
+ORDER BY da, db
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid statistics via posexplode + DECIMAL-disciplined
+    means (partition-order independent), then distance-to-centroid."""
+    e = _emb(spark, sf)
+    pos = e.select(
+        "label", "vec_id", F.posexplode(F.col("v")).alias("pos", "x")
+    ).withColumn("xd", F.col("x").cast("decimal(20,12)"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.round(
+                (F.sum("xd") / F.count(F.lit(1))).cast("double"), 9
+            ).alias("c")
+        )
+    )
+    dist = (
+        pos.join(cent, ["label", "pos"])
+        .withColumn(
+            "sq", ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                "decimal(20,12)"
+            )
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum("sq").cast("double").alias("d2"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                (F.sum(F.col("d2").cast("decimal(20,12)")) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+pos AS (
+  SELECT label, vec_id,
+    unnest(range(1, len(v)+1)) - 1 AS pos,
+    unnest(v) AS x
+  FROM emb),
+cent AS (
+  SELECT label, pos,
+    round((SUM(x::DECIMAL(20,12)) / COUNT(*))::DOUBLE, 9) AS c
+  FROM pos GROUP BY 1, 2),
+dist AS (
+  SELECT p.label, p.vec_id,
+    SUM(((x - c) * (x - c))::DECIMAL(20,12))::DOUBLE AS d2
+  FROM pos p JOIN cent USING (label, pos)
+  GROUP BY 1, 2)
+SELECT label, COUNT(*) AS n_vecs,
+  round((SUM(d2::DECIMAL(20,12)) / COUNT(*))::DOUBLE, 6) AS avg_sq_dist
+FROM dist
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
+    "emb_knn_classify": QuerySpec(emb_knn_classify, EMB_KNN_SQL),
+    "emb_neardup_cosine": QuerySpec(emb_neardup_cosine, EMB_NEARDUP_SQL),
+    "emb_label_centroids": QuerySpec(emb_label_centroids, EMB_CENTROID_SQL),
+}

@@ -1,0 +1,39 @@
+"""LSH-vs-bruteforce behavior checks for the vector pipeline."""
+
+from __future__ import annotations
+
+from datafusion_ballista_spark.inventory.pipeline_vector import (
+    ann_bruteforce_topk,
+    ann_lsh_bucketed,
+)
+from tests.conftest import SF_DIR
+
+
+def test_lsh_results_are_subset_quality(spark):
+    """Every LSH hit must be a real vector with a correct (re-ranked exact)
+    cosine; its top-1 should match brute-force top-1 reasonably often."""
+    bf = {
+        (r.qid, r.rk): (r.nid, r.cosine)
+        for r in ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    lsh_rows = ann_lsh_bucketed(spark, SF_DIR).collect()
+    assert lsh_rows, "LSH buckets produced no candidates at all"
+    # exactness of the re-rank: any (qid, nid) present in both must agree
+    bf_pairs = {(r.qid, r.nid): r.cosine for r in ann_bruteforce_topk(spark, SF_DIR).collect()}
+    for r in lsh_rows:
+        if (r.qid, r.nid) in bf_pairs:
+            assert abs(bf_pairs[(r.qid, r.nid)] - r.cosine) < 1e-9
+
+
+def test_lsh_bucket_sizes_bounded(spark):
+    """The bucketing must actually split the corpus (scale guard): no
+    bucket may hold more than half the vectors."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import _bucket, _emb
+
+    e = _emb(spark, SF_DIR).withColumn("b", _bucket(F.col("v")))
+    sizes = [r.n for r in e.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()]
+    total = sum(sizes)
+    assert len(sizes) > 10, f"only {len(sizes)} buckets used"
+    assert max(sizes) < total / 2
