@@ -33,6 +33,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from datafusion_ballista_spark.inventory import (
         events,
         functions_cov,
+        io_ops,
+        multimodal_cov,
         pipeline_text,
         pipeline_vector,
         relational,
@@ -41,7 +43,17 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, relational, windows, functions_cov, events, pipeline_text, pipeline_vector):
+    for mod in (
+        tpch,
+        relational,
+        windows,
+        functions_cov,
+        events,
+        pipeline_text,
+        pipeline_vector,
+        io_ops,
+        multimodal_cov,
+    ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"
             out[name] = spec

@@ -1,0 +1,231 @@
+"""Write-path (sinks/DML) and non-parquet scan inventory (SURVEY §2.2).
+
+Reference surface: CSV/JSON/Parquet sink nodes + INSERT INTO / COPY TO /
+CTAS (datafusion.proto:834-869, :269-310; client tests
+ballista/client/tests/context_checks.rs:448,596,657), CSV scan
+(client fixture customer.csv), NDJSON scan (:1151-1154), Arrow IPC scan
+(:1159-1162; context_checks.rs:1319), CREATE EXTERNAL TABLE DDL
+(:163-180; context_checks.rs:381).
+
+Each round-trip writes with the DISTRIBUTED writer (df.write — one file per
+partition, exactly the 100 TB shape), reads the result back through the
+matching scan, and aggregates; the oracle runs the same aggregate on the
+ORIGINAL parquet, so a lossless round trip is exactly a hash match.
+Temp outputs live under /tmp/dbspark_io/<sf-tag>/ and are overwritten
+idempotently.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import D, dsum, tables
+
+_BASE = "/tmp/dbspark_io"
+
+
+def _out(sf: str, leaf: str) -> str:
+    tag = os.path.basename(sf.rstrip("/")) or "sf"
+    return os.path.join(_BASE, tag, leaf)
+
+
+def _orders_slice(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        tables(spark, sf, "orders")
+        .orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+_ORDERS_AGG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(D("o_totalprice"), "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def write_parquet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """df.write.parquet → read-back (datafusion.proto:866-869 ParquetSink)."""
+    path = _out(sf, "orders_parquet")
+    _orders_slice(spark, sf).write.mode("overwrite").parquet(path)
+    return _agg(spark.read.parquet(path))
+
+
+def write_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """df.write.csv with header → schema-ful read-back (CsvSink :834-845)."""
+    path = _out(sf, "orders_csv")
+    _orders_slice(spark, sf).write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    return _agg(spark.read.option("header", True).schema(schema).csv(path))
+
+
+def write_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """df.write.json → read-back (JsonSink :846-855)."""
+    path = _out(sf, "orders_json")
+    _orders_slice(spark, sf).write.mode("overwrite").json(path)
+    return _agg(spark.read.json(path).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ))
+
+
+def ctas_insert_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """DDL/DML through the SQL path: CREATE EXTERNAL TABLE (via the dialect
+    rewrite) + INSERT INTO + read back (context_checks.rs:381,448,596)."""
+    from datafusion_ballista_spark.sql import rewrite_sql
+
+    path = _out(sf, "orders_ctas")
+    shutil.rmtree(path, ignore_errors=True)
+    tables(spark, sf, "orders").orders.createOrReplaceTempView("io_orders_src")
+    spark.sql("DROP TABLE IF EXISTS io_orders_tbl")
+    spark.sql(
+        rewrite_sql(
+            "CREATE EXTERNAL TABLE io_orders_tbl "
+            "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderstatus STRING) "
+            f"STORED AS PARQUET LOCATION '{path}'"
+        )
+    )
+    spark.sql(
+        "INSERT INTO io_orders_tbl "
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        "FROM io_orders_src WHERE o_orderpriority = '1-URGENT'"
+    )
+    return _agg(spark.table("io_orders_tbl"))
+
+
+def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV scan of the full customer table (reference fixture customer.csv)."""
+    path = _out(sf, "customer_csv")
+    c = tables(spark, sf, "customer").customer
+    c.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(D("c_acctbal"), "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SCAN_CSV_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def scan_ndjson(spark: SparkSession, sf: str) -> DataFrame:
+    """NDJSON scan (datafusion.proto:1151-1154)."""
+    path = _out(sf, "supplier_json")
+    s = tables(spark, sf, "supplier").supplier
+    s.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(D("s_acctbal"), "total_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
+SCAN_NDJSON_SQL = """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def scan_arrow_ipc(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow IPC scan through the distributed mapInPandas reader
+    (context_checks.rs:1319; sources/arrow_ipc.py)."""
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    from datafusion_ballista_spark.sources.arrow_ipc import read_arrow_ipc_dist
+
+    out_dir = _out(sf, "nation_arrow")
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf, "nation.parquet"))
+    # two files to exercise the multi-file distributed path
+    mid = tbl.num_rows // 2
+    for i, piece in enumerate((tbl.slice(0, mid), tbl.slice(mid))):
+        with ipc.new_file(os.path.join(out_dir, f"part{i}.arrow"), tbl.schema) as w:
+            w.write_table(piece)
+    back = read_arrow_ipc_dist(spark, sorted(glob.glob(f"{out_dir}/*.arrow")))
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+SCAN_ARROW_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def url_table_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """URL table: query a file path directly (context_checks.rs:561) —
+    Spark's ``parquet.`path``` form."""
+    return spark.sql(
+        f"SELECT r_name, COUNT(*) AS n FROM parquet.`{sf}/region.parquet` "
+        "GROUP BY r_name ORDER BY r_name"
+    )
+
+
+URL_TABLE_SQL = """
+SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name ORDER BY r_name
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "write_parquet_roundtrip": QuerySpec(write_parquet_roundtrip, _ORDERS_AGG_SQL),
+    "write_csv_roundtrip": QuerySpec(write_csv_roundtrip, _ORDERS_AGG_SQL),
+    "write_json_roundtrip": QuerySpec(write_json_roundtrip, _ORDERS_AGG_SQL),
+    "ctas_insert_sql": QuerySpec(ctas_insert_sql, _ORDERS_AGG_SQL),
+    "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
+    "scan_ndjson": QuerySpec(scan_ndjson, SCAN_NDJSON_SQL),
+    "scan_arrow_ipc": QuerySpec(scan_arrow_ipc, SCAN_ARROW_SQL),
+    "url_table_sql": QuerySpec(url_table_sql, URL_TABLE_SQL),
+}

@@ -1,0 +1,59 @@
+"""Multimodal-column inventory: binary payload + mapInPandas stages.
+
+See datafusion_ballista_spark/multimodal.py for the design. The payload is
+synthesized from text (no binary fixture exists), which makes every fake
+decode DuckDB-replayable: the oracle recomputes byte lengths, sha256 and the
+fake header fields from ``text::BLOB``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import tables
+from datafusion_ballista_spark.multimodal import attach_binary, featurize, frame_sample
+
+
+def multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary feature extraction (Arrow-batched mapInPandas) — length,
+    digest, fake-decoded header fields."""
+    d = tables(spark, sf, "documents").documents
+    feats = featurize(attach_binary(d))
+    return feats.orderBy("doc_id")
+
+
+MULTIMODAL_FEATURIZE_SQL = """
+SELECT doc_id,
+  octet_length(text::BLOB) AS n_bytes,
+  sha256(text) AS sha256,
+  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS width,
+  CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: 32-byte frames, every 4th."""
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 50)
+    return frame_sample(attach_binary(d)).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+  sha256(substr(text, i * 32 + 1, 32)) AS frame_sha
+FROM (SELECT doc_id, text,
+        unnest(range(0, (octet_length(text::BLOB) + 31) // 32, 4)) AS i
+      FROM documents WHERE doc_id < 50)
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_featurize": QuerySpec(multimodal_featurize, MULTIMODAL_FEATURIZE_SQL),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, MULTIMODAL_FRAME_SQL
+    ),
+}
