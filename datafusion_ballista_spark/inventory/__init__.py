@@ -33,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from datafusion_ballista_spark.inventory import (
         events,
         functions_cov,
+        h2o,
         io_ops,
         multimodal_cov,
         pipeline_text,
@@ -53,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_vector,
         io_ops,
         multimodal_cov,
+        h2o,
     ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"
