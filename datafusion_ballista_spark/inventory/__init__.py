@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_vector,
         relational,
         tpch,
+        udf_surface,
         windows,
     )
 
@@ -55,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_ops,
         multimodal_cov,
         h2o,
+        udf_surface,
     ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"

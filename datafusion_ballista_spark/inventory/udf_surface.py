@@ -1,0 +1,213 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.9) — where Spark exceeds the reference.
+
+The reference serializes Rust ScalarUDF/AggregateUDF/WindowUDF by name
+(datafusion.proto:555-570, PhysicalScalarUdfNode :951-959) and explicitly
+lacks Python UDFs (ROADMAP.md:60 "Support Python UDFs (#173)"); its only
+table function is the built-in generate_series (datafusion.proto:1487-1498).
+This module exercises every UDF entry point PySpark offers natively:
+
+- ``spark.udf.register``   -> scalar Python UDF callable from SQL
+- ``@pandas_udf`` (scalar) -> Arrow-vectorized columnar transform
+- ``@pandas_udf`` (grouped agg) -> custom aggregate over whole groups
+- ``groupBy().applyInPandas``   -> grouped-map transform (per-group frame)
+- ``@udtf`` + LATERAL           -> Python table function (rows out per row in)
+- ``cogroup().applyInPandas``   -> two-sided grouped map; used for an AS-OF
+  join, an operator the reference lacks entirely (DuckDB's native ASOF JOIN
+  is the oracle)
+
+Hot-path discipline (the 100 TB story): per-row Python UDFs exist here to
+*prove the surface*, not as the recommended path — every transform in this
+module is also expressible with built-ins (the oracle SQL is exactly that),
+and the pipeline modules keep Python out of hot loops. The pandas variants
+move data via Arrow batches (10-100x over row-at-a-time); applyInPandas /
+cogroup shuffle once on the grouping key and then stream one group per
+pandas frame, so memory is bounded by the largest single group — at 100 TB
+you key by something with bounded group size (user_id, not event_type).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import tables
+
+
+def _tok_count(text: str | None) -> int | None:
+    # Single-space split, mirroring the oracle's string_split(text, ' ').
+    return None if text is None else len(text.split(" "))
+
+
+def udf_sql_register(spark: SparkSession, sf: str) -> DataFrame:
+    """``spark.udf.register`` + SQL call — the reference's by-name scalar UDF
+    registration surface (datafusion.proto:555-562) on the Python side."""
+    spark.udf.register("tok_count", _tok_count, "int")
+    tables(spark, sf, "documents").documents.createOrReplaceTempView("udf_docs")
+    return spark.sql(
+        "SELECT lang, SUM(tok_count(text)) AS toks, COUNT(*) AS docs "
+        "FROM udf_docs GROUP BY lang ORDER BY lang"
+    )
+
+
+UDF_SQL_REGISTER_SQL = """
+SELECT lang, SUM(length(string_split(text, ' '))) AS toks, COUNT(*) AS docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def pandas_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (batch-at-a-time, no per-row
+    Python) — log-scale scoring of event values."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def log_score(v: pd.Series) -> pd.Series:
+        return np.log1p(np.abs(v))
+
+    ev = tables(spark, sf, "events").events
+    return (
+        ev.select("event_type", log_score("value").alias("s"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("s"), 4).alias("total_score"))
+        .orderBy("event_type")
+    )
+
+
+PANDAS_UDF_SCALAR_SQL = """
+SELECT event_type, ROUND(SUM(ln(1 + abs(value))), 4) AS total_score
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def pandas_udf_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (custom UDAF: weighted mean) — the
+    AggregateUDF surface (datafusion.proto:563-570)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = tables(spark, sf, "events").events.withColumn(
+        "w", (F.col("user_id") % 10 + 1).cast("double")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(wavg("value", "w"), 6).alias("wavg_value"))
+        .orderBy("event_type")
+    )
+
+
+PANDAS_UDF_GROUPED_AGG_SQL = """
+SELECT event_type,
+  ROUND(SUM(value * (user_id % 10 + 1)) / SUM(user_id % 10 + 1), 6)
+    AS wavg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def apply_in_pandas_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().applyInPandas — per-group z-score normalization, one pandas
+    frame per group (grouped-map; the shape every featurization pipeline
+    uses). Oracle: the equivalent window-aggregate SQL."""
+    ev = tables(spark, sf, "events").events
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf = pdf.assign(z=((v - v.mean()) / v.std()).round(6))
+        return pdf[["event_id", "event_type", "z"]]
+
+    return ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(zscore, schema="event_id long, event_type string, z double")
+
+
+APPLY_IN_PANDAS_ZSCORE_SQL = """
+SELECT event_id, event_type,
+  ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+        / STDDEV(value) OVER (PARTITION BY event_type), 6) AS z
+FROM events
+"""
+
+
+def udtf_lateral_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF via LATERAL — a user table function, which the reference
+    has no surface for at all (only built-in generate_series,
+    datafusion.proto:1487-1498)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string")
+    class SplitToks:
+        def eval(self, text: str | None):
+            if text is not None:
+                for t in text.split(" "):
+                    yield (t,)
+
+    spark.udtf.register("split_toks", SplitToks)
+    tables(spark, sf, "documents").documents.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.tok FROM udtf_docs d, "
+        "LATERAL split_toks(d.text) t WHERE d.doc_id < 100"
+    )
+
+
+UDTF_LATERAL_TOKENS_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+FROM documents WHERE doc_id < 100
+"""
+
+
+def cogroup_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join via cogroup().applyInPandas: each event joins the most
+    recent prior-or-equal 'signup' event of the same user. An operator the
+    reference lacks; DuckDB's native ASOF JOIN is the oracle.
+
+    Scale: cogroup shuffles both sides once on user_id, then runs
+    pd.merge_asof per user — group size is one user's history, bounded
+    regardless of total data size. (user_id, ts) is unique in the fixture,
+    so the backward match is deterministic."""
+    ev = tables(spark, sf, "events").events
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("anchor_ts"), F.col("value").alias("anchor_value")
+    )
+
+    def asof(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values("ts")
+        r = r.sort_values("anchor_ts")
+        out = pd.merge_asof(
+            l, r.drop(columns=["user_id"]), left_on="ts", right_on="anchor_ts"
+        )
+        return out[["event_id", "user_id", "ts", "anchor_ts", "anchor_value"]]
+
+    return left.groupBy("user_id").cogroup(right.groupBy("user_id")).applyInPandas(
+        asof,
+        schema="event_id long, user_id long, ts timestamp, "
+        "anchor_ts timestamp, anchor_value double",
+    )
+
+
+COGROUP_ASOF_JOIN_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS anchor_ts, r.value AS anchor_value
+FROM events l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "udf_sql_register": QuerySpec(udf_sql_register, UDF_SQL_REGISTER_SQL),
+    "pandas_udf_scalar": QuerySpec(pandas_udf_scalar, PANDAS_UDF_SCALAR_SQL),
+    "pandas_udf_grouped_agg": QuerySpec(
+        pandas_udf_grouped_agg, PANDAS_UDF_GROUPED_AGG_SQL
+    ),
+    "apply_in_pandas_zscore": QuerySpec(
+        apply_in_pandas_zscore, APPLY_IN_PANDAS_ZSCORE_SQL
+    ),
+    "udtf_lateral_tokens": QuerySpec(udtf_lateral_tokens, UDTF_LATERAL_TOKENS_SQL),
+    "cogroup_asof_join": QuerySpec(cogroup_asof_join, COGROUP_ASOF_JOIN_SQL),
+}
