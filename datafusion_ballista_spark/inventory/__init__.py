@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_text,
         pipeline_vector,
         relational,
+        sql_surface,
         tpch,
         udf_surface,
         windows,
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_cov,
         h2o,
         udf_surface,
+        sql_surface,
     ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"

@@ -82,6 +82,27 @@ class BallistaSession:
             return self.spark.sql("SELECT 1 AS ok").limit(0)
         return self.spark.sql(rewrite_sql(query))
 
+    # -- EXPLAIN parity (context_checks.rs:1072,1129,1213) --------------------
+    def explain(self, query: str, analyze: bool = False) -> str:
+        """Plan text for a SQL query, mirroring the reference's EXPLAIN /
+        EXPLAIN ANALYZE (DistributedExplainAnalyzeExec). ``analyze=True``
+        executes the query (noop-sinked) and returns the final AQE plan with
+        per-operator runtime metrics — the same information the reference
+        aggregates from task metrics."""
+        df = self.sql(query)
+        if not analyze:
+            jvm = self.spark._jvm
+            return df._jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def analyze_table(self, name: str) -> None:
+        """ANALYZE parity (datafusion.proto:224-228): compute table-level
+        statistics the optimizer's size estimates read."""
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
     # -- config (core/src/config.rs) ------------------------------------------
     def set(self, key: str, value: object) -> None:
         k, v = translate(key, value)
