@@ -219,6 +219,66 @@ SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name ORDER BY r_name
 """
 
 
+def scan_partitioned_listing(spark: SparkSession, sf: str) -> DataFrame:
+    """Listing table with hive-style partition discovery + partition pruning
+    (SURVEY §2.2 row 7; reference ListingTable). Writes lineitem partitioned
+    by ship year, reads the *directory* back, and filters on the partition
+    column — the filter prunes whole directories at file-listing time, the
+    exact mechanism that makes a 100 TB date-partitioned lake scannable.
+    tests/test_sources.py asserts PartitionFilters appears in the plan."""
+    path = _out(sf, "lineitem_by_year")
+    li = tables(spark, sf, "lineitem").lineitem
+    (
+        li.withColumn("l_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("l_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)  # partition discovery from dir layout
+    return (
+        back.where(F.col("l_year") == 1997)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(D("l_extendedprice"), "total"))
+        .orderBy("l_returnflag")
+    )
+
+
+SCAN_PARTITIONED_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def inmem_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    """In-memory table (SURVEY §2.2 row 6; reference MemTable /
+    register_record_batches): literal rows created driver-side, joined to a
+    parquet fact table. A few-row in-memory dim is the one side that is
+    ALWAYS broadcast-safe at any scale."""
+    weights = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 2), ("5-LOW", 1)],
+        ["prio", "weight"],
+    )
+    o = tables(spark, sf, "orders").orders
+    return (
+        o.join(F.broadcast(weights), o.o_orderpriority == weights.prio)
+        .groupBy("prio")
+        .agg((F.count(F.lit(1)) * F.min("weight")).alias("weighted_n"))
+        .orderBy("prio")
+    )
+
+
+INMEM_TABLE_SQL = """
+SELECT prio, COUNT(*) * MIN(weight) AS weighted_n
+FROM orders
+JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+             ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(prio, weight)
+  ON o_orderpriority = prio
+GROUP BY prio ORDER BY prio
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "write_parquet_roundtrip": QuerySpec(write_parquet_roundtrip, _ORDERS_AGG_SQL),
     "write_csv_roundtrip": QuerySpec(write_csv_roundtrip, _ORDERS_AGG_SQL),
@@ -228,4 +288,8 @@ QUERIES: dict[str, QuerySpec] = {
     "scan_ndjson": QuerySpec(scan_ndjson, SCAN_NDJSON_SQL),
     "scan_arrow_ipc": QuerySpec(scan_arrow_ipc, SCAN_ARROW_SQL),
     "url_table_sql": QuerySpec(url_table_sql, URL_TABLE_SQL),
+    "scan_partitioned_listing": QuerySpec(
+        scan_partitioned_listing, SCAN_PARTITIONED_SQL
+    ),
+    "inmem_table_join": QuerySpec(inmem_table_join, INMEM_TABLE_SQL),
 }

@@ -1,0 +1,58 @@
+"""Source-layer specs: object-store config translation (offline — mirrors
+ballista/core/src/object_store.rs S3Options), and partition pruning proof
+for the listing-table scan (SURVEY §2.2 rows 7, 11)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_ballista_spark.sources.object_store import (
+    normalize_url,
+    s3_conf,
+)
+
+
+def test_s3_conf_global_keys():
+    conf = s3_conf(
+        access_key_id="AK", secret_access_key="SK", region="us-east-1",
+        endpoint="http://minio:9000",
+    )
+    assert conf == {
+        "fs.s3a.access.key": "AK",
+        "fs.s3a.secret.key": "SK",
+        "fs.s3a.endpoint.region": "us-east-1",
+        "fs.s3a.endpoint": "http://minio:9000",
+    }
+
+
+def test_s3_conf_per_bucket_and_http():
+    conf = s3_conf("mybucket", allow_http=True, access_key_id="AK")
+    assert conf["fs.s3a.bucket.mybucket.access.key"] == "AK"
+    assert conf["fs.s3a.bucket.mybucket.connection.ssl.enabled"] == "false"
+    assert conf["fs.s3a.bucket.mybucket.path.style.access"] == "true"
+
+
+def test_s3_conf_rejects_unknown_option():
+    with pytest.raises(ValueError, match="unknown S3 option"):
+        s3_conf(access_keey="typo")
+
+
+def test_normalize_url():
+    assert normalize_url("s3://bucket/path/x.parquet") == "s3a://bucket/path/x.parquet"
+    assert normalize_url("s3a://bucket/x") == "s3a://bucket/x"
+    assert normalize_url("/local/path") == "/local/path"
+    assert normalize_url("hdfs://nn/x") == "hdfs://nn/x"
+
+
+def test_partitioned_listing_prunes(spark):
+    """The l_year = 1997 filter must land in PartitionFilters (directory
+    pruning), not as a post-scan data filter."""
+    from datafusion_ballista_spark.inventory.io_ops import scan_partitioned_listing
+    from tests.conftest import SF_DIR
+
+    df = scan_partitioned_listing(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "l_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
