@@ -2,11 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "queries_cold": {...}, "duckdb": {...}, "bench_vs_duckdb": ratio}
 
 Execution is forced with a noop sink (full pipeline, no driver collect
 cost), mirroring the reference benchmark harness's timing shape
 (reference: benchmarks/src/bin/tpch.rs benchmark loop).
+
+Hygiene (round-1 verdict): each query runs twice and ``queries`` reports
+the second (steady-state) iteration so the 1-3 s session/codegen overhead
+stops masking regressions; ``queries_cold`` keeps the first run. The same
+queries' oracle SQL also runs on DuckDB (same parquet, same thread count)
+for a genuine same-scale local ratio — the reference's own published
+baseline lacks a single-node number at these SFs (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -44,23 +52,63 @@ def main() -> None:
     # warmup: JVM/codegen/parquet footer caches on the smallest query
     specs["tpch_q6"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        for it in range(2):
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            (cold if it == 0 else steady)[name] = dt
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Same queries on DuckDB over the same parquet, same parallelism.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads = {int(cpus)}")
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for name in names:
+            sql = specs[name].oracle
+            if not sql:
+                continue
+            con.execute(sql).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        duck = {}
+
+    total = round(sum(steady.values()), 3)
+    duck_total = round(sum(duck.values()), 3) if duck else None
     out = {
-        "metric": "headline_total",
-        "value": round(sum(times.values()), 3),
+        "metric": "headline_total_steady",
+        "value": total,
         "unit": "sec",
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": steady,
+        "sf": _sf_of(sf_dir),
+        "queries_cold": cold,
+        "duckdb": duck,
+        "bench_vs_duckdb": (
+            round(total / duck_total, 3) if duck_total else None
+        ),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
 if __name__ == "__main__":
