@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_vector,
         relational,
         sql_surface,
+        streaming_cov,
         tpch,
         udf_surface,
         windows,
@@ -59,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         h2o,
         udf_surface,
         sql_surface,
+        streaming_cov,
     ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"

@@ -1,0 +1,111 @@
+"""Structured Streaming inventory (beyond-reference; SURVEY §2.10).
+
+The reference has no streaming surface at all, so these entries are pure
+capability additions: the same event-time operators a continuously-fed
+training-data pipeline needs, run here as bounded ``availableNow`` streams
+(deterministic, DuckDB-checkable) — unchanged code would run against a live
+file/kafka drop at scale.
+
+Oracles are the batch-SQL equivalents; hash-equality proves the streaming
+execution path (file-stream source → stateful operator → sink) computes
+exactly the batch semantics on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.streaming import read_events_stream, run_available_now
+
+
+def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window + watermark over a file stream. The
+    watermark ('1 hour') bounds state for late data on a live stream; with
+    availableNow + complete mode every window is emitted, matching batch."""
+    ev = read_events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "n", "total"
+    ).orderBy("day", "event_type")
+
+
+STREAM_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Built-in gap-based session windows (session_window, 30 min gap) on a
+    stream — sessionization as a native stateful operator. State is keyed
+    (user, open-session) and merged as events arrive; the watermark expires
+    closed sessions on a live stream."""
+    ev = read_events_stream(spark, sf)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_available_now(sess, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Batch sessionization oracle: a session break is a gap > 30 minutes.
+STREAM_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+def stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on (user_id, event_type)
+    — the streaming face of the batch dedup_exact pipeline entry. At real
+    scale use dropDuplicatesWithinWatermark so state stays bounded."""
+    ev = read_events_stream(spark, sf)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    out = run_available_now(deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).orderBy("event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_pairs
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
+    "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),
+}

@@ -125,7 +125,20 @@ class BallistaSession:
         return self.spark.read.options(**options).json(path)
 
     def read_avro(self, path: str, **options) -> DataFrame:
-        return self.spark.read.format("avro").options(**options).load(path)
+        # spark-avro is an external module (not on this container's
+        # classpath); surface the remediation instead of Spark's generic
+        # lookup failure. Reference Avro scan: datafusion.proto:1155-1158.
+        try:
+            return self.spark.read.format("avro").options(**options).load(path)
+        except Exception as ex:
+            if "Failed to find data source: avro" in str(ex):
+                raise RuntimeError(
+                    "Avro support needs the spark-avro package on the "
+                    "classpath (spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark-version>); "
+                    "it is not bundled in this environment"
+                ) from ex
+            raise
 
     def read_arrow(self, path: str) -> DataFrame:
         from datafusion_ballista_spark.sources.arrow_ipc import read_arrow_ipc

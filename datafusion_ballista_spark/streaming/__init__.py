@@ -1,0 +1,86 @@
+"""Structured Streaming layer — beyond-reference capability.
+
+The reference is batch-only (SURVEY §2.10: no watermark/window-on-event-time
+operator anywhere; its stage-materializing shuffle architecture,
+docs/source/contributors-guide/architecture.md:102-200, can't stream). This
+layer adds the streaming shapes a continuously-ingesting training-data
+pipeline needs, expressed as Structured Streaming over the same event
+schema the batch inventory uses:
+
+- file-stream source (the parquet-drop ingestion pattern),
+- event-time windowed aggregation with a watermark for late data,
+- built-in session windows (``session_window``) for sessionization,
+- streaming exact dedup (``dropDuplicates`` keyed on event id).
+
+Every query runs with ``Trigger.availableNow`` into a memory sink: all
+existing files are processed as one bounded run, so results are
+deterministic and DuckDB-checkable — the same operators then run unchanged
+against a live stream at scale.
+
+Scale notes (100 TB / continuous): the watermark bounds state (windows
+older than watermark are dropped); session windows and dedup state live in
+the state store keyed by (user, window)/(event_id) — at real scale back
+them with RocksDB state store and key the dedup on a time-bounded
+``dropDuplicatesWithinWatermark``. Memory sink is test-only; production
+sinks are kafka/delta/parquet with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# File streams need an explicit schema; ts arrives as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong (see sources/registry.py).
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture as a file source (parquet-drop ingestion).
+
+    File streams watch a *directory* (new files = new data), so the fixture
+    file is staged (symlinked) into an ingestion dir — exactly how a live
+    pipeline would receive parquet drops.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ingest = os.path.join("/tmp/dbspark_stream", tag, "events")
+    os.makedirs(ingest, exist_ok=True)
+    link = os.path.join(ingest, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(ingest)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available input and
+    return the materialized result (memory sink, bounded run)."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    out = spark.table(name)
+    # Materialize before the run's teardown drops the sink table.
+    rows = out.collect()
+    if rows:
+        return spark.createDataFrame(rows, out.schema)
+    return spark.createDataFrame([], out.schema)
