@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.util import tables
-from datafusion_ballista_spark.multimodal import attach_binary, featurize, frame_sample
+from datafusion_ballista_spark.multimodal import (
+    attach_binary,
+    audio_stats,
+    featurize,
+    frame_sample,
+    resize,
+)
 
 
 def multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
@@ -51,9 +57,50 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Fake image resize (every 2nd byte) — emitted length/dims recomputable
+    from the text payload byte-arithmetically (ASCII fixture: byte == char)."""
+    d = tables(spark, sf, "documents").documents
+    return resize(attach_binary(d)).orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+  (octet_length(text::BLOB) + 1) // 2 AS out_bytes,
+  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS new_w,
+  CAST((ascii(substr(text, 3, 1)) % 64) + 1 AS INTEGER) AS new_h
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def multimodal_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-style amplitude stats over payload bytes (numpy per Arrow
+    batch); oracle unnests characters (ASCII: ascii(char) == byte value)."""
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 200)
+    return audio_stats(attach_binary(d)).orderBy("doc_id")
+
+
+MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id, COUNT(*) AS n_samples,
+  SUM(a) / COUNT(*) AS mean_amp,
+  SQRT(SUM(a * a) / COUNT(*)) AS rms_amp
+FROM (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS a
+  FROM documents WHERE doc_id < 200
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_featurize": QuerySpec(multimodal_featurize, MULTIMODAL_FEATURIZE_SQL),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL
+    ),
+    "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_audio_stats": QuerySpec(
+        multimodal_audio_stats, MULTIMODAL_AUDIO_SQL
     ),
 }

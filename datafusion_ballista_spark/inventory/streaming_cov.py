@@ -104,8 +104,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a per-user
+    accumulator (event count + running max value) kept in the state store
+    across micro-batches. On a live stream each batch updates state and
+    emits the new totals; under availableNow the final emission per key
+    equals the batch aggregate, which is the oracle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf)
+
+    def track(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    counted = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_available_now(counted, "update")
+    # one emission per key per batch; availableNow = one batch -> totals
+    return out.orderBy("user_id")
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
     "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),
+    "stream_stateful_counter": QuerySpec(
+        stream_stateful_counter, STREAM_STATEFUL_SQL
+    ),
 }

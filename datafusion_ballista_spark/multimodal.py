@@ -86,6 +86,58 @@ def featurize(df: DataFrame, data_col: str = "media") -> DataFrame:
     return df.select("doc_id", data_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_bytes bigint, new_w int, new_h int"
+
+AUDIO_SCHEMA = "doc_id bigint, n_samples bigint, mean_amp double, rms_amp double"
+
+
+def resize(df: DataFrame, data_col: str = "media") -> DataFrame:
+    """'Image' resize: the fake downsample keeps every 2nd byte (a real
+    implementation would decode -> resample -> re-encode here). The resized
+    payload is produced for downstream stages; the emitted columns are its
+    length and the header dims re-decoded from the new payload."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                small = bytes(data)[::2]
+                w, h = fake_decode_header(small)
+                rows.append((doc_id, len(small), w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_bytes", "new_w", "new_h"])
+
+    return df.select("doc_id", data_col).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def audio_stats(df: DataFrame, data_col: str = "media") -> DataFrame:
+    """'Audio' feature extraction: payload bytes as u8 samples -> count,
+    mean amplitude, RMS — vectorized numpy per Arrow batch (the DSP stand-in;
+    swap in librosa/torchaudio in production)."""
+    import math
+
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                x = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+                n = int(x.size)
+                if n == 0:
+                    rows.append((doc_id, 0, None, None))
+                    continue
+                # exact int sums -> one IEEE divide/sqrt: bit-identical to
+                # the oracle's SUM()/COUNT(), no rounding needed
+                mean = int(x.sum()) / n
+                rms = math.sqrt(int((x * x).sum()) / n)
+                rows.append((doc_id, n, mean, rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "mean_amp", "rms_amp"]
+            )
+
+    return df.select("doc_id", data_col).mapInPandas(_stats, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, data_col: str = "media") -> DataFrame:
     """'Video' frame sampling: chunk the payload into fixed-size frames,
     keep every k-th, emit one row per sampled frame."""
