@@ -38,6 +38,12 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright (PARQUET_TYPE_ILLEGAL) unless the legacy conf is
+        # on. Sessions built by get_session have it; set it here too so the
+        # tables load under ANY session (e.g. the driver's own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos -> TIMESTAMP (µs) by truncation, matching DuckDB.

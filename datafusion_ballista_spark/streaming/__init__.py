@@ -55,6 +55,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file is staged (symlinked) into an ingestion dir — exactly how a live
     pipeline would receive parquet drops.
     """
+    # ts is TIMESTAMP(NANOS); the LongType schema below needs the legacy
+    # nanos-as-long read path under any session (see sources/registry.py).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     ingest = os.path.join("/tmp/dbspark_stream", tag, "events")
     os.makedirs(ingest, exist_ok=True)
