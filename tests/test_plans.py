@@ -40,14 +40,11 @@ _NESTED_LOOP_OK = {
     "rel_not_in_nulls",
     "win_share_of_total",
     "win_global_topk",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "emb_neardup_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "emb_knn_classify",
-    "curation_pipeline",
+    # deliberate brute-force pair spaces (documented scale path is the
+    # LSH-bucketed variant, which planning confirms has NO nested loop):
+    "ann_bruteforce_topk",  # exact baseline by design
+    "emb_neardup_cosine",  # exact ground truth for the LSH variant
+    "emb_knn_classify",  # broadcast of a bounded (20-row) query set
 }
 
 _ALL = {
