@@ -95,7 +95,9 @@ class BallistaSession:
             return df._jdf.queryExecution().explainString(
                 jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-        df.write.format("noop").mode("overwrite").save()
+        # collect() drives THIS DataFrame's QueryExecution (a write would
+        # spawn a separate one, leaving this plan unfinalized/metric-less)
+        df.collect()
         return df._jdf.queryExecution().executedPlan().toString()
 
     def analyze_table(self, name: str) -> None:
@@ -105,6 +107,11 @@ class BallistaSession:
 
     # -- config (core/src/config.rs) ------------------------------------------
     def set(self, key: str, value: object) -> None:
+        if key == "ballista.job.name":
+            # BALLISTA_JOB_NAME (core/src/config.rs:32) labels the job in the
+            # scheduler UI; Spark's equivalent is the job description.
+            self.spark.sparkContext.setJobDescription(str(value))
+            return
         k, v = translate(key, value)
         self.spark.conf.set(k, str(v))
 

@@ -1,0 +1,69 @@
+"""AQE runtime re-planning parity.
+
+The reference scheduler promotes shuffle joins to broadcast at runtime when
+a completed stage's output is under the size threshold
+(ballista/scheduler/src/planner.rs:430-560) and coalesces shuffle
+partitions adaptively (scheduler AQE tests). Spark's AQE provides both —
+these tests pin that the engine's session defaults actually engage them,
+since the round-1 scale fixes rely on AQE instead of forced hints.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.session import BallistaSession
+from tests.conftest import SF_DIR
+
+
+def _final_plan(df) -> str:
+    # collect() drives this DataFrame's own QueryExecution so AQE finalizes
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_promotes_small_side_to_broadcast(spark):
+    """A shuffle join whose small side is only known small at RUNTIME must
+    end up a BroadcastHashJoin in the final adaptive plan — no hint. The
+    static threshold is disabled so compile-time planning picks a shuffle
+    join; only AQE's post-stage size measurement can promote it (the
+    reference scheduler's exact behavior, planner.rs:430-560)."""
+    static_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        cust = (
+            spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+            .where(F.col("c_acctbal") > 9000)
+        )
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        plan = _final_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static_prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """Tiny shuffles must coalesce below the static partition count
+    (AQECoalesce parity: reference range_repartition/aqe tests)."""
+    n_static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    agg = nation.groupBy("n_regionkey").count()
+    n_out = agg.rdd.getNumPartitions()  # materializes via AQE final plan
+    assert n_out < n_static, f"expected coalesce below {n_static}, got {n_out}"
+
+
+def test_job_name_maps_to_description(spark):
+    bs = BallistaSession(spark)
+    bs.set("ballista.job.name", "parity-check-job")
+    assert (
+        spark.sparkContext._jsc.sc().getLocalProperty("spark.job.description")
+        == "parity-check-job"
+    )
