@@ -26,6 +26,15 @@ from datafusion_ballista_spark.sql import rewrite_sql
 _SET_RE = re.compile(r"^\s*SET\s+(\S+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
 
 
+def _scala_keys(scala_map) -> list:
+    """Keys of a py4j-wrapped scala Map."""
+    it = scala_map.keysIterator()
+    out = []
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
 def get_session(
     master: str | None = None,
     app_name: str = "datafusion-ballista-spark",
@@ -98,7 +107,38 @@ class BallistaSession:
         # collect() drives THIS DataFrame's QueryExecution (a write would
         # spawn a separate one, leaving this plan unfinalized/metric-less)
         df.collect()
-        return df._jdf.queryExecution().executedPlan().toString()
+        exec_plan = df._jdf.queryExecution().executedPlan()
+        return exec_plan.toString() + "\n" + self._metrics_table(exec_plan)
+
+    @staticmethod
+    def _metrics_table(exec_plan) -> str:
+        """Per-operator runtime metrics, the DistributedExplainAnalyzeExec
+        output shape: one line per plan node with its recorded SQL metrics
+        (rows output, spill sizes, build/probe times, ...)."""
+        lines: list[str] = ["== Operator Metrics =="]
+
+        def walk(node, depth: int) -> None:
+            mets = dict(
+                (k, node.metrics().get(k).get().value())
+                for k in _scala_keys(node.metrics())
+            )
+            shown = ", ".join(
+                f"{k}={v}" for k, v in sorted(mets.items()) if v not in (0, -1)
+            )
+            lines.append(f"{'  ' * depth}{node.nodeName()}: {shown or '-'}")
+            # AQE wrappers (AdaptiveSparkPlan, query stages) hide the real
+            # subtree from children(); unwrap to their materialized plan.
+            for meth in ("executedPlan", "plan"):
+                try:
+                    walk(getattr(node, meth)(), depth + 1)
+                    return
+                except Exception:
+                    pass
+            for i in range(node.children().size()):
+                walk(node.children().apply(i), depth + 1)
+
+        walk(exec_plan, 0)
+        return "\n".join(lines)
 
     def analyze_table(self, name: str) -> None:
         """ANALYZE parity (datafusion.proto:224-228): compute table-level
