@@ -47,20 +47,27 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
+    # Registration order drives the driver's CORRECTNESS window (first 50
+    # entries). Rounds 1-2 proved tpch+relational+windows (50/50 green);
+    # round 3 rotates the driver-unverified modules to the front:
+    # functions_cov (16) + h2o (22) + udf_surface (6) + sql_surface (first 6)
+    # = the 50-entry window. Next rotation: pipelines, events, io,
+    # multimodal, streaming, tpcds. The local pytest oracle gate
+    # (tests/test_inventory.py) still covers ALL entries every round.
     for mod in (
-        tpch,
-        relational,
-        windows,
         functions_cov,
-        events,
-        pipeline_text,
-        pipeline_vector,
-        io_ops,
-        multimodal_cov,
         h2o,
         udf_surface,
         sql_surface,
+        pipeline_text,
+        pipeline_vector,
+        io_ops,
+        events,
+        multimodal_cov,
         streaming_cov,
+        tpch,
+        relational,
+        windows,
     ):
         for name, spec in mod.QUERIES.items():
             assert name not in out, f"duplicate query name: {name}"

@@ -111,14 +111,15 @@ _SQL: dict[str, str] = {
         "ROW_NUMBER() OVER (PARTITION BY id6 ORDER BY v3 DESC) AS order_v3 "
         "FROM x WHERE v3 IS NOT NULL) sub_query WHERE order_v3 <= 2"
     ),
-    # Deviation: degenerate groups (single row / zero variance) are CORR=NULL
-    # in DuckDB but a DIVIDE_BY_ZERO error under Spark ANSI mode (NaN with
-    # ANSI off); the VAR_SAMP guard pins both engines to NULL. The runner
-    # scopes spark.sql.ansi.enabled=false around this one query.
+    # Deviation: r2 is written as covar²/ (var·var) instead of POWER(CORR,2)
+    # because CORR's internal divide raises under Spark ANSI mode on
+    # zero-variance groups. NULLIF pins degenerate groups to NULL on both
+    # engines with no conf scoping — ANSI-safe by construction (x/NULL is
+    # NULL, never an error), algebraically identical to CORR².
     "h2o_g9_corr_r2": (
         "SELECT id2, id4, "
-        "CASE WHEN VAR_SAMP(v1) > 0 AND VAR_SAMP(v2) > 0 "
-        "THEN ROUND(POWER(CORR(v1, v2), 2), 6) END AS r2 "
+        "ROUND(POWER(COVAR_SAMP(v1, v2), 2) "
+        "/ NULLIF(VAR_SAMP(v1) * VAR_SAMP(v2), 0), 6) AS r2 "
         "FROM x GROUP BY id2, id4"
     ),
     "h2o_g10_sum_count_6keys": (
@@ -204,30 +205,14 @@ _SQL: dict[str, str] = {
 }
 
 
-_NON_ANSI = {"h2o_g9_corr_r2"}
-
-
-def _make(sql_text: str, ansi_off: bool = False):
+def _make(sql_text: str):
     def run(spark: SparkSession, sf: str) -> DataFrame:
         register_all(spark, sf)
-        if ansi_off:
-            # CORR's final division raises under ANSI for zero-variance
-            # groups; the CASE guard in the query maps the non-ANSI NaN to
-            # NULL, matching DuckDB. Scoped: flipped back after planning.
-            prev = spark.conf.get("spark.sql.ansi.enabled")  # effective value
-            spark.conf.set("spark.sql.ansi.enabled", "false")
-            try:
-                df = BallistaSession(spark).sql(sql_text)
-                df.collect()  # force execution under the scoped setting
-            finally:
-                spark.conf.set("spark.sql.ansi.enabled", prev)
-            return df
         return BallistaSession(spark).sql(sql_text)
 
     return run
 
 
 QUERIES: dict[str, QuerySpec] = {
-    name: QuerySpec(_make(_CTE + body, ansi_off=name in _NON_ANSI), _CTE + body)
-    for name, body in _SQL.items()
+    name: QuerySpec(_make(_CTE + body), _CTE + body) for name, body in _SQL.items()
 }

@@ -30,12 +30,18 @@ def multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
     return feats.orderBy("doc_id")
 
 
+# CASE guards mirror fake_decode_header's len checks: missing bytes are 0,
+# whereas ascii('') would otherwise yield 0 % 64 + 1 = 1 on short payloads.
 MULTIMODAL_FEATURIZE_SQL = """
 SELECT doc_id,
   octet_length(text::BLOB) AS n_bytes,
   sha256(text) AS sha256,
-  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS width,
-  CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS INTEGER) AS height
+  CASE WHEN octet_length(text::BLOB) >= 1
+       THEN CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER)
+       ELSE 0 END AS width,
+  CASE WHEN octet_length(text::BLOB) >= 2
+       THEN CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS INTEGER)
+       ELSE 0 END AS height
 FROM documents
 ORDER BY doc_id
 """
@@ -64,11 +70,18 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     return resize(attach_binary(d)).orderBy("doc_id")
 
 
+# Resized payload keeps every 2nd byte, so its header bytes map to source
+# bytes 1 and 3; the CASE guards mirror fake_decode_header on the RESIZED
+# length ((n+1)//2): new_w needs >=1 source byte, new_h needs >=3.
 MULTIMODAL_RESIZE_SQL = """
 SELECT doc_id,
   (octet_length(text::BLOB) + 1) // 2 AS out_bytes,
-  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS new_w,
-  CAST((ascii(substr(text, 3, 1)) % 64) + 1 AS INTEGER) AS new_h
+  CASE WHEN octet_length(text::BLOB) >= 1
+       THEN CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER)
+       ELSE 0 END AS new_w,
+  CASE WHEN octet_length(text::BLOB) >= 3
+       THEN CAST((ascii(substr(text, 3, 1)) % 64) + 1 AS INTEGER)
+       ELSE 0 END AS new_h
 FROM documents
 ORDER BY doc_id
 """

@@ -69,12 +69,15 @@ def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Batch sessionization oracle: a session break is a gap > 30 minutes.
+# Batch sessionization oracle: Spark's session_window range is
+# [start, last_event + gap) — END-EXCLUSIVE — so an event arriving exactly
+# `gap` after the previous one starts a NEW session. The oracle must break
+# on gap >= 30 min (not >) to match.
 STREAM_SESSION_SQL = """
 WITH gaps AS (
   SELECT user_id, ts,
     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-              > INTERVAL 30 MINUTE
+              >= INTERVAL 30 MINUTE
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
     THEN 1 ELSE 0 END AS is_start
   FROM events

@@ -128,12 +128,19 @@ class BallistaSession:
             lines.append(f"{'  ' * depth}{node.nodeName()}: {shown or '-'}")
             # AQE wrappers (AdaptiveSparkPlan, query stages) hide the real
             # subtree from children(); unwrap to their materialized plan.
+            # Probe the accessor ONLY (its absence is the expected failure),
+            # then recurse outside the except so a real error deep in the
+            # subtree propagates instead of triggering a duplicate re-walk.
+            child = None
             for meth in ("executedPlan", "plan"):
                 try:
-                    walk(getattr(node, meth)(), depth + 1)
-                    return
+                    child = getattr(node, meth)()
+                    break
                 except Exception:
-                    pass
+                    continue
+            if child is not None:
+                walk(child, depth + 1)
+                return
             for i in range(node.children().size()):
                 walk(node.children().apply(i), depth + 1)
 
@@ -178,7 +185,13 @@ class BallistaSession:
         try:
             return self.spark.read.format("avro").options(**options).load(path)
         except Exception as ex:
-            if "Failed to find data source: avro" in str(ex):
+            # Spark 4.x raises error class DATA_SOURCE_NOT_FOUND with message
+            # "Failed to find the data source: avro"; match the class when
+            # exposed, else a substring tolerant of both 3.x/4.x phrasings.
+            klass = getattr(ex, "getErrorClass", lambda: None)()
+            if klass == "DATA_SOURCE_NOT_FOUND" or re.search(
+                r"Failed to find (?:the )?data source: avro", str(ex)
+            ):
                 raise RuntimeError(
                     "Avro support needs the spark-avro package on the "
                     "classpath (spark.jars.packages="
