@@ -36,15 +36,21 @@ from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.util import tables
 
 
-def _tok_count(text: str | None) -> int | None:
-    # Single-space split, mirroring the oracle's string_split(text, ' ').
-    return None if text is None else len(text.split(" "))
-
-
 def udf_sql_register(spark: SparkSession, sf: str) -> DataFrame:
     """``spark.udf.register`` + SQL call — the reference's by-name scalar UDF
-    registration surface (datafusion.proto:555-562) on the Python side."""
-    spark.udf.register("tok_count", _tok_count, "int")
+    registration surface (datafusion.proto:555-562) on the Python side.
+    Registered as an Arrow-vectorized ``pandas_udf`` (not a per-row Python
+    function) so the surface demo is also the recommended pattern: the SQL
+    caller sees the same by-name function, the executor sees batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _tok_count(text: pd.Series) -> pd.Series:
+        # Single-space split, mirroring the oracle's string_split(text, ' ');
+        # nulls propagate (str accessor keeps NaN -> Int64 NA).
+        return text.str.split(" ").str.len().astype("Int64")
+
+    spark.udf.register("tok_count", _tok_count)
     tables(spark, sf, "documents").documents.createOrReplaceTempView("udf_docs")
     return spark.sql(
         "SELECT lang, SUM(tok_count(text)) AS toks, COUNT(*) AS docs "

@@ -16,10 +16,10 @@ float noise.
 Scale notes (100 TB): all partitioned windows shuffle once on the partition
 key and sort within partitions — the same plan shape at any SF; skewed
 partition keys are the risk, mitigated by AQE skew handling. The
-no-PARTITION-BY query is inherently single-partition in every engine
-(the reference parallelizes it with range repartition + halo,
-partitioned_bounded_window_agg.rs; Spark's semantics are identical) — kept
-deliberately top-k-small here.
+no-PARTITION-BY query (win_global_topk) reduces to a k-row
+TakeOrderedAndProject BEFORE windowing, so its single partition is bounded
+by k, not table size (the reference attacks the same problem with range
+repartition + halo, partitioned_bounded_window_agg.rs).
 """
 
 from __future__ import annotations
@@ -274,21 +274,31 @@ ORDER BY event_type, event_id
 
 
 def win_global_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """No-PARTITION-BY window (single-partition case, see module docstring)."""
+    """Global top-100 + running total, scale-safely: ``orderBy().limit(100)``
+    compiles to TakeOrderedAndProject (per-partition top-100 heaps merged at
+    k rows — never a full global sort), and only then does the
+    no-PARTITION-BY window run, over exactly 100 rows. Ranking the full
+    table first would single-partition-sort all of it — the problem the
+    reference built PartitionedBoundedWindowAggExec +
+    OrderedRangeRepartitionExec to avoid
+    (ballista/core/src/execution_plans/partitioned_bounded_window_agg.rs:17-60).
+    The rewrite is exact: ranks and prefix sums of the top-100 rows only
+    involve rows within the top 100."""
     e = _events(spark, sf)
-    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        e.select(
-            "event_id",
-            "value",
-            F.row_number().over(w).alias("rn"),
-            F.sum(D("value")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).cast("double").alias("run_total"),
-        )
-        .where(F.col("rn") <= 100)
-        .orderBy("rn")
+    top = (
+        e.select("event_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
     )
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    return top.select(
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.sum(D("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("double").alias("run_total"),
+    ).orderBy("rn")
 
 
 WIN_GLOBAL_SQL = """

@@ -22,7 +22,7 @@ from tests.conftest import SF_DIR
 # Queries whose *construction* executes work (writes, streams, collects):
 # planning them here would re-run side effects, not just build a plan.
 _EAGER_MODULES = {"io_ops", "streaming_cov"}
-_EAGER_QUERIES = {"h2o_g9_corr_r2", "ctas_insert_sql"}
+_EAGER_QUERIES = {"ctas_insert_sql"}
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
 # 1-row scalar aggregates (tpch q11/q14/q17/q22, NOT IN stats row, global
@@ -39,7 +39,6 @@ _NESTED_LOOP_OK = {
     "rel_not_in",
     "rel_not_in_nulls",
     "win_share_of_total",
-    "win_global_topk",
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
@@ -73,6 +72,17 @@ def test_no_unbounded_cartesian(name, spark):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"[{name}] nested-loop join in plan"
     )
+
+
+def test_global_topk_is_take_ordered(spark):
+    """win_global_topk must reduce to a k-row TakeOrderedAndProject before
+    its no-PARTITION-BY window — never a full-table single-partition sort
+    (the reference's PartitionedBoundedWindowAggExec rationale)."""
+    plan = _plan(spark, "win_global_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window's sort must sit ABOVE the take-ordered k-row reduction,
+    # i.e. the full-table scan feeds TakeOrderedAndProject, not a Sort
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
 
 
 @pytest.mark.parametrize(
