@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         sql_surface,
         streaming_cov,
+        tpcds,
         tpch,
         udf_surface,
         windows,
@@ -65,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         multimodal_cov,
         streaming_cov,
+        tpcds,
         tpch,
         relational,
         windows,

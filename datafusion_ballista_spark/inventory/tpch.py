@@ -7,7 +7,8 @@ The driver's fixture schema drops some columns (no ps_supplycost,
 l_shipmode, l_commitdate/receiptdate, o_comment), so each query here keeps
 the *operator shape* of its TPC-H counterpart — same joins, same aggregate
 structure, same subquery pattern — with predicates recalibrated to the
-synthetic data (TESTDATA.md). q21 is omitted (needs commit/receipt dates).
+synthetic data (TESTDATA.md). All 22 queries are covered; q21's
+receipt-vs-commit lateness maps to ship-vs-order-date lateness.
 
 Scale notes applied throughout:
 - ``F.broadcast()`` hints appear ONLY on sides whose size is bounded in SF:
@@ -721,6 +722,82 @@ ORDER BY s_name
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """q21 shape: double correlated EXISTS / NOT EXISTS against the same
+    fact at different predicates + anti join (reference:
+    benchmarks/queries/q21.sql). The fixture lacks commit/receipt dates, so
+    'late' is l_shipdate > o_orderdate + 90 days — the operator shape
+    (semi join on other-supplier rows, anti join on other-late-supplier
+    rows, both with a non-equi suppkey<>suppkey residual) is unchanged.
+
+    Scale: the three lineitem consumers (l1/l2/l3) each shuffle on
+    l_orderkey — the same key — so AQE reuses the exchange; nation is a
+    bounded broadcast; final top-k is TakeOrderedAndProject."""
+    t = tables(spark, sf, "supplier", "lineitem", "orders", "nation")
+    li = (
+        t.lineitem.join(
+            t.orders.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = li.where(F.col("late"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        cand.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.nation.where(F.col("n_name").like("NATION_1%"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, li l1, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND l1.late
+  AND EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late)
+  AND s_nationkey = n_nationkey
+  AND n_name LIKE 'NATION_1%'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
     """q22 shape: scalar avg subquery + NOT EXISTS anti join."""
     t = tables(spark, sf, "customer", "orders")
@@ -774,5 +851,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q18_large_volume": QuerySpec(q18, Q18_SQL),
     "tpch_q19_disjunctive": QuerySpec(q19_disjunctive, Q19_SQL),
     "tpch_q20_semi_chain": QuerySpec(q20_semi_chain, Q20_SQL),
+    "tpch_q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "tpch_q22_global_sales": QuerySpec(q22_global_sales, Q22_SQL),
 }

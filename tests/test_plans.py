@@ -39,6 +39,7 @@ _NESTED_LOOP_OK = {
     "rel_not_in",
     "rel_not_in_nulls",
     "win_share_of_total",
+    "tpcds_q88_shape",  # ds q88 shape: eight 1-row scalar counts cross-joined
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
