@@ -117,6 +117,24 @@ def ctas_insert_sql(spark: SparkSession, sf: str) -> DataFrame:
     return _agg(spark.table("io_orders_tbl"))
 
 
+def copy_to_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """COPY (query) TO 'path' STORED AS PARQUET through the SQL path
+    (datafusion.proto:269-278 CopyTo; context_checks.rs:657), then read the
+    written directory back and aggregate — a lossless sink is a hash match
+    against the original table's aggregate."""
+    from datafusion_ballista_spark.session import BallistaSession
+
+    path = _out(sf, "orders_copy")
+    tables(spark, sf, "orders").orders.createOrReplaceTempView("io_copy_src")
+    n = BallistaSession(spark).sql(
+        "COPY (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        "FROM io_copy_src WHERE o_orderpriority = '1-URGENT') "
+        f"TO '{path}' STORED AS PARQUET"
+    )
+    assert n.collect()[0]["count"] > 0
+    return _agg(spark.read.parquet(path))
+
+
 def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
     """CSV scan of the full customer table (reference fixture customer.csv)."""
     path = _out(sf, "customer_csv")
@@ -284,6 +302,7 @@ QUERIES: dict[str, QuerySpec] = {
     "write_csv_roundtrip": QuerySpec(write_csv_roundtrip, _ORDERS_AGG_SQL),
     "write_json_roundtrip": QuerySpec(write_json_roundtrip, _ORDERS_AGG_SQL),
     "ctas_insert_sql": QuerySpec(ctas_insert_sql, _ORDERS_AGG_SQL),
+    "copy_to_roundtrip": QuerySpec(copy_to_roundtrip, _ORDERS_AGG_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_ndjson": QuerySpec(scan_ndjson, SCAN_NDJSON_SQL),
     "scan_arrow_ipc": QuerySpec(scan_arrow_ipc, SCAN_ARROW_SQL),

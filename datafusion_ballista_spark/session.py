@@ -21,9 +21,16 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_ballista_spark.config import SPARK_DEFAULTS, translate
-from datafusion_ballista_spark.sql import rewrite_sql
+from datafusion_ballista_spark.sql import parse_copy, rewrite_sql
 
 _SET_RE = re.compile(r"^\s*SET\s+(\S+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
+
+# information_schema.{tables,columns,...} -> backing temp views
+# (ballista/core/src/planner.rs:167-199 enables the same surface locally).
+_INFO_SCHEMA_RE = re.compile(
+    r"\binformation_schema\.(tables|columns|schemata|df_settings)\b",
+    re.IGNORECASE,
+)
 
 
 def _scala_keys(scala_map) -> list:
@@ -89,7 +96,96 @@ class BallistaSession:
             k, v = translate(m.group(1), m.group(2).strip("'\""))
             self.spark.conf.set(k, str(v))
             return self.spark.sql("SELECT 1 AS ok").limit(0)
+        cp = parse_copy(query)
+        if cp is not None:
+            return self._copy_to(cp)
+        if _INFO_SCHEMA_RE.search(query):
+            self._refresh_information_schema()
+            query = _INFO_SCHEMA_RE.sub(
+                lambda m: f"information_schema_{m.group(1).lower()}", query
+            )
         return self.spark.sql(rewrite_sql(query))
+
+    def _refresh_information_schema(self) -> None:
+        """Materialize information_schema.{schemata,tables,columns,
+        df_settings} as temp views from the live catalog — the reference
+        enables DataFusion's information_schema for local runs
+        (ballista/core/src/planner.rs:167-199) and exposes SET values as
+        df_settings. Spark can't host views inside a literal
+        ``information_schema`` database, so ``sql()`` rewrites the dotted
+        names to these views transparently.
+
+        Scale: catalog enumeration is driver-side metadata only (no jobs);
+        views are rebuilt per query so results track the live catalog."""
+        spark = self.spark
+        cat = spark.catalog
+        catalog_name = cat.currentCatalog()
+        schemata = [(catalog_name, db.name) for db in cat.listDatabases()]
+        spark.createDataFrame(
+            schemata, "catalog_name string, schema_name string"
+        ).createOrReplaceTempView("information_schema_schemata")
+
+        tbls, cols = [], []
+        for t in cat.listTables():
+            schema = t.namespace[0] if t.namespace else "session"
+            ttype = (
+                "TEMPORARY VIEW"
+                if t.isTemporary
+                else ("VIEW" if t.tableType == "VIEW" else "BASE TABLE")
+            )
+            tbls.append((catalog_name, schema, t.name, ttype))
+            for i, c in enumerate(cat.listColumns(t.name), start=1):
+                cols.append(
+                    (
+                        catalog_name,
+                        schema,
+                        t.name,
+                        c.name,
+                        i,
+                        c.dataType,
+                        "YES" if c.nullable else "NO",
+                    )
+                )
+        spark.createDataFrame(
+            tbls,
+            "table_catalog string, table_schema string, table_name string, "
+            "table_type string",
+        ).createOrReplaceTempView("information_schema_tables")
+        spark.createDataFrame(
+            cols,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string, "
+            "is_nullable string",
+        ).createOrReplaceTempView("information_schema_columns")
+        # df_settings: explicitly-set session confs (DataFusion's SET dump).
+        spark.sql("SET").selectExpr(
+            "key AS name", "value"
+        ).createOrReplaceTempView("information_schema_df_settings")
+
+    def _copy_to(self, cp) -> DataFrame:
+        """Execute a parsed COPY statement (datafusion.proto:269-278 CopyTo;
+        client test context_checks.rs:657 write-read roundtrip): distributed
+        ``df.write`` of the source query, then a 1-row count result —
+        DataFusion's COPY output shape.
+
+        Scale: the write is the plain distributed writer (one file per
+        partition); the count-back is parquet-footer metadata for parquet
+        (no data scan) and validates the written output exists."""
+        df = self.spark.sql(rewrite_sql(cp.source_sql))
+        writer = df.write.mode("overwrite").format(cp.fmt)
+        if cp.fmt == "csv":
+            # DataFusion's CSV writer emits a header row by default.
+            writer = writer.option("header", True)
+        if cp.options:
+            writer = writer.options(**cp.options)
+        if cp.partition_by:
+            writer = writer.partitionBy(*cp.partition_by)
+        writer.save(cp.path)
+        back = self.spark.read.format(cp.fmt)
+        if cp.fmt == "csv":
+            back = back.option("header", True)
+        n = back.load(cp.path).count()
+        return self.spark.createDataFrame([(n,)], "count bigint")
 
     # -- EXPLAIN parity (context_checks.rs:1072,1129,1213) --------------------
     def explain(self, query: str, analyze: bool = False) -> str:
@@ -147,10 +243,21 @@ class BallistaSession:
         walk(exec_plan, 0)
         return "\n".join(lines)
 
-    def analyze_table(self, name: str) -> None:
-        """ANALYZE parity (datafusion.proto:224-228): compute table-level
-        statistics the optimizer's size estimates read."""
-        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    def analyze_table(
+        self, name: str, columns: bool | list[str] | None = None
+    ) -> None:
+        """ANALYZE parity (datafusion.proto:224-228): compute the statistics
+        the optimizer's size/selectivity estimates read. ``columns=True``
+        adds per-column min/max/null-count/NDV (the reference's ColumnStats,
+        datafusion_common.proto:655-681, which drive its stats-based join
+        selection, scheduler/src/physical_optimizer/join_selection.rs:17-56);
+        a list analyzes only those columns."""
+        stmt = f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+        if columns is True:
+            stmt += " FOR ALL COLUMNS"
+        elif columns:
+            stmt += " FOR COLUMNS " + ", ".join(columns)
+        self.spark.sql(stmt)
 
     # -- config (core/src/config.rs) ------------------------------------------
     def set(self, key: str, value: object) -> None:

@@ -51,6 +51,74 @@ class UnsupportedSQLFeature(Exception):
     """Raised for reference features with no Spark equivalent (SURVEY §7.2)."""
 
 
+# -- COPY TO (datafusion.proto:269-278 CopyTo sink; DataFusion SQL:
+#    COPY {table | (query)} TO 'path' [STORED AS fmt] [PARTITIONED BY (..)]
+#    [OPTIONS (..)], plus the legacy parenthesized (FORMAT fmt)) ------------
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|[\w.]+)\s+"
+    r"TO\s+'(?P<path>[^']+)'\s*(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_STORED_RE = re.compile(r"STORED\s+AS\s+(\w+)", re.IGNORECASE)
+_COPY_FORMAT_RE = re.compile(r"\(\s*FORMAT\s+(\w+)\s*\)", re.IGNORECASE)
+_COPY_PART_RE = re.compile(rf"PARTITIONED\s+BY\s+({_BALANCED})", re.IGNORECASE)
+_COPY_OPTS_RE = re.compile(rf"OPTIONS\s*({_BALANCED})", re.IGNORECASE)
+
+_COPY_FORMATS = {"parquet": "parquet", "csv": "csv", "json": "json",
+                 "ndjson": "json"}
+
+
+class CopyTo:
+    """Parsed COPY statement: run ``source_sql``, write ``fmt`` at ``path``."""
+
+    def __init__(self, source_sql: str, path: str, fmt: str,
+                 partition_by: list[str], options: dict[str, str]):
+        self.source_sql = source_sql
+        self.path = path
+        self.fmt = fmt
+        self.partition_by = partition_by
+        self.options = options
+
+
+def parse_copy(query: str) -> CopyTo | None:
+    """Parse a DataFusion COPY statement; None if the query is not a COPY."""
+    m = _COPY_RE.match(query)
+    if m is None:
+        return None
+    src = m.group("src").strip()
+    source_sql = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+    rest = m.group("rest") or ""
+    fmt_m = _COPY_STORED_RE.search(rest) or _COPY_FORMAT_RE.search(rest)
+    if fmt_m:
+        fmt = fmt_m.group(1).lower()
+    else:
+        # DataFusion infers the format from the target extension.
+        fmt = m.group("path").rsplit(".", 1)[-1].lower()
+    if fmt not in _COPY_FORMATS:
+        raise UnsupportedSQLFeature(
+            f"COPY TO format {fmt!r} is not supported (use parquet/csv/json, "
+            "via STORED AS or a recognizable file extension)"
+        )
+    part_m = _COPY_PART_RE.search(rest)
+    partition_by = (
+        [c.strip().strip("'\"`") for c in part_m.group(1)[1:-1].split(",")]
+        if part_m
+        else []
+    )
+    options: dict[str, str] = {}
+    opts_m = _COPY_OPTS_RE.search(rest)
+    if opts_m:
+        for pair in opts_m.group(1)[1:-1].split(","):
+            pair = pair.strip()
+            if not pair:
+                continue
+            kv = [p.strip().strip("'\"") for p in pair.replace("=", " ").split(None, 1)]
+            if len(kv) == 2:
+                options[kv[0]] = kv[1]
+    return CopyTo(source_sql, m.group("path"), _COPY_FORMATS[fmt],
+                  partition_by, options)
+
+
 def similar_to_regex(pattern: str) -> str:
     """Translate a SQL ``SIMILAR TO`` pattern to an anchored Java regex.
 

@@ -114,3 +114,69 @@ class TestSetPath:
 
         s = BallistaSession(spark)
         assert s.sql("SET spark.sql.shuffle.partitions = 8").count() == 0
+
+
+class TestCopyTo:
+    def test_parse_query_source(self):
+        from datafusion_ballista_spark.sql import parse_copy
+
+        cp = parse_copy(
+            "COPY (SELECT a, b FROM t WHERE a > 1) TO '/tmp/out' "
+            "STORED AS PARQUET"
+        )
+        assert cp.source_sql == "SELECT a, b FROM t WHERE a > 1"
+        assert cp.path == "/tmp/out"
+        assert cp.fmt == "parquet"
+        assert cp.partition_by == [] and cp.options == {}
+
+    def test_parse_table_source_and_legacy_format(self):
+        from datafusion_ballista_spark.sql import parse_copy
+
+        cp = parse_copy("COPY mytable TO '/tmp/out.csv' (FORMAT csv)")
+        assert cp.source_sql == "SELECT * FROM mytable"
+        assert cp.fmt == "csv"
+
+    def test_parse_extension_inference_and_partition(self):
+        from datafusion_ballista_spark.sql import parse_copy
+
+        cp = parse_copy(
+            "COPY t TO '/tmp/out.json' PARTITIONED BY (y, m) "
+            "OPTIONS ('compression' 'gzip')"
+        )
+        assert cp.fmt == "json"
+        assert cp.partition_by == ["y", "m"]
+        assert cp.options == {"compression": "gzip"}
+
+    def test_parse_non_copy_returns_none(self):
+        from datafusion_ballista_spark.sql import parse_copy
+
+        assert parse_copy("SELECT 1") is None
+
+    def test_unknown_format_rejected(self):
+        from datafusion_ballista_spark.sql import UnsupportedSQLFeature, parse_copy
+
+        with pytest.raises(UnsupportedSQLFeature):
+            parse_copy("COPY t TO '/tmp/out.xlsx'")
+
+    def test_copy_executes_on_spark(self, spark, tmp_path):
+        from datafusion_ballista_spark.session import BallistaSession
+
+        bs = BallistaSession(spark)
+        spark.range(10).selectExpr(
+            "id", "id % 3 AS g"
+        ).createOrReplaceTempView("copy_src")
+        out = str(tmp_path / "copy_out")
+        res = bs.sql(
+            f"COPY (SELECT * FROM copy_src WHERE id < 7) TO '{out}' "
+            "STORED AS PARQUET"
+        ).collect()
+        assert res[0]["count"] == 7
+        assert spark.read.parquet(out).count() == 7
+
+    def test_copy_csv_roundtrip(self, spark, tmp_path):
+        from datafusion_ballista_spark.session import BallistaSession
+
+        bs = BallistaSession(spark)
+        out = str(tmp_path / "copy_csv")
+        res = bs.sql(f"COPY (SELECT 1 AS a, 'x' AS b) TO '{out}' (FORMAT csv)")
+        assert res.collect()[0]["count"] == 1

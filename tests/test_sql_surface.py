@@ -88,3 +88,90 @@ def test_parameterized_binding(bs):
         "SELECT COUNT(*) AS n FROM param_nation WHERE n_regionkey = 2"
     ).collect()[0].n
     assert n_param == n_lit > 0
+
+
+def test_information_schema_tables_and_columns(bs):
+    bs.register_parquet("info_nation", os.path.join(SF_DIR, "nation.parquet"))
+    rows = bs.sql(
+        "SELECT table_name, table_type FROM information_schema.tables"
+    ).collect()
+    assert any(r.table_name == "info_nation" for r in rows)
+    cols = bs.sql(
+        "SELECT column_name, ordinal_position, data_type "
+        "FROM information_schema.columns WHERE table_name = 'info_nation' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    assert cols[0].data_type == "int"
+
+
+def test_information_schema_schemata_and_settings(bs):
+    schemas = bs.sql(
+        "SELECT schema_name FROM information_schema.schemata"
+    ).collect()
+    assert any(r.schema_name == "default" for r in schemas)
+    bs.sql("SET ballista.shuffle.partitions = 8")
+    settings = bs.sql(
+        "SELECT name, value FROM information_schema.df_settings "
+        "WHERE name = 'spark.sql.shuffle.partitions'"
+    ).collect()
+    assert settings and settings[0].value == "8"
+
+
+def test_create_schema_ddl(bs):
+    # CREATE SCHEMA / DATABASE pass through natively (CreateCatalogSchema,
+    # datafusion.proto:190-201); verify via the catalog and info-schema.
+    bs.sql("CREATE SCHEMA IF NOT EXISTS bs_test_schema")
+    try:
+        names = [d.name for d in bs.spark.catalog.listDatabases()]
+        assert "bs_test_schema" in names
+        rows = bs.sql(
+            "SELECT schema_name FROM information_schema.schemata"
+        ).collect()
+        assert any(r.schema_name == "bs_test_schema" for r in rows)
+    finally:
+        bs.spark.sql("DROP SCHEMA IF EXISTS bs_test_schema")
+
+
+def test_analyze_table_column_stats(bs, tmp_path):
+    # FOR ALL COLUMNS records per-column min/max/null-count (the reference's
+    # ColumnStats, datafusion_common.proto:655-681).
+    bs.spark.sql("DROP TABLE IF EXISTS analyze_cols")
+    bs.spark.range(100).selectExpr("id", "id % 7 AS g").write.saveAsTable(
+        "analyze_cols"
+    )
+    try:
+        bs.analyze_table("analyze_cols", columns=True)
+        desc = bs.spark.sql("DESCRIBE EXTENDED analyze_cols id").collect()
+        info = {r.info_name: r.info_value for r in desc}
+        assert info.get("min") == "0"
+        assert info.get("max") == "99"
+        assert info.get("num_nulls") == "0"
+    finally:
+        bs.spark.sql("DROP TABLE IF EXISTS analyze_cols")
+
+
+def test_stats_drive_broadcast_promotion(bs):
+    # A small table with recorded stats is broadcast WITHOUT a hint: the
+    # size estimate (from stats) sits under autoBroadcastJoinThreshold —
+    # the same size-driven promotion as the reference's join_selection.
+    bs.spark.sql("DROP TABLE IF EXISTS bc_dim")
+    bs.spark.range(50).selectExpr(
+        "id AS k", "concat('v', id) AS v"
+    ).write.saveAsTable("bc_dim")
+    try:
+        bs.analyze_table("bc_dim", columns=True)
+        big = bs.spark.range(100000).selectExpr("id % 50 AS k", "id AS x")
+        plan = (
+            big.join(bs.spark.table("bc_dim"), "k")
+            ._jdf.queryExecution()
+            .explainString(
+                bs.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        bs.spark.sql("DROP TABLE IF EXISTS bc_dim")
