@@ -45,6 +45,10 @@ def main() -> None:
         "tpch_q9_profit",
         "tpch_q13_custdist",
         "tpch_q18_large_volume",
+        # LLM-pipeline path, perf-tracked round-over-round (round-2 verdict):
+        "dedup_minhash_lsh",
+        "ann_lsh_bucketed",
+        "h2o_g2_sum_by_id1_id2",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
