@@ -316,6 +316,100 @@ ORDER BY da, db
 
 
 # ---------------------------------------------------------------------------
+# 3b. dedup cluster assembly (connected components over the near-dup graph)
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over the exact
+    Jaccard >= 0.5 near-dup edge set, so each group of transitively-linked
+    near-dups collapses to one canonical doc (min doc_id) — the step a real
+    curation pipeline runs AFTER pair generation (pairs alone over-drop:
+    A~B, B~C must keep exactly one of {A,B,C}).
+
+    Spark-first iterative algorithm (no GraphX, no Python): min-label
+    propagation to a fixpoint. Each round is one join + one min-aggregate
+    over the (bounded, already-thresholded) edge list; labels are
+    localCheckpoint'd per round to truncate lineage. Rounds needed =
+    component diameter (near-dup clusters are tiny); the loop stops when a
+    round changes nothing. The DuckDB oracle computes the same fixpoint
+    declaratively with WITH RECURSIVE reachability + MIN.
+
+    Scale: state is one (doc_id, label) row per *graph* doc (docs with any
+    near-dup edge — far smaller than the corpus); each round shuffles on
+    doc_id only. Driver involvement is one scalar count per round."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf).select("da", "db").cache()
+    )
+    edges = (
+        pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .unionAll(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lab", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # bound >> any real near-dup component diameter
+        prop = (
+            edges.join(labels, F.col("src") == F.col("doc"))
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        nxt = (
+            labels.join(prop, "doc", "left")
+            .select("doc", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("lab", "old"), "doc")
+            .where(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lab").alias("cluster_root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc").alias("max_doc"),
+        )
+        .orderBy("cluster_root")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH {_SHINGLE_CTE_SQL},
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT da, db FROM pairs
+  JOIN sizes sa ON da = sa.doc_id
+  JOIN sizes sb ON db = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
+sym AS (
+  SELECT da AS src, db AS dst FROM edges
+  UNION ALL
+  SELECT db AS src, da AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS doc FROM sym),
+reach AS (
+  WITH RECURSIVE r(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN sym e ON e.src = r.doc)
+  SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc)
+SELECT lab AS cluster_root, COUNT(*) AS n_members, MAX(doc) AS max_doc
+FROM reach
+GROUP BY lab
+ORDER BY cluster_root
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash near-dup
 
 
@@ -640,6 +734,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle_sql()),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle_sql()),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "lang_id": QuerySpec(lang_id, _lang_oracle_sql()),

@@ -189,6 +189,106 @@ ORDER BY qid, rk
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN (the second scale path, complementing sign-LSH):
+    a bounded set of coarse centroids partitions the corpus; each vector is
+    assigned to its nearest centroid (one broadcast of L centroids + a
+    map-side max — no shuffle for assignment); queries probe only their own
+    cell (nprobe=1) and re-rank exactly inside it.
+
+    Centroids here are the per-label mean vectors — deterministic and
+    SQL-replayable so the DuckDB oracle can verify the full pipeline; in
+    production they come from k-means over a sample, which changes the
+    constants, not the plan. Assignment ties break toward the lowest
+    centroid label via a single max(struct(sim, -label)) aggregate
+    (map-side combinable), not a window.
+
+    Scale: centroid count L is bounded (independent of corpus size), so the
+    crossJoin is N x L with a broadcast side of L rows; the cell join is
+    groupBy-bucket shaped exactly like ann_lsh_bucketed."""
+    e = _emb(spark, sf)
+    pos = e.select(
+        "label", "vec_id", F.posexplode(F.col("v")).alias("pos", "x")
+    ).withColumn("xd", F.col("x").cast("decimal(20,12)"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.round((F.sum("xd") / F.count(F.lit(1))).cast("double"), 9).alias("c"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "clabel",
+        F.round(_cos(F.col("v"), F.col("cv")), 9).alias("csim"),
+    )
+    asg = (
+        sims.groupBy("vec_id", "v")
+        .agg(F.max(F.struct(F.col("csim"), (-F.col("clabel")).alias("nl"))).alias("b"))
+        .select("vec_id", "v", (-F.col("b.nl")).alias("cell"))
+    )
+    q = asg.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    c = asg.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "cell")
+    pair = (
+        q.join(c, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        pair.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("qid", "nid", F.round("sim", 6).alias("cosine"), "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH {_EMB_CTE},
+pos AS (
+  SELECT label, vec_id,
+    unnest(range(1, len(v)+1)) - 1 AS pos,
+    unnest(v) AS x
+  FROM emb),
+cent_pos AS (
+  SELECT label, pos,
+    round((SUM(x::DECIMAL(20,12)) / COUNT(*))::DOUBLE, 9) AS c
+  FROM pos GROUP BY 1, 2),
+cent AS (
+  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+  FROM cent_pos GROUP BY 1),
+sims AS (
+  SELECT vec_id, v, clabel,
+    round({_cos_sql('v', 'cv')}, 9) AS csim
+  FROM emb, cent),
+asg AS (
+  SELECT vec_id, v, clabel AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, clabel) AS ar
+    FROM sims) WHERE ar = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 20),
+pair AS (
+  SELECT qid, c.vec_id AS nid,
+    round({_cos_sql('qv', 'c.v')}, 9) AS sim
+  FROM q JOIN asg c USING (cell)
+  WHERE c.vec_id <> qid),
+ranked AS (
+  SELECT qid, nid, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM pair)
+SELECT qid, nid, round(sim, 6) AS cosine, rk
+FROM ranked WHERE rk <= 3
+ORDER BY qid, rk
+"""
+
+
 def emb_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     """k-NN label vote (k=10): classify held-out vectors (vec_id < 20)
     against the rest; deterministic vote tiebreak (count desc, label asc)."""
@@ -343,6 +443,7 @@ ORDER BY label
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "emb_knn_classify": QuerySpec(emb_knn_classify, EMB_KNN_SQL),
     "emb_neardup_cosine": QuerySpec(emb_neardup_cosine, EMB_NEARDUP_SQL),
     "emb_label_centroids": QuerySpec(emb_label_centroids, EMB_CENTROID_SQL),

@@ -22,7 +22,10 @@ from tests.conftest import SF_DIR
 # Queries whose *construction* executes work (writes, streams, collects):
 # planning them here would re-run side effects, not just build a plan.
 _EAGER_MODULES = {"io_ops", "streaming_cov"}
-_EAGER_QUERIES = {"ctas_insert_sql"}
+_EAGER_QUERIES = {
+    "ctas_insert_sql",
+    "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
+}
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
 # 1-row scalar aggregates (tpch q11/q14/q17/q22, NOT IN stats row, global
@@ -45,6 +48,7 @@ _NESTED_LOOP_OK = {
     "ann_bruteforce_topk",  # exact baseline by design
     "emb_neardup_cosine",  # exact ground truth for the LSH variant
     "emb_knn_classify",  # broadcast of a bounded (20-row) query set
+    "ann_ivf_topk",  # N x L centroid assignment: L bounded, centroids broadcast
 }
 
 _ALL = {
