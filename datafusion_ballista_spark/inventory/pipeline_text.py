@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
@@ -496,6 +496,69 @@ ORDER BY da, db
 
 
 # ---------------------------------------------------------------------------
+# 4b. TF-IDF top terms
+
+
+def tfidf_topk_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword/feature-extraction
+    primitive of a curation pipeline. tf is one groupBy(doc, token); df is
+    one groupBy(token) over the (doc, token) pairs (already distinct); N is
+    a 1-row scalar broadcast. Ranking uses round-9 scores with a token
+    tiebreaker so cross-engine libm ulps cannot reorder.
+
+    Scale: two chained hash aggregates + a per-doc window — every stage
+    keys on doc or token; no global sort, no Python."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 9).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", F.round("tfidf", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> ''
+  GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT doc_id, tok, tf, round(tf * ln(n * 1.0 / df), 9) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, tf, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+  FROM scored)
+SELECT doc_id, tok, tf, round(tfidf, 6) AS tfidf, rk
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. text statistics / token counting
 
 
@@ -737,6 +800,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, _simhash_oracle_sql()),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    "tfidf_topk_terms": QuerySpec(tfidf_topk_terms, TFIDF_SQL),
     "lang_id": QuerySpec(lang_id, _lang_oracle_sql()),
     "quality_score": QuerySpec(quality_score, QUALITY_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),

@@ -374,6 +374,40 @@ ORDER BY da, db
 """
 
 
+def emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine near-dup pairs THROUGH the LSH buckets — the scale path whose
+    ground truth is emb_neardup_cosine. Pair space is Σ per-bucket pairs
+    (never N²); recall for θ >= 0.4 comes from the sign-LSH collision rate
+    (for cos=0.4, P[same 8-bit signature] ≈ (1 - 0.436)^8 — so this
+    deliberately reports the *bucket-local* subset, which is the documented
+    trade; raise recall with multiple tables/probes, same plan shape)."""
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
+    a = e.select("bucket", F.col("vec_id").alias("da"), F.col("v").alias("va"))
+    b = e.select("bucket", F.col("vec_id").alias("db"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.round(_cos(F.col("va"), F.col("vb")), 9).alias("sim")
+        )
+        .where(F.col("sim") >= 0.4)
+        .select("da", "db", F.round("sim", 6).alias("cosine"))
+        .orderBy("da", "db")
+    )
+
+
+EMB_NEARDUP_LSH_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb)
+SELECT a.vec_id AS da, b.vec_id AS db,
+  round(round({_cos_sql('a.v', 'b.v')}, 9), 6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.v', 'b.v')}, 9) >= 0.4
+ORDER BY da, db
+"""
+
+
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid statistics via posexplode + DECIMAL-disciplined
     means (partition-order independent), then distance-to-centroid."""
@@ -446,5 +480,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "emb_knn_classify": QuerySpec(emb_knn_classify, EMB_KNN_SQL),
     "emb_neardup_cosine": QuerySpec(emb_neardup_cosine, EMB_NEARDUP_SQL),
+    "emb_neardup_lsh": QuerySpec(emb_neardup_lsh, EMB_NEARDUP_LSH_SQL),
     "emb_label_centroids": QuerySpec(emb_label_centroids, EMB_CENTROID_SQL),
 }

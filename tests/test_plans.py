@@ -49,6 +49,7 @@ _NESTED_LOOP_OK = {
     "emb_neardup_cosine",  # exact ground truth for the LSH variant
     "emb_knn_classify",  # broadcast of a bounded (20-row) query set
     "ann_ivf_topk",  # N x L centroid assignment: L bounded, centroids broadcast
+    "tfidf_topk_terms",  # 1-row corpus-size scalar crossJoin
 }
 
 _ALL = {
