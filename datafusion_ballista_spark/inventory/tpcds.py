@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, dsum, tables
+from datafusion_ballista_spark.inventory.util import D, davg, dsum, tables
 
 
 def _rev():
@@ -459,11 +459,284 @@ SELECT * FROM
 """
 
 
+# --------------------------------------------------------------------------
+# q11 shape: one year_total CTE consumed FOUR times (two channels x two
+# years), growth-ratio comparison. reference: benchmarks/queries-tpcds/q11.sql
+# --------------------------------------------------------------------------
+def tpcds_q11_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers whose urgent-channel spend grew faster year-over-year than
+    their standard-channel spend (1997 -> 1998) — ds q11's four-way
+    year_total self-join. The ratio compare is cross-multiplied decimal
+    (u2*s1 > s2*u1), so no float division exists at any SF."""
+    t = tables(spark, sf, "orders", "customer")
+    yt = (
+        t.orders.withColumn(
+            "channel",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent"
+            ).otherwise("standard"),
+        )
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("y"), F.col("channel")
+        )
+        .agg(F.sum(D("o_totalprice")).alias("tot"))
+    )
+
+    def slice_(ch: str, y: int, alias: str):
+        return yt.where((F.col("channel") == ch) & (F.col("y") == y)).select(
+            F.col("o_custkey").alias(f"{alias}_ck"), F.col("tot").alias(alias)
+        )
+
+    u1, u2 = slice_("urgent", 1997, "u1"), slice_("urgent", 1998, "u2")
+    s1, s2 = slice_("standard", 1997, "s1"), slice_("standard", 1998, "s2")
+    return (
+        u1.join(u2, F.col("u1_ck") == F.col("u2_ck"))
+        .join(s1, F.col("u1_ck") == F.col("s1_ck"))
+        .join(s2, F.col("u1_ck") == F.col("s2_ck"))
+        .where(
+            (F.col("u1") > 0)
+            & (F.col("s1") > 0)
+            & (F.col("u2") * F.col("s1") > F.col("s2") * F.col("u1"))
+        )
+        .join(t.customer, F.col("u1_ck") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("u1").cast("double").alias("urgent_1997"),
+            F.col("u2").cast("double").alias("urgent_1998"),
+            F.col("s1").cast("double").alias("standard_1997"),
+            F.col("s2").cast("double").alias("standard_1998"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+TPCDS_Q11_SQL = """
+WITH yt AS (
+  SELECT o_custkey,
+    CAST(year(o_orderdate) AS INTEGER) AS y,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 'urgent' ELSE 'standard' END AS channel,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name,
+  CAST(u1.tot AS DOUBLE) AS urgent_1997,
+  CAST(u2.tot AS DOUBLE) AS urgent_1998,
+  CAST(s1.tot AS DOUBLE) AS standard_1997,
+  CAST(s2.tot AS DOUBLE) AS standard_1998
+FROM yt u1
+JOIN yt u2 ON u1.o_custkey = u2.o_custkey
+JOIN yt s1 ON u1.o_custkey = s1.o_custkey
+JOIN yt s2 ON u1.o_custkey = s2.o_custkey
+JOIN customer ON u1.o_custkey = c_custkey
+WHERE u1.channel = 'urgent' AND u1.y = 1997
+  AND u2.channel = 'urgent' AND u2.y = 1998
+  AND s1.channel = 'standard' AND s1.y = 1997
+  AND s2.channel = 'standard' AND s2.y = 1998
+  AND u1.tot > 0 AND s1.tot > 0
+  AND u2.tot * s1.tot > s2.tot * u1.tot
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 shape: cross-channel INTERSECT feeding the main aggregate.
+# reference: benchmarks/queries-tpcds/q14.sql (cross_items CTE)
+# --------------------------------------------------------------------------
+def tpcds_q14_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by brand over parts sold through BOTH order channels in 1997
+    — ds q14's cross_items INTERSECT, then a semi-join-reduced aggregate."""
+    t = tables(spark, sf, "lineitem", "orders", "part")
+    li97 = t.lineitem.join(
+        t.orders.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    urgent = li97.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("l_partkey")
+    standard = li97.where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("l_partkey")
+    cross_items = urgent.intersect(standard)
+    return (
+        t.lineitem.join(cross_items, "l_partkey", "left_semi")
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(_rev(), "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+TPCDS_Q14_SQL = f"""
+WITH li97 AS (
+  SELECT l_partkey, o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+cross_items AS (
+  SELECT l_partkey FROM li97 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  INTERSECT
+  SELECT l_partkey FROM li97
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+SELECT p_brand, COUNT(*) AS n_items,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 shape: OR of two correlated EXISTS + multi-stat conditional aggregate.
+# reference: benchmarks/queries-tpcds/q35.sql
+# --------------------------------------------------------------------------
+def tpcds_q35_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer demographics for customers active in EITHER channel — ds
+    q35's (EXISTS ws OR EXISTS cs) decorrelated as a semi join against the
+    union of both channels' key sets, then count/avg/max/min stats."""
+    t = tables(spark, sf, "orders", "customer")
+    urgent_keys = t.orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey"))
+    big_keys = t.orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey")
+    )
+    active = urgent_keys.unionAll(big_keys)
+    return (
+        t.customer.join(
+            active, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            davg(D("c_acctbal"), "avg_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+TPCDS_Q35_SQL = """
+SELECT c_nationkey, c_mktsegment,
+  COUNT(*) AS n_cust,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_bal,
+  MAX(c_acctbal) AS max_bal,
+  MIN(c_acctbal) AS min_bal
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+   OR EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_totalprice > 300000)
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q51 shape: two cumulative window series FULL OUTER joined and compared.
+# reference: benchmarks/queries-tpcds/q51.sql
+# --------------------------------------------------------------------------
+def tpcds_q51_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Months where the urgent channel's cumulative revenue exceeds the
+    standard channel's — ds q51's web_v1/store_v1 cumulative windows +
+    FULL OUTER join. Cumulatives run in DECIMAL, partitioned by year (the
+    window input is the monthly aggregate, so partitions are 12 rows)."""
+    t = tables(spark, sf, "orders")
+
+    def monthly(ch_filter, alias: str) -> DataFrame:
+        w = Window.partitionBy("y").orderBy("m").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            t.orders.where(ch_filter)
+            .groupBy(
+                F.year("o_orderdate").alias("y"),
+                F.month("o_orderdate").alias("m"),
+            )
+            .agg(F.sum(D("o_totalprice")).alias("tot"))
+            .select(
+                "y", "m", F.sum("tot").over(w).alias(f"cum_{alias}")
+            )
+        )
+
+    u = monthly(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "u")
+    s = monthly(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "s"
+    ).select(F.col("y").alias("sy"), F.col("m").alias("sm"), "cum_s")
+    return (
+        u.join(
+            s, (F.col("y") == F.col("sy")) & (F.col("m") == F.col("sm")), "full"
+        )
+        .where(
+            F.col("cum_u").isNull()
+            | F.col("cum_s").isNull()
+            # urgent is 2 of 5 priorities vs standard's 3: compare against
+            # the 2/3 parity line, cross-multiplied IN DECIMAL (before any
+            # double cast) so both engines decide identically
+            | (F.col("cum_u") * 3 > F.col("cum_s") * 2)
+        )
+        .select(
+            F.coalesce("y", "sy").alias("y"),
+            F.coalesce("m", "sm").alias("m"),
+            F.col("cum_u").cast("double").alias("cum_urgent"),
+            F.col("cum_s").cast("double").alias("cum_standard"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+TPCDS_Q51_SQL = """
+WITH u AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1, 2),
+s AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1, 2),
+uc AS (
+  SELECT y, m, SUM(tot) OVER (PARTITION BY y ORDER BY m
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+  FROM u),
+sc AS (
+  SELECT y, m, SUM(tot) OVER (PARTITION BY y ORDER BY m
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+  FROM s)
+SELECT COALESCE(uc.y, sc.y) AS y, COALESCE(uc.m, sc.m) AS m,
+  CAST(cum_u AS DOUBLE) AS cum_urgent,
+  CAST(cum_s AS DOUBLE) AS cum_standard
+FROM uc FULL OUTER JOIN sc ON uc.y = sc.y AND uc.m = sc.m
+WHERE cum_u IS NULL OR cum_s IS NULL
+   OR cum_u * 3 > cum_s * 2
+ORDER BY y, m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpcds_q1_shape": QuerySpec(tpcds_q1_shape, TPCDS_Q1_SQL),
     "tpcds_q2_shape": QuerySpec(tpcds_q2_shape, TPCDS_Q2_SQL),
     "tpcds_q5_shape": QuerySpec(tpcds_q5_shape, TPCDS_Q5_SQL),
+    "tpcds_q11_shape": QuerySpec(tpcds_q11_shape, TPCDS_Q11_SQL),
+    "tpcds_q14_shape": QuerySpec(tpcds_q14_shape, TPCDS_Q14_SQL),
     "tpcds_q34_shape": QuerySpec(tpcds_q34_shape, TPCDS_Q34_SQL),
+    "tpcds_q35_shape": QuerySpec(tpcds_q35_shape, TPCDS_Q35_SQL),
+    "tpcds_q51_shape": QuerySpec(tpcds_q51_shape, TPCDS_Q51_SQL),
     "tpcds_q44_shape": QuerySpec(tpcds_q44_shape, TPCDS_Q44_SQL),
     "tpcds_q66_shape": QuerySpec(tpcds_q66_shape, TPCDS_Q66_SQL),
     "tpcds_q67_shape": QuerySpec(tpcds_q67_shape, TPCDS_Q67_SQL),
