@@ -465,6 +465,55 @@ ORDER BY d
 """
 
 
+def rel_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Manual skew salting — the pre-AQE mitigation, kept as an explicit
+    operator because extreme single-key skew can exceed even AQE's
+    split-threshold heuristics. The fact side's join key is deliberately
+    collapsed to 5 hot values (user_id % 5); instead of 5 monster shuffle
+    partitions, the fact key becomes (key, salt=event_id % 8) and the dim
+    side is exploded x8, so each hot key spreads over 8 tasks. The result
+    is provably identical to the unsalted join — the oracle IS the
+    unsalted join.
+
+    Scale: salt fan-out multiplies the small dim (5 rows -> 40), never the
+    fact; aggregate runs map-side-partial on the salted key then final on
+    the real key."""
+    e = tables(spark, sf, "events").events
+    fact = e.select(
+        (F.col("user_id") % 5).alias("hot_key"),
+        (F.col("event_id") % 8).alias("salt"),
+        D("value", 18, 2).alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i}") for i in range(5)], ["d_key", "segment"]
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        fact.join(
+            F.broadcast(dim_salted),
+            (F.col("hot_key") == F.col("d_key")) & (fact.salt == dim_salted.salt),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("total"),
+        )
+        .orderBy("segment")
+    )
+
+
+REL_SALTED_SKEW_SQL = """
+SELECT 'segment_' || CAST(user_id % 5 AS VARCHAR) AS segment,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1
+ORDER BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rel_union_all": QuerySpec(rel_union_all, REL_UNION_ALL_SQL),
     "rel_union_distinct": QuerySpec(rel_union_distinct, REL_UNION_DISTINCT_SQL),
@@ -485,4 +534,5 @@ QUERIES: dict[str, QuerySpec] = {
     "rel_not_in": QuerySpec(rel_not_in, REL_NOT_IN_SQL),
     "rel_not_in_nulls": QuerySpec(rel_not_in_nulls, REL_NOT_IN_NULLS_SQL),
     "rel_generate_series": QuerySpec(rel_generate_series, REL_GENERATE_SERIES_SQL),
+    "rel_salted_skew_join": QuerySpec(rel_salted_skew_join, REL_SALTED_SKEW_SQL),
 }

@@ -87,6 +87,55 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase joins the same user's clicks from the preceding 30
+    minutes. Both sides carry watermarks, so on a live stream the state
+    store evicts rows older than the join window — the canonical bounded
+    stream-stream join. Output is the per-user pair count (aggregated
+    batch-side after the availableNow run; the join itself is the
+    streaming operator under test)."""
+    clicks = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_available_now(joined, "append")
+    return (
+        out.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 def stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicates keyed on (user_id, event_type)
     — the streaming face of the batch dedup_exact pipeline entry. At real
@@ -154,6 +203,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
+    "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_SQL),
     "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),
     "stream_stateful_counter": QuerySpec(
         stream_stateful_counter, STREAM_STATEFUL_SQL
