@@ -385,6 +385,45 @@ ORDER BY id
 """
 
 
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON functions over the events.props payload: path extraction
+    (get_json_object), typed schema parse (from_json -> struct field), and
+    validity probing — all codegen'd JVM expressions, the recommended path
+    for semi-structured columns at scale (never a Python json.loads)."""
+    e = tables(spark, sf, "events").events.where(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_path"),
+            parsed.getField("k").alias("k_typed"),
+            F.col("props").cast("string").alias("raw"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_path").alias("sum_k_path"),
+            F.sum("k_typed").alias("sum_k_typed"),
+            F.min("k_typed").alias("min_k"),
+            F.max("k_typed").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FN_JSON_SQL = """
+SELECT event_type,
+  COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k_path,
+  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k_typed,
+  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events WHERE event_id < 2000
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def fn_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregate breadth (h2o groupby.sql: MEDIAN/STDDEV/CORR)."""
     e = tables(spark, sf, "events").events
@@ -580,6 +619,7 @@ QUERIES: dict[str, QuerySpec] = {
     "fn_map_struct": QuerySpec(fn_map_struct, FN_MAP_STRUCT_SQL),
     "fn_hash_encoding": QuerySpec(fn_hash_encoding, FN_HASH_SQL),
     "fn_cast_try": QuerySpec(fn_cast_try, FN_CAST_SQL),
+    "fn_json": QuerySpec(fn_json, FN_JSON_SQL),
     "fn_agg_stats": QuerySpec(fn_agg_stats, FN_AGG_STATS_SQL),
     "fn_agg_collect": QuerySpec(fn_agg_collect, FN_AGG_COLLECT_SQL),
     "fn_agg_minmax_by": QuerySpec(fn_agg_minmax_by, FN_AGG_MINMAX_BY_SQL),

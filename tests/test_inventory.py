@@ -28,7 +28,7 @@ def test_driver_window_rotation():
     composition so an accidental reorder doesn't silently waste a round."""
     names = list(_ALL)[:50]
     mods = [_ALL[n].spark.__module__.rsplit(".", 1)[-1] for n in names]
-    assert mods[:16] == ["functions_cov"] * 16
-    assert mods[16:38] == ["h2o"] * 22
-    assert mods[38:44] == ["udf_surface"] * 6
-    assert mods[44:50] == ["sql_surface"] * 6
+    assert mods[:17] == ["functions_cov"] * 17
+    assert mods[17:39] == ["h2o"] * 22
+    assert mods[39:45] == ["udf_surface"] * 6
+    assert mods[45:50] == ["sql_surface"] * 5
