@@ -7,7 +7,6 @@ the oracle SQL on the same parquet, compare row count, column names, and
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -41,28 +40,7 @@ def oracle():
     con.close()
 
 
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # kill -0.0 and representation noise far below our rounding levels
-        return round(v + 0.0, 9)
-    if hasattr(v, "isoformat"):  # date/datetime
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    return v
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return [cols[i] for i in order], out
+from datafusion_ballista_spark.compare import normalize as _normalize
 
 
 def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?"):

@@ -1,0 +1,63 @@
+"""Full-inventory correctness artifact: the driver's 50-query CORRECTNESS
+gate, replicated over EVERY registry entry at sf0.01 and written to
+LOCAL_CORRECTNESS.json — so each query's hash-match claim is backed by a
+committed artifact, not just a green pytest run (round-2 advisor ask).
+
+Usage: python tools/local_correctness.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import duckdb  # noqa: E402
+
+from datafusion_ballista_spark.compare import compare_query  # noqa: E402
+from datafusion_ballista_spark.inventory import all_queries  # noqa: E402
+from datafusion_ballista_spark.session import get_session  # noqa: E402
+from datafusion_ballista_spark.sources.registry import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "LOCAL_CORRECTNESS.json"
+    spark = get_session(
+        master="local[8]", app_name="local-correctness", shuffle_partitions=8
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results: dict[str, dict] = {}
+    failures = 0
+    for name, spec in all_queries().items():
+        try:
+            df = spec.spark(spark, SF_DIR)
+            rec = compare_query(df, con, spec.oracle)
+        except Exception as ex:
+            rec = {"err": f"{type(ex).__name__}: {ex}"[:500]}
+        results[name] = rec
+        ok = rec.get("err") is None and (
+            rec.get("hash_match") or (spec.oracle is None and rec.get("rows_match"))
+        )
+        if not ok:
+            failures += 1
+            print(f"FAIL {name}: {rec}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": SF_DIR, "n": len(results), "failures": failures,
+                   "results": results}, f, indent=1, sort_keys=True)
+    print(f"{len(results) - failures}/{len(results)} green -> {out_path}")
+    spark.stop()
+    con.close()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
