@@ -191,6 +191,41 @@ ORDER BY s_nationkey
 """
 
 
+def scan_avro(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF scan (datafusion.proto:1155-1158) through the pure-Python
+    distributed reader — no spark-avro jar in this container. Two files are
+    written (deflate + null codec) to exercise the multi-file path and both
+    standard codecs; the aggregate hash-matches the original parquet."""
+    from datafusion_ballista_spark.session import BallistaSession
+    from datafusion_ballista_spark.sources.avro_ocf import write_avro_ocf
+
+    out_dir = _out(sf, "supplier_avro")
+    os.makedirs(out_dir, exist_ok=True)
+    s = tables(spark, sf, "supplier").supplier
+    rows = [r.asDict() for r in s.collect()]
+    schema = {
+        "type": "record",
+        "name": "supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": ["null", "string"]},
+            {"name": "s_nationkey", "type": "int"},
+            {"name": "s_acctbal", "type": "double"},
+        ],
+    }
+    mid = len(rows) // 2
+    write_avro_ocf(rows[:mid], schema, os.path.join(out_dir, "part0.avro"),
+                   codec="deflate")
+    write_avro_ocf(rows[mid:], schema, os.path.join(out_dir, "part1.avro"),
+                   codec="null")
+    back = BallistaSession(spark).read_avro(out_dir)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(D("s_acctbal"), "total_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 def scan_arrow_ipc(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow IPC scan through the distributed mapInPandas reader
     (context_checks.rs:1319; sources/arrow_ipc.py)."""
@@ -305,6 +340,7 @@ QUERIES: dict[str, QuerySpec] = {
     "copy_to_roundtrip": QuerySpec(copy_to_roundtrip, _ORDERS_AGG_SQL),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL),
     "scan_ndjson": QuerySpec(scan_ndjson, SCAN_NDJSON_SQL),
+    "scan_avro": QuerySpec(scan_avro, SCAN_NDJSON_SQL),
     "scan_arrow_ipc": QuerySpec(scan_arrow_ipc, SCAN_ARROW_SQL),
     "url_table_sql": QuerySpec(url_table_sql, URL_TABLE_SQL),
     "scan_partitioned_listing": QuerySpec(

@@ -286,25 +286,28 @@ class BallistaSession:
         return self.spark.read.options(**options).json(path)
 
     def read_avro(self, path: str, **options) -> DataFrame:
-        # spark-avro is an external module (not on this container's
-        # classpath); surface the remediation instead of Spark's generic
-        # lookup failure. Reference Avro scan: datafusion.proto:1155-1158.
+        # Prefer the native spark-avro module when its jar is on the
+        # classpath; otherwise fall back to the pure-Python distributed OCF
+        # reader (sources/avro_ocf.py). Reference Avro scan:
+        # datafusion.proto:1155-1158 (AvroScanExecNode).
         try:
             return self.spark.read.format("avro").options(**options).load(path)
         except Exception as ex:
             # Spark 4.x raises error class DATA_SOURCE_NOT_FOUND with message
             # "Failed to find the data source: avro"; match the class when
             # exposed, else a substring tolerant of both 3.x/4.x phrasings.
-            klass = getattr(ex, "getErrorClass", lambda: None)()
+            probe = getattr(
+                ex, "getCondition", getattr(ex, "getErrorClass", lambda: None)
+            )
+            klass = probe()
             if klass == "DATA_SOURCE_NOT_FOUND" or re.search(
                 r"Failed to find (?:the )?data source: avro", str(ex)
             ):
-                raise RuntimeError(
-                    "Avro support needs the spark-avro package on the "
-                    "classpath (spark.jars.packages="
-                    "org.apache.spark:spark-avro_2.13:<spark-version>); "
-                    "it is not bundled in this environment"
-                ) from ex
+                from datafusion_ballista_spark.sources.avro_ocf import (
+                    read_avro_ocf,
+                )
+
+                return read_avro_ocf(self.spark, path)
             raise
 
     def read_arrow(self, path: str) -> DataFrame:
