@@ -201,8 +201,83 @@ ORDER BY du.d
 """
 
 
+def ev_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly series with linear interpolation: the purchase
+    revenue series joined to a complete January-2024 hour spine; missing
+    hours interpolate between the nearest non-null neighbors (ignoreNulls
+    window last/first), edges stay NULL. The interpolation ratio uses the
+    integer hour index so both engines divide identical exact values.
+
+    Scale: the windows run over the SPINE (calendar-bounded — 744 rows for
+    a month regardless of data size), not the raw events; the only
+    data-sized stage is the hourly pre-aggregate (one shuffle)."""
+    e = _events(spark, sf)
+    hourly = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.sum(D("value")).cast("double").alias("tot"))
+    )
+    spine = spark.range(744).select(
+        F.col("id").cast("int").alias("i"),
+        F.expr("timestampadd(HOUR, id, TIMESTAMP '2024-01-01 00:00:00')").alias(
+            "hr"
+        ),
+    )
+    j = spine.join(hourly, "hr", "left")
+    w_prev = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("i").rowsBetween(1, Window.unboundedFollowing)
+    known = F.when(F.col("tot").isNotNull(), F.struct("i", "tot"))
+    prev = F.last(known, ignorenulls=True).over(w_prev)
+    nxt = F.first(known, ignorenulls=True).over(w_next)
+    filled = F.when(F.col("tot").isNotNull(), F.col("tot")).otherwise(
+        prev["tot"]
+        + (nxt["tot"] - prev["tot"])
+        * (F.col("i") - prev["i"])
+        / (nxt["i"] - prev["i"])
+    )
+    return (
+        j.select(
+            "hr",
+            F.round(filled, 6).alias("filled"),
+            F.col("tot").isNull().alias("was_gap"),
+        )
+        .orderBy("hr")
+    )
+
+
+EV_GAP_FILL_SQL = """
+WITH spine AS (
+  SELECT CAST(i AS INTEGER) AS i,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) HOUR AS hr
+  FROM range(744) t(i)),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+j AS (SELECT i, spine.hr, tot FROM spine LEFT JOIN hourly USING (hr)),
+w AS (
+  SELECT i, hr, tot,
+    LAST_VALUE(CASE WHEN tot IS NOT NULL THEN tot END IGNORE NULLS) OVER
+      (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    LAST_VALUE(CASE WHEN tot IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+    FIRST_VALUE(CASE WHEN tot IS NOT NULL THEN tot END IGNORE NULLS) OVER
+      (ORDER BY i ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN tot IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (ORDER BY i ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+  FROM j)
+SELECT hr,
+  ROUND(CASE WHEN tot IS NOT NULL THEN tot
+             ELSE pv + (nv - pv) * (i - pi) / (ni - pi) END, 6) AS filled,
+  tot IS NULL AS was_gap
+FROM w
+ORDER BY hr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ev_hourly_rollup": QuerySpec(ev_hourly_rollup, EV_HOURLY_SQL),
+    "ev_gap_fill": QuerySpec(ev_gap_fill, EV_GAP_FILL_SQL),
     "ev_window_bucketing": QuerySpec(ev_window_bucketing, EV_WINDOW_SQL),
     "ev_sessionize": QuerySpec(ev_sessionize, EV_SESSIONIZE_SQL),
     "ev_type_transitions": QuerySpec(ev_type_transitions, EV_TRANSITIONS_SQL),

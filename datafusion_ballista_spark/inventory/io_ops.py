@@ -304,6 +304,54 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed tables + shuffle-free co-located join: both sides are
+    written ``bucketBy(8, custkey)`` so the join reads matching buckets
+    directly — the exact mechanism that makes a repeated 100 TB fact-fact
+    join affordable (pay the shuffle once at write time, never per query).
+    tests/test_sources.py asserts the join plan contains NO shuffle
+    exchange. The merge hint pins SMJ so AQE's broadcast promotion (valid
+    but shuffle-free anyway) doesn't mask the bucketing proof."""
+    t = tables(spark, sf, "orders", "customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a stale location from a previous session's run survives DROP
+        # (this session's catalog never knew the table); clear it
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (
+        t.orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        t.customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+    )
+    return (
+        spark.table("b_orders")
+        .hint("merge")
+        .join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(D("o_totalprice"), "total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def inmem_table_join(spark: SparkSession, sf: str) -> DataFrame:
     """In-memory table (SURVEY §2.2 row 6; reference MemTable /
     register_record_batches): literal rows created driver-side, joined to a
@@ -347,4 +395,7 @@ QUERIES: dict[str, QuerySpec] = {
         scan_partitioned_listing, SCAN_PARTITIONED_SQL
     ),
     "inmem_table_join": QuerySpec(inmem_table_join, INMEM_TABLE_SQL),
+    "bucketed_colocated_join": QuerySpec(
+        bucketed_colocated_join, BUCKETED_JOIN_SQL
+    ),
 }

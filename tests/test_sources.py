@@ -56,3 +56,33 @@ def test_partitioned_listing_prunes(spark):
     )
     assert "PartitionFilters" in plan
     assert "l_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketBy(8, custkey): the co-located join must read
+    matching buckets directly — no shuffle exchange anywhere in the join
+    subtree (the point of paying the bucketing shuffle at write time)."""
+    from datafusion_ballista_spark.inventory.io_ops import (
+        bucketed_colocated_join,
+    )
+    from tests.conftest import SF_DIR
+
+    df = bucketed_colocated_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    lines = plan.splitlines()
+    starts = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+    assert starts, plan
+    # exchanges may exist ABOVE the join (final groupBy); the subtree BELOW
+    # the join (deeper indentation) must be exchange-free
+    i = starts[0]
+    depth = len(lines[i]) - len(lines[i].lstrip(" +-:*"))
+    below = []
+    for l in lines[i + 1:]:
+        if l.strip() and len(l) - len(l.lstrip(" +-:*")) <= depth:
+            break
+        below.append(l)
+    assert not any("Exchange" in l for l in below), plan
