@@ -51,7 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Registration order drives the driver's CORRECTNESS window (first 50
     # entries). Rounds 1-2 proved tpch+relational+windows (50/50 green);
     # round 3 rotates the driver-unverified modules to the front:
-    # functions_cov (17) + h2o (22) + udf_surface (6) + sql_surface (first 5)
+    # functions_cov (17) + h2o (22) + udf_surface (7) + sql_surface (first 4)
     # = the 50-entry window. Next rotation: pipelines, events, io,
     # multimodal, streaming, tpcds. The local pytest oracle gate
     # (tests/test_inventory.py) still covers ALL entries every round.

@@ -200,6 +200,56 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_foreach_batch_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet through an
+    arbitrary batch-DataFrame writer — the escape hatch for sinks
+    Structured Streaming lacks natively (JDBC upserts, multi-table
+    fan-out). The availableNow run drains the source into the sink dir;
+    reading it back and aggregating hash-matches the batch oracle, which
+    proves exactly-once delivery of the bounded run."""
+    import os
+    import shutil
+    import uuid
+
+    from datafusion_ballista_spark.streaming import read_events_stream
+
+    tag = os.path.basename(sf.rstrip("/")) or "sf"
+    sink = os.path.join("/tmp/dbspark_stream", tag, "fb_sink")
+    ckpt = os.path.join("/tmp/dbspark_stream", tag, "fb_ckpt_" + uuid.uuid4().hex[:8])
+    shutil.rmtree(sink, ignore_errors=True)
+    ev = read_events_stream(spark, sf).select("event_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_FOREACH_BATCH_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
@@ -207,5 +257,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),
     "stream_stateful_counter": QuerySpec(
         stream_stateful_counter, STREAM_STATEFUL_SQL
+    ),
+    "stream_foreach_batch_sink": QuerySpec(
+        stream_foreach_batch_sink, STREAM_FOREACH_BATCH_SQL
     ),
 }

@@ -167,6 +167,41 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def map_in_arrow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow``: zero-copy Arrow RecordBatch transform — the leanest
+    Python data-path surface (no pandas materialization; Arrow compute
+    kernels are C++-vectorized). Per-doc char and space counts via
+    pyarrow.compute, matched against plain SQL string math."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = tables(spark, sf, "documents").documents.select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.utf8_length(b.column("text")),
+                    pc.count_substring(b.column("text"), " "),
+                ],
+                names=["doc_id", "n_chars", "n_spaces"],
+            )
+
+    return d.mapInArrow(
+        stats, "doc_id long, n_chars int, n_spaces int"
+    ).orderBy("doc_id")
+
+
+MAP_IN_ARROW_SQL = """
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def cogroup_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """AS-OF join via cogroup().applyInPandas: each event joins the most
     recent prior-or-equal 'signup' event of the same user. An operator the
@@ -215,5 +250,6 @@ QUERIES: dict[str, QuerySpec] = {
         apply_in_pandas_zscore, APPLY_IN_PANDAS_ZSCORE_SQL
     ),
     "udtf_lateral_tokens": QuerySpec(udtf_lateral_tokens, UDTF_LATERAL_TOKENS_SQL),
+    "map_in_arrow_stats": QuerySpec(map_in_arrow_stats, MAP_IN_ARROW_SQL),
     "cogroup_asof_join": QuerySpec(cogroup_asof_join, COGROUP_ASOF_JOIN_SQL),
 }

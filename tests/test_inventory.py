@@ -30,5 +30,5 @@ def test_driver_window_rotation():
     mods = [_ALL[n].spark.__module__.rsplit(".", 1)[-1] for n in names]
     assert mods[:17] == ["functions_cov"] * 17
     assert mods[17:39] == ["h2o"] * 22
-    assert mods[39:45] == ["udf_surface"] * 6
-    assert mods[45:50] == ["sql_surface"] * 5
+    assert mods[39:46] == ["udf_surface"] * 7
+    assert mods[46:50] == ["sql_surface"] * 4
