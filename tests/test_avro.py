@@ -76,3 +76,18 @@ def test_session_read_avro_fallback(spark, tmp_path):
     write_avro_ocf(_ROWS, _SCHEMA, p, codec="deflate")
     df = BallistaSession(spark).read_avro(p)
     assert df.count() == 3
+
+
+def test_registered_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource registration: avro_ocf becomes a normal
+    format() source (the reference's custom-TableProvider surface)."""
+    from datafusion_ballista_spark.sources.avro_datasource import register
+
+    register(spark)
+    write_avro_ocf(_ROWS[:2], _SCHEMA, str(tmp_path / "a.avro"))
+    write_avro_ocf(_ROWS[2:], _SCHEMA, str(tmp_path / "b.avro"), codec="deflate")
+    df = spark.read.format("avro_ocf").load(str(tmp_path))
+    got = sorted((r.id, r.name, r.score, r.ok) for r in df.collect())
+    want = sorted((r["id"], r["name"], r["score"], r["ok"]) for r in _ROWS)
+    assert got == want
+    assert df.rdd.getNumPartitions() == 2  # one task per file
