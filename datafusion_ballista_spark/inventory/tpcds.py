@@ -728,6 +728,127 @@ ORDER BY y, m
 """
 
 
+# --------------------------------------------------------------------------
+# q36 shape: ROLLUP + GROUPING() + rank within each grouping level.
+# reference: benchmarks/queries-tpcds/q36.sql (lochierarchy ranking)
+# --------------------------------------------------------------------------
+def tpcds_q36_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue ROLLUP over (priority, segment) with ds q36's lochierarchy
+    pattern: GROUPING() builds the level indicator and a window ranks rows
+    WITHIN each (level, parent) group — rank-over-grouping-sets, a combo no
+    other inventory entry exercises. Ranking keys on exact decimal revenue
+    with a name tiebreak, so no float order ambiguity."""
+    t = tables(spark, sf, "orders", "customer")
+    o = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+    rolled = o.rollup("o_orderpriority", "c_mktsegment").agg(
+        F.sum(D("o_totalprice")).alias("rev"),
+        # grouping() is only resolvable INSIDE the grouping-sets aggregate
+        (F.grouping("o_orderpriority") + F.grouping("c_mktsegment")).alias(
+            "lochierarchy"
+        ),
+        F.grouping("c_mktsegment").alias("g_seg"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_seg") == 1, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    ).orderBy(F.desc("rev"), F.asc_nulls_first("c_mktsegment"))
+    return (
+        rolled.select(
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("rev").cast("double").alias("total_rev"),
+            "lochierarchy",
+            F.row_number().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first("o_orderpriority"),
+            "rank_within_parent",
+        )
+    )
+
+
+TPCDS_Q36_SQL = """
+WITH rolled AS (
+  SELECT o_orderpriority, c_mktsegment,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+    GROUPING(o_orderpriority) + GROUPING(c_mktsegment) AS lochierarchy,
+    GROUPING(c_mktsegment) AS g_seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY ROLLUP (o_orderpriority, c_mktsegment))
+SELECT o_orderpriority, c_mktsegment,
+  CAST(rev AS DOUBLE) AS total_rev,
+  lochierarchy,
+  ROW_NUMBER() OVER (
+    PARTITION BY lochierarchy,
+                 CASE WHEN g_seg = 1 THEN NULL ELSE o_orderpriority END
+    ORDER BY rev DESC, c_mktsegment ASC NULLS FIRST) AS rank_within_parent
+FROM rolled
+ORDER BY lochierarchy DESC, o_orderpriority ASC NULLS FIRST,
+         rank_within_parent
+"""
+
+
+# --------------------------------------------------------------------------
+# q99 shape: latency-bucket wide conditional aggregation.
+# reference: benchmarks/queries-tpcds/q99.sql (days-to-ship buckets)
+# --------------------------------------------------------------------------
+def tpcds_q99_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Days-to-ship histogram per priority — ds q99's 30/60/90/120-day
+    CASE buckets as one wide conditional aggregate over the order-lineitem
+    join (single pass, map-side partial)."""
+    t = tables(spark, sf, "orders", "lineitem")
+    j = t.lineitem.join(
+        t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_d"),
+    )
+
+    def bucket(lo: int | None, hi: int | None, alias: str):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("lag_d") > lo)
+        if hi is not None:
+            cond = cond & (F.col("lag_d") <= hi)
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            bucket(None, 30, "d30"),
+            bucket(30, 60, "d60"),
+            bucket(60, 90, "d90"),
+            bucket(90, 120, "d120"),
+            bucket(120, None, "d_over_120"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCDS_Q99_SQL = """
+SELECT o_orderpriority,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+      THEN 1 ELSE 0 END) AS d30,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+       AND date_diff('day', o_orderdate, l_shipdate) <= 60
+      THEN 1 ELSE 0 END) AS d60,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+       AND date_diff('day', o_orderdate, l_shipdate) <= 90
+      THEN 1 ELSE 0 END) AS d90,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+       AND date_diff('day', o_orderdate, l_shipdate) <= 120
+      THEN 1 ELSE 0 END) AS d120,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120
+      THEN 1 ELSE 0 END) AS d_over_120
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpcds_q1_shape": QuerySpec(tpcds_q1_shape, TPCDS_Q1_SQL),
     "tpcds_q2_shape": QuerySpec(tpcds_q2_shape, TPCDS_Q2_SQL),
@@ -736,9 +857,11 @@ QUERIES: dict[str, QuerySpec] = {
     "tpcds_q14_shape": QuerySpec(tpcds_q14_shape, TPCDS_Q14_SQL),
     "tpcds_q34_shape": QuerySpec(tpcds_q34_shape, TPCDS_Q34_SQL),
     "tpcds_q35_shape": QuerySpec(tpcds_q35_shape, TPCDS_Q35_SQL),
+    "tpcds_q36_shape": QuerySpec(tpcds_q36_shape, TPCDS_Q36_SQL),
     "tpcds_q51_shape": QuerySpec(tpcds_q51_shape, TPCDS_Q51_SQL),
     "tpcds_q44_shape": QuerySpec(tpcds_q44_shape, TPCDS_Q44_SQL),
     "tpcds_q66_shape": QuerySpec(tpcds_q66_shape, TPCDS_Q66_SQL),
     "tpcds_q67_shape": QuerySpec(tpcds_q67_shape, TPCDS_Q67_SQL),
     "tpcds_q88_shape": QuerySpec(tpcds_q88_shape, TPCDS_Q88_SQL),
+    "tpcds_q99_shape": QuerySpec(tpcds_q99_shape, TPCDS_Q99_SQL),
 }
