@@ -38,6 +38,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp columns render in the SESSION timezone; the DuckDB oracle
+    # reads the same parquet naively (UTC). Pin UTC here so results match
+    # under ANY caller session (the driver's included), not just
+    # get_session's (which sets it via SPARK_DEFAULTS).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects outright (PARQUET_TYPE_ILLEGAL) unless the legacy conf is
