@@ -408,6 +408,60 @@ ORDER BY da, db
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings — the storage step
+    of a production vector pipeline (4x smaller than float32). Per-vector
+    scale = max|x|; q_i = floor(x_i * 127 / scale + 0.5) (floor(+0.5)
+    because the two engines' round() tie rules differ; floor is identical).
+    Emits integer-exact per-vector stats (code sum, squared norm,
+    saturation count) — all pure lambda-fold expressions, no Python.
+
+    Scale: embarrassingly parallel map (no shuffle, no aggregate)."""
+    e = _emb(spark, sf)
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    ed = e.withColumn("scale", scale).where(F.col("scale") > 0)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int"),
+    )
+    ed = ed.withColumn("q", q)
+    # quantization metrics kept integer-exact (a float max-error metric
+    # ties at round() boundaries one ulp apart across engines)
+    n_sat = F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127))
+    return ed.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(F.col("q"), F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("q"), F.lit(0), lambda a, x: a + x * x).alias(
+            "q_norm2"
+        ),
+        n_sat.alias("n_saturated"),
+    ).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM emb),
+quant AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER))
+      AS q
+  FROM scaled WHERE scale > 0)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  list_aggregate(q, 'sum') AS q_sum,
+  list_aggregate(list_transform(q, x -> x * x), 'sum') AS q_norm2,
+  len(list_filter(q, x -> abs(x) = 127)) AS n_saturated
+FROM quant
+ORDER BY vec_id
+"""
+
+
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid statistics via posexplode + DECIMAL-disciplined
     means (partition-order independent), then distance-to-centroid."""
@@ -482,4 +536,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_neardup_cosine": QuerySpec(emb_neardup_cosine, EMB_NEARDUP_SQL),
     "emb_neardup_lsh": QuerySpec(emb_neardup_lsh, EMB_NEARDUP_LSH_SQL),
     "emb_label_centroids": QuerySpec(emb_label_centroids, EMB_CENTROID_SQL),
+    "emb_quantize_int8": QuerySpec(emb_quantize_int8, EMB_QUANTIZE_SQL),
 }
