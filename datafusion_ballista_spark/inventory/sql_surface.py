@@ -112,6 +112,18 @@ LATERAL (
 ) AS top_c
 ORDER BY n_name
 """,
+    # QUALIFY (window filter clause): DataFusion/DuckDB parse it natively;
+    # Spark gets it through the sql.py rewrite to a subquery WHERE. The
+    # identical text is the oracle — DuckDB runs the raw QUALIFY.
+    "sql_qualify": """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+  ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+FROM orders
+QUALIFY rk <= 3
+ORDER BY o_orderpriority, rk
+""",
 }
 
 # -- dialect-divergent queries ----------------------------------------------

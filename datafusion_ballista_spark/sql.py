@@ -149,8 +149,43 @@ def similar_to_regex(pattern: str) -> str:
     return "^(?:" + "".join(out) + ")$"
 
 
+# QUALIFY (window-function filter; DataFusion/DuckDB support it natively,
+# Spark has no equivalent clause). Conservative single-statement rewrite:
+#   SELECT <body> QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+# -> SELECT * FROM (SELECT <body>) __qualify WHERE <pred> [ORDER BY/LIMIT]
+# The predicate must reference select-list ALIASES (true in DataFusion too
+# when the window expr isn't repeated verbatim).
+_QUALIFY_RE = re.compile(
+    r"^(?P<body>\s*SELECT\b.*?)\bQUALIFY\b(?P<pred>.*?)"
+    r"(?P<tail>\bORDER\s+BY\b.*|\bLIMIT\b.*|)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_qualify(query: str) -> str:
+    if not re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+        return query
+    m = _QUALIFY_RE.match(query)
+    # body is non-greedy, so a second QUALIFY would land in pred/tail
+    if m is None or re.search(
+        r"\bQUALIFY\b", m.group("pred") + m.group("tail"), re.IGNORECASE
+    ):
+        raise UnsupportedSQLFeature(
+            "only a single top-level QUALIFY clause is supported; rewrite "
+            "nested QUALIFYs as subquery WHERE filters"
+        )
+    body = m.group("body").rstrip()
+    pred = m.group("pred").strip()
+    tail = m.group("tail").strip()
+    return (
+        f"SELECT * FROM ({body}) __qualify WHERE {pred}"
+        + (f" {tail}" if tail else "")
+    )
+
+
 def rewrite_sql(query: str) -> str:
     """Apply dialect rewrites; pass everything else through to Spark SQL."""
+    query = _rewrite_qualify(query)
     if _GROUPS_FRAME_RE.search(query):
         # SURVEY.md §2.6: GROUPS window frames do not exist in Spark.
         raise UnsupportedSQLFeature(

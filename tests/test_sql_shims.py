@@ -180,3 +180,37 @@ class TestCopyTo:
         out = str(tmp_path / "copy_csv")
         res = bs.sql(f"COPY (SELECT 1 AS a, 'x' AS b) TO '{out}' (FORMAT csv)")
         assert res.collect()[0]["count"] == 1
+
+
+class TestQualify:
+    def test_basic_rewrite(self):
+        q = rewrite_sql(
+            "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rk FROM t "
+            "QUALIFY rk <= 3 ORDER BY a"
+        )
+        assert q.startswith("SELECT * FROM (SELECT a,")
+        assert "WHERE rk <= 3 ORDER BY a" in q
+        assert "QUALIFY" not in q.upper().replace("__QUALIFY", "")
+
+    def test_no_tail(self):
+        q = rewrite_sql("SELECT a, rank() OVER (ORDER BY a) r FROM t QUALIFY r = 1")
+        assert q.endswith("WHERE r = 1")
+
+    def test_nested_qualify_rejected(self):
+        with pytest.raises(UnsupportedSQLFeature):
+            rewrite_sql(
+                "SELECT * FROM (SELECT a, r FROM t QUALIFY r = 1) x "
+                "QUALIFY a = 2"
+            )
+
+    def test_semantics_on_spark(self, spark):
+        spark.range(10).selectExpr("id", "id % 2 AS g").createOrReplaceTempView(
+            "qual_t"
+        )
+        q = rewrite_sql(
+            "SELECT g, id, ROW_NUMBER() OVER "
+            "(PARTITION BY g ORDER BY id DESC) AS rk "
+            "FROM qual_t QUALIFY rk = 1 ORDER BY g"
+        )
+        rows = spark.sql(q).collect()
+        assert [(r.g, r.id) for r in rows] == [(0, 8), (1, 9)]
