@@ -183,9 +183,15 @@ def _rewrite_qualify(query: str) -> str:
     )
 
 
+# DataFusion/DuckDB star-exclusion spelling: `SELECT * EXCLUDE (a, b)`.
+# Spark 4 has the same feature as `* EXCEPT (...)` — pure keyword rename.
+_EXCLUDE_RE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
+
+
 def rewrite_sql(query: str) -> str:
     """Apply dialect rewrites; pass everything else through to Spark SQL."""
     query = _rewrite_qualify(query)
+    query = _EXCLUDE_RE.sub(r"\1EXCEPT\2", query)
     if _GROUPS_FRAME_RE.search(query):
         # SURVEY.md §2.6: GROUPS window frames do not exist in Spark.
         raise UnsupportedSQLFeature(

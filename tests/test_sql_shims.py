@@ -214,3 +214,20 @@ class TestQualify:
         )
         rows = spark.sql(q).collect()
         assert [(r.g, r.id) for r in rows] == [(0, 8), (1, 9)]
+
+
+class TestExclude:
+    def test_rewrite(self):
+        q = rewrite_sql("SELECT * EXCLUDE (b, c) FROM t")
+        assert q == "SELECT * EXCEPT (b, c) FROM t"
+
+    def test_qualified_star(self):
+        q = rewrite_sql("SELECT t.* EXCLUDE(b) FROM t")
+        assert q == "SELECT t.* EXCEPT(b) FROM t"
+
+    def test_semantics_on_spark(self, spark):
+        spark.range(3).selectExpr("id", "id * 2 AS b").createOrReplaceTempView(
+            "excl_t"
+        )
+        q = rewrite_sql("SELECT * EXCLUDE (b) FROM excl_t")
+        assert spark.sql(q).columns == ["id"]
