@@ -346,6 +346,38 @@ ORDER BY event_type
 """
 
 
+def win_global_rownumber_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL-table global row numbering WITHOUT a single-partition sort —
+    the reference's PartitionedBoundedWindowAggExec
+    (partitioned_bounded_window_agg.rs:17-60) as a Spark operator
+    (operators/global_window.py): range shuffle, per-partition windows,
+    offset stitching. Every 97th rank is emitted so the oracle match
+    proves the offsets are exact across the entire range, not just at the
+    top (win_global_topk already covers the bounded-k case)."""
+    from datafusion_ballista_spark.operators import global_row_number
+
+    e = _events(spark, sf).select("event_id", "value")
+    ranked = global_row_number(
+        e, [F.desc("value"), F.asc("event_id")], out_col="rn"
+    )
+    return (
+        ranked.where(F.col("rn") % 97 == 0)
+        .select("rn", "event_id", "value")
+        .orderBy("rn")
+    )
+
+
+WIN_GLOBAL_RN_SQL = """
+SELECT rn, event_id, value FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS INTEGER)
+           AS rn,
+         event_id, value
+  FROM events)
+WHERE rn % 97 = 0
+ORDER BY rn
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ranking": QuerySpec(win_ranking, WIN_RANKING_SQL),
     "win_ntile_pct": QuerySpec(win_ntile_pct, WIN_NTILE_SQL),
@@ -357,4 +389,7 @@ QUERIES: dict[str, QuerySpec] = {
     "win_share_of_total": QuerySpec(win_share_of_total, WIN_SHARE_SQL),
     "win_global_topk": QuerySpec(win_global_topk, WIN_GLOBAL_SQL),
     "win_first_last_nth": QuerySpec(win_first_last_nth, WIN_FIRST_LAST_SQL),
+    "win_global_rownumber_dist": QuerySpec(
+        win_global_rownumber_dist, WIN_GLOBAL_RN_SQL
+    ),
 }

@@ -1,0 +1,5 @@
+"""Custom distributed operators the stock DataFrame API lacks."""
+
+from datafusion_ballista_spark.operators.global_window import (  # noqa: F401
+    global_row_number,
+)

@@ -25,6 +25,7 @@ _EAGER_MODULES = {"io_ops", "streaming_cov"}
 _EAGER_QUERIES = {
     "ctas_insert_sql",
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
+    "win_global_rownumber_dist",  # offset cumulation collects per-part counts
 }
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
