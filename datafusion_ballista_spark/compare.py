@@ -5,23 +5,51 @@ compare row count, column names, and values order-insensitively (columns
 sorted by name, rows sorted after cell normalization). Used by the pytest
 gate (tests/conftest.py) and the full-inventory artifact tool
 (tools/local_correctness.py).
+
+Round-3 lesson baked in: the oracle side is fetched via Arrow, not
+``fetchall()``. DuckDB returns HUGEINT (arrow decimal128(38,0)) for
+``SUM(INTEGER)`` and ``factorial()``; ``fetchall()`` collapses that to a
+Python int, hiding a type-level difference the driver's hash sees — 10
+rows were locally green and driver-red in round 3 because of exactly
+this. Normalization is therefore type-marked: Decimal cells and float
+cells carry a kind tag, so decimal-vs-bigint and double-vs-bigint
+divergences go red here before they go red on the driver.
 """
 
 from __future__ import annotations
 
 import math
+from decimal import Decimal
+
+
+def _canon_decimal(v: Decimal) -> str:
+    # Fixed-point text with trailing zeros stripped, so decimal(38,2)
+    # "123.40" and decimal(22,4) "123.4000" canonicalize identically.
+    s = format(v, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("-0", "") else s
 
 
 def norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, bool):  # before int/float checks (bool is an int)
+        return v
+    if isinstance(v, Decimal):
+        # Kind-tagged: a DuckDB HUGEINT/DECIMAL result must NOT silently
+        # equal a Spark bigint — that is the driver divergence of round 3.
+        return ("dec", _canon_decimal(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise far below our rounding levels
-        return round(v + 0.0, 9)
+        # kill -0.0 and representation noise far below our rounding levels;
+        # kind-tagged so double-vs-int divergences are visible too.
+        return ("f", round(v + 0.0, 9))
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
+    if isinstance(v, dict):  # map/struct cells (either engine)
+        return tuple(sorted((str(k), norm_cell(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, bytes):
@@ -34,6 +62,31 @@ def normalize(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return [cols[i] for i in order], out
+
+
+def hugeint_columns(arrow_table) -> list[str]:
+    """Names of columns carrying DuckDB's HUGEINT signature
+    (decimal128(38,0)) — almost always an un-cast SUM(int)/factorial()
+    in the oracle SQL that must be wrapped in CAST(... AS BIGINT)."""
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return []
+    out = []
+    for field in arrow_table.schema:
+        t = field.type
+        if pa.types.is_decimal(t) and t.precision == 38 and t.scale == 0:
+            out.append(field.name)
+    return out
+
+
+def fetch_oracle(rel):
+    """(columns, row-tuples, hugeint column names) from a DuckDB relation,
+    fetched via Arrow so type-level divergence survives into the compare."""
+    tbl = rel.arrow()
+    cols = list(tbl.column_names)
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows, hugeint_columns(tbl)
 
 
 def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
@@ -54,9 +107,9 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
             # rows-only check: executes and returns
             rec["rows_match"] = True
             return rec
-        rel = oracle_con.sql(oracle_sql)
-        o_cols = list(rel.columns)
-        o_rows = [tuple(r) for r in rel.fetchall()]
+        o_cols, o_rows, hugeints = fetch_oracle(oracle_con.sql(oracle_sql))
+        if hugeints:
+            rec["warn_hugeint"] = hugeints
         rec["oracle_rows"] = len(o_rows)
         rec["rows_match"] = len(s_rows) == len(o_rows)
         rec["schema_match"] = sorted(s_cols) == sorted(o_cols)

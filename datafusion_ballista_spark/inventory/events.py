@@ -129,7 +129,8 @@ sessions AS (
 per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sessions GROUP BY 1, 2)
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
   MAX(n_events) AS longest_session
 FROM per_session
 GROUP BY user_id

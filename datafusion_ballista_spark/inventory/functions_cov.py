@@ -139,7 +139,7 @@ SELECT i,
   round(degrees(x), 6) AS deg_x, round(radians(x), 9) AS rad_x,
   CAST(sign(x - 10) AS INTEGER) AS sign_x,
   gcd(i, 12) AS gcd_12, lcm(i, 4) AS lcm_4,
-  factorial(CAST(least(i, 10) AS INTEGER)) AS fact,
+  CAST(factorial(CAST(least(i, 10) AS INTEGER)) AS BIGINT) AS fact,
   round(CAST(3.14159265 AS DOUBLE), 2) AS pi_2
 FROM (SELECT CAST(i AS INTEGER) AS i, CAST(i AS DOUBLE) AS x
       FROM generate_series(1, 20) t(i))
@@ -414,8 +414,10 @@ def fn_json(spark: SparkSession, sf: str) -> DataFrame:
 FN_JSON_SQL = """
 SELECT event_type,
   COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k_path,
-  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k_typed,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+    AS sum_k_path,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+    AS sum_k_typed,
   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events WHERE event_id < 2000
@@ -594,18 +596,48 @@ ORDER BY event_type
 
 
 def fn_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL) + percentile_approx: sketch outputs are
-    engine-specific, so this is a rows-only entry; the bounds test lives in
-    tests/test_functions.py."""
+    """approx_count_distinct (HLL, rsd 0.05) + percentile_approx: sketch
+    outputs are engine-specific, so the deterministic contract is
+    bounds-booleans — each approx value is checked against a generous
+    tolerance of the exact value, entirely Spark-side; the oracle computes
+    the same booleans from exact values (trivially true), so the hash gate
+    matches exactly when every sketch lands in bounds. ``exact_users`` is
+    also emitted and value-compared for real cross-engine signal."""
     e = tables(spark, sf, "events").events
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5).alias("approx_med"),
-        )
-        .orderBy("event_type")
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_med"),
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
     )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            (F.col("approx_users") >= F.col("exact_users") * 0.8)
+            & (F.col("approx_users") <= F.col("exact_users") * 1.2)
+        ).alias("users_ok"),
+        (
+            (F.col("approx_med") >= F.col("p40"))
+            & (F.col("approx_med") <= F.col("p60"))
+        ).alias("med_ok"),
+    ).orderBy("event_type")
+
+
+FN_AGG_APPROX_SQL = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS exact_users,
+  COUNT(DISTINCT user_id)
+    BETWEEN COUNT(DISTINCT user_id) * 0.8 AND COUNT(DISTINCT user_id) * 1.2
+    AS users_ok,
+  quantile_cont(value, 0.5)
+    BETWEEN quantile_cont(value, 0.40) AND quantile_cont(value, 0.60)
+    AS med_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -625,5 +657,5 @@ QUERIES: dict[str, QuerySpec] = {
     "fn_agg_minmax_by": QuerySpec(fn_agg_minmax_by, FN_AGG_MINMAX_BY_SQL),
     "fn_agg_filter": QuerySpec(fn_agg_filter, FN_AGG_FILTER_SQL),
     "fn_agg_regr": QuerySpec(fn_agg_regr, FN_AGG_REGR_SQL),
-    "fn_agg_approx": QuerySpec(fn_agg_approx, None),
+    "fn_agg_approx": QuerySpec(fn_agg_approx, FN_AGG_APPROX_SQL),
 }

@@ -83,19 +83,26 @@ large AS (
 
 # groupby.sql:1-19 — the ten h2o groupby questions, same order.
 _SQL: dict[str, str] = {
-    "h2o_g1_sum_by_id1": "SELECT id1, SUM(v1) AS v1 FROM x GROUP BY id1",
+    # CAST(SUM(int) AS BIGINT) everywhere: a no-op on Spark (SUM(INT) is
+    # already BIGINT) but pins DuckDB, whose SUM(INTEGER) returns HUGEINT
+    # (arrow decimal128) and hash-mismatches the driver's type-aware compare.
+    "h2o_g1_sum_by_id1": (
+        "SELECT id1, CAST(SUM(v1) AS BIGINT) AS v1 FROM x GROUP BY id1"
+    ),
     "h2o_g2_sum_by_id1_id2": (
-        "SELECT id1, id2, SUM(v1) AS v1 FROM x GROUP BY id1, id2"
+        "SELECT id1, id2, CAST(SUM(v1) AS BIGINT) AS v1 FROM x GROUP BY id1, id2"
     ),
     "h2o_g3_sum_avg_by_id3": (
-        "SELECT id3, SUM(v1) AS v1, ROUND(AVG(v3), 6) AS v3 FROM x GROUP BY id3"
+        "SELECT id3, CAST(SUM(v1) AS BIGINT) AS v1, ROUND(AVG(v3), 6) AS v3 "
+        "FROM x GROUP BY id3"
     ),
     "h2o_g4_means_by_id4": (
         "SELECT id4, ROUND(AVG(v1), 6) AS v1, ROUND(AVG(v2), 6) AS v2, "
         "ROUND(AVG(v3), 6) AS v3 FROM x GROUP BY id4"
     ),
     "h2o_g5_sums_by_id6": (
-        "SELECT id6, SUM(v1) AS v1, SUM(v2) AS v2, ROUND(SUM(v3), 4) AS v3 "
+        "SELECT id6, CAST(SUM(v1) AS BIGINT) AS v1, "
+        "CAST(SUM(v2) AS BIGINT) AS v2, ROUND(SUM(v3), 4) AS v3 "
         "FROM x GROUP BY id6"
     ),
     "h2o_g6_median_sd": (
@@ -161,9 +168,9 @@ _SQL: dict[str, str] = {
     # module docstring for the OVER () scale note).
     "h2o_w_partition_sums": (
         "SELECT id1, id2, id3, v2, "
-        "SUM(v2) OVER (PARTITION BY id1) AS sum_by_id1, "
-        "SUM(v2) OVER (PARTITION BY id2) AS sum_by_id2, "
-        "SUM(v2) OVER (PARTITION BY id3) AS sum_by_id3 FROM x"
+        "CAST(SUM(v2) OVER (PARTITION BY id1) AS BIGINT) AS sum_by_id1, "
+        "CAST(SUM(v2) OVER (PARTITION BY id2) AS BIGINT) AS sum_by_id2, "
+        "CAST(SUM(v2) OVER (PARTITION BY id3) AS BIGINT) AS sum_by_id3 FROM x"
     ),
     "h2o_w_lag_lead_frames": (
         "SELECT id1, id2, id3, v2, "
@@ -180,14 +187,14 @@ _SQL: dict[str, str] = {
     ),
     "h2o_w_rolling_sum": (
         "SELECT id1, id2, id3, v2, "
-        "SUM(v2) OVER (PARTITION BY id2 ORDER BY id3 "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "CAST(SUM(v2) OVER (PARTITION BY id2 ORDER BY id3 "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS my_rolling_sum_by_id2 FROM x"
     ),
     "h2o_w_range_between": (
         "SELECT id1, id2, id3, v2, "
-        "SUM(v2) OVER (PARTITION BY id2 ORDER BY v2 "
-        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) "
+        "CAST(SUM(v2) OVER (PARTITION BY id2 ORDER BY v2 "
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS my_range_between_by_id2 FROM x"
     ),
     "h2o_w_top2_per_key": (

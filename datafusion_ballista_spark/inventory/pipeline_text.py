@@ -148,9 +148,9 @@ DEDUP_EXACT_SQL = """
 WITH g AS (
   SELECT md5(lower(trim(text))) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
   FROM documents GROUP BY 1)
-SELECT SUM(n) AS n_docs, COUNT(*) AS n_kept,
-  SUM(n) - COUNT(*) AS n_dropped,
-  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_groups
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_kept,
+  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
 FROM g
 """
 
@@ -784,7 +784,8 @@ q AS (
         AS quality
     FROM documents)
   WHERE quality >= 0.4)
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM keep)
   AND doc_id IN (SELECT doc_id FROM q)

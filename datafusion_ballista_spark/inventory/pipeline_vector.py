@@ -431,10 +431,12 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     return ed.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
-        F.aggregate(F.col("q"), F.lit(0), lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(F.col("q"), F.lit(0), lambda a, x: a + x * x).alias(
-            "q_norm2"
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
         ),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+        ).alias("q_norm2"),
         n_sat.alias("n_saturated"),
     ).orderBy("vec_id")
 
@@ -454,8 +456,9 @@ quant AS (
   FROM scaled WHERE scale > 0)
 SELECT vec_id,
   round(scale, 6) AS scale,
-  list_aggregate(q, 'sum') AS q_sum,
-  list_aggregate(list_transform(q, x -> x * x), 'sum') AS q_norm2,
+  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT)
+    AS q_norm2,
   len(list_filter(q, x -> abs(x) = 127)) AS n_saturated
 FROM quant
 ORDER BY vec_id

@@ -365,7 +365,7 @@ def rel_theta_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REL_THETA_SQL = """
-SELECT lo, hi, COUNT(*) AS n,
+SELECT CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events
 JOIN (VALUES (0.0, 10.0), (10.0, 20.0), (20.0, 40.0), (40.0, 1000000000.0))

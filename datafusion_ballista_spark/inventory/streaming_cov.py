@@ -82,7 +82,8 @@ WITH gaps AS (
     THEN 1 ELSE 0 END AS is_start
   FROM events
 )
-SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+  COUNT(*) AS n_events
 FROM gaps GROUP BY user_id ORDER BY user_id
 """
 

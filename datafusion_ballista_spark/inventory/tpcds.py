@@ -341,7 +341,7 @@ ORDER BY rnk
 # aggregate pass. reference: benchmarks/queries-tpcds/q66.sql
 # --------------------------------------------------------------------------
 def tpcds_q66_shape(spark: SparkSession, sf: str) -> DataFrame:
-    """Monthly sales pivot per customer nation: SUM(CASE WHEN month=i ...)
+    """Monthly sales pivot per customer nation: CAST(CAST(CAST(CAST(CAST(SUM(CASE WHEN month=i ...)
     x12 in a single aggregate — ds q66's jan_sales..dec_sales block."""
     t = tables(spark, sf, "orders", "customer")
     o = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -830,19 +830,19 @@ def tpcds_q99_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 TPCDS_Q99_SQL = """
 SELECT o_orderpriority,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
-      THEN 1 ELSE 0 END) AS d30,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+      THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
        AND date_diff('day', o_orderdate, l_shipdate) <= 60
-      THEN 1 ELSE 0 END) AS d60,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
        AND date_diff('day', o_orderdate, l_shipdate) <= 90
-      THEN 1 ELSE 0 END) AS d90,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
        AND date_diff('day', o_orderdate, l_shipdate) <= 120
-      THEN 1 ELSE 0 END) AS d120,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120
-      THEN 1 ELSE 0 END) AS d_over_120
+      THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120
+      THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

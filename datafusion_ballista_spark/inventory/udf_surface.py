@@ -59,7 +59,8 @@ def udf_sql_register(spark: SparkSession, sf: str) -> DataFrame:
 
 
 UDF_SQL_REGISTER_SQL = """
-SELECT lang, SUM(length(string_split(text, ' '))) AS toks, COUNT(*) AS docs
+SELECT lang, CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS toks,
+  COUNT(*) AS docs
 FROM documents GROUP BY lang ORDER BY lang
 """
 

@@ -369,8 +369,7 @@ def win_global_rownumber_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 WIN_GLOBAL_RN_SQL = """
 SELECT rn, event_id, value FROM (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS INTEGER)
-           AS rn,
+  SELECT ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
          event_id, value
   FROM events)
 WHERE rn % 97 = 0

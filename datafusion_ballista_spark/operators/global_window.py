@@ -74,6 +74,8 @@ def global_row_number(
     )
     return (
         local.join(F.broadcast(off_df), _PID)
-        .withColumn(out_col, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("int"))
+        # bigint on purpose: this operator exists for full-table ranking at
+        # scale, where ranks exceed 2^31 (the reference's row_number is i64).
+        .withColumn(out_col, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("bigint"))
         .drop(_PID, _LOCAL_RN, _OFFSET)
     )

@@ -134,7 +134,16 @@ class BallistaSession:
                 else ("VIEW" if t.tableType == "VIEW" else "BASE TABLE")
             )
             tbls.append((catalog_name, schema, t.name, ttype))
-            for i, c in enumerate(cat.listColumns(t.name), start=1):
+            # Qualify the lookup for catalog tables: an unqualified name is
+            # resolved temp-view-first, so a temp view shadowing a catalog
+            # table would return the view's columns for both rows (and
+            # global_temp entries can fail resolution entirely).
+            qualified = (
+                t.name
+                if t.isTemporary and not t.namespace
+                else ".".join([*t.namespace, t.name])
+            )
+            for i, c in enumerate(cat.listColumns(qualified), start=1):
                 cols.append(
                     (
                         catalog_name,

@@ -159,9 +159,11 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
         count = _read_long(buf)
         if count == 0:
             break
+        if count < 0:
+            # spec: a negative count is followed by ONE block byte-size
+            # long for the whole block, then |count| key/value pairs
+            _read_long(buf)
         for _ in range(abs(count)):
-            if count < 0:
-                _read_long(buf)  # block byte size, unused
             k = _read_bytes(buf).decode("utf-8")
             meta[k] = _read_bytes(buf)
     schema = json.loads(meta["avro.schema"])

@@ -80,10 +80,47 @@ class CopyTo:
         self.options = options
 
 
+def _split_outside_quotes(s: str, sep: str = ",") -> list[str]:
+    parts: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == sep:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_COPY_OPT_PAIR_RE = re.compile(
+    r"^\s*(?P<k>'[^']*'|\"[^\"]*\"|[\w.]+)\s*(?:=\s*|\s+)(?P<v>.*?)\s*$",
+    re.DOTALL,
+)
+
+
 def parse_copy(query: str) -> CopyTo | None:
     """Parse a DataFusion COPY statement; None if the query is not a COPY."""
     m = _COPY_RE.match(query)
     if m is None:
+        if re.match(r"\s*COPY\b", query, re.IGNORECASE):
+            # A COPY statement our grammar can't parse (e.g. deeply nested
+            # subquery) must fail HERE with a real message, not fall through
+            # to spark.sql and die with an opaque parse error.
+            raise UnsupportedSQLFeature(
+                "could not parse COPY statement; supported form is "
+                "COPY {table | (query)} TO 'path' [STORED AS fmt] "
+                "[PARTITIONED BY (..)] [OPTIONS (..)] — deeper subquery "
+                "nesting is not supported, CREATE a view first"
+            )
         return None
     src = m.group("src").strip()
     source_sql = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
@@ -108,13 +145,17 @@ def parse_copy(query: str) -> CopyTo | None:
     options: dict[str, str] = {}
     opts_m = _COPY_OPTS_RE.search(rest)
     if opts_m:
-        for pair in opts_m.group(1)[1:-1].split(","):
-            pair = pair.strip()
-            if not pair:
+        # split on commas OUTSIDE quotes so a value like 'a,b' survives;
+        # the pair regex splits key from value at the first '='/space, so
+        # '=' inside a quoted value survives too.
+        for pair in _split_outside_quotes(opts_m.group(1)[1:-1]):
+            if not pair.strip():
                 continue
-            kv = [p.strip().strip("'\"") for p in pair.replace("=", " ").split(None, 1)]
-            if len(kv) == 2:
-                options[kv[0]] = kv[1]
+            kv = _COPY_OPT_PAIR_RE.match(pair)
+            if kv:
+                options[kv.group("k").strip("'\"")] = (
+                    kv.group("v").strip().strip("'\"")
+                )
     return CopyTo(source_sql, m.group("path"), _COPY_FORMATS[fmt],
                   partition_by, options)
 
@@ -151,32 +192,50 @@ def similar_to_regex(pattern: str) -> str:
 
 # QUALIFY (window-function filter; DataFusion/DuckDB support it natively,
 # Spark has no equivalent clause). Conservative single-statement rewrite:
-#   SELECT <body> QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
-# -> SELECT * FROM (SELECT <body>) __qualify WHERE <pred> [ORDER BY/LIMIT]
-# The predicate must reference select-list ALIASES (true in DataFusion too
-# when the window expr isn't repeated verbatim).
-_QUALIFY_RE = re.compile(
-    r"^(?P<body>\s*SELECT\b.*?)\bQUALIFY\b(?P<pred>.*?)"
-    r"(?P<tail>\bORDER\s+BY\b.*|\bLIMIT\b.*|)$",
-    re.IGNORECASE | re.DOTALL,
-)
+#   [WITH ...] SELECT <body> QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+# -> SELECT * FROM ([WITH...] SELECT <body>) __qualify WHERE <pred> [tail]
+# (Spark allows CTE definitions inside a subquery, so the WITH prefix
+# wraps along with the SELECT.) The predicate must reference select-list
+# ALIASES (true in DataFusion too when the window expr isn't repeated
+# verbatim). The QUALIFY keyword is located on a literal-blanked copy of
+# the query, so 'QUALIFY' inside a string literal never triggers.
+
+
+def _blank_literals(query: str) -> str:
+    """Same-length copy with single-quoted literal contents blanked, so
+    keyword searches can't false-match inside strings."""
+    return re.sub(
+        r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", query
+    )
 
 
 def _rewrite_qualify(query: str) -> str:
-    if not re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+    blanked = _blank_literals(query)
+    hits = list(re.finditer(r"\bQUALIFY\b", blanked, re.IGNORECASE))
+    if not hits:
         return query
-    m = _QUALIFY_RE.match(query)
-    # body is non-greedy, so a second QUALIFY would land in pred/tail
-    if m is None or re.search(
-        r"\bQUALIFY\b", m.group("pred") + m.group("tail"), re.IGNORECASE
-    ):
+    if len(hits) > 1:
         raise UnsupportedSQLFeature(
             "only a single top-level QUALIFY clause is supported; rewrite "
             "nested QUALIFYs as subquery WHERE filters"
         )
-    body = m.group("body").rstrip()
-    pred = m.group("pred").strip()
-    tail = m.group("tail").strip()
+    if not re.match(r"\s*(WITH|SELECT)\b", query, re.IGNORECASE):
+        raise UnsupportedSQLFeature(
+            "QUALIFY is only supported on a top-level [WITH ...] SELECT "
+            "statement"
+        )
+    pos = hits[0].start()
+    body = query[:pos].rstrip()
+    after = query[pos + len("QUALIFY"):]
+    tail_m = re.search(
+        r"\bORDER\s+BY\b|\bLIMIT\b", blanked[pos + len("QUALIFY"):],
+        re.IGNORECASE,
+    )
+    if tail_m:
+        pred = after[: tail_m.start()].strip()
+        tail = after[tail_m.start():].strip()
+    else:
+        pred, tail = after.strip().rstrip(";"), ""
     return (
         f"SELECT * FROM ({body}) __qualify WHERE {pred}"
         + (f" {tail}" if tail else "")

@@ -40,16 +40,18 @@ def oracle():
     con.close()
 
 
+from datafusion_ballista_spark.compare import fetch_oracle as _fetch_oracle
 from datafusion_ballista_spark.compare import normalize as _normalize
 
 
 def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?"):
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = oracle_con.sql(oracle_sql)
-    o_cols = list(rel.columns)
-    o_rows = [tuple(r) for r in rel.fetchall()]
-
+    o_cols, o_rows, hugeints = _fetch_oracle(oracle_con.sql(oracle_sql))
+    assert not hugeints, (
+        f"[{name}] oracle emits HUGEINT (decimal128(38,0)) column(s) "
+        f"{hugeints}: wrap the SUM(int)/factorial() in CAST(... AS BIGINT)"
+    )
     assert sorted(s_cols) == sorted(o_cols), (
         f"[{name}] column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
