@@ -220,6 +220,62 @@ def _make(sql_text: str):
     return run
 
 
+def _x(spark: SparkSession, sf: str) -> DataFrame:
+    register_all(spark, sf)
+    return BallistaSession(spark).sql(_CTE + "SELECT id1, id2, id3, v2 FROM x")
+
+
+def h2o_w_basic_global_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """window.sql:1-8 verbatim ("Basic Window", SUM(v2) OVER ()) — but as
+    the scalar-broadcast rewrite, not a single-partition window: an
+    unpartitioned unbounded SUM is a constant, so compute it as a 1-row
+    aggregate (partial/final, fully parallel) and broadcast-join it back.
+    Identical semantics at any scale; no global shuffle of the fact rows."""
+    from pyspark.sql import functions as F
+
+    x = _x(spark, sf)
+    total = x.agg(F.sum("v2").alias("window_basic"))
+    return x.crossJoin(F.broadcast(total)).select(
+        "id1", "id2", "id3", "v2", "window_basic"
+    )
+
+
+def h2o_w_sorted_rownum(spark: SparkSession, sf: str) -> DataFrame:
+    """window.sql:10-18 verbatim ("Sorted Window") through the distributed
+    global-rank operator (operators/global_window.py — the reference's
+    PartitionedBoundedWindowAggExec shape) instead of Spark's default
+    single-partition plan for ``OVER (ORDER BY id3)``. The companion
+    ``FIRST_VALUE(v2) OVER (ORDER BY id3)`` is constant over the whole
+    table (the frame always starts at the first row), so it is the 1-row
+    MIN_BY aggregate broadcast back — id3 is unique, so both are exact."""
+    from pyspark.sql import functions as F
+
+    from datafusion_ballista_spark.operators import global_row_number
+
+    x = _x(spark, sf)
+    first = x.agg(F.min_by("v2", "id3").alias("first_order_by"))
+    ranked = global_row_number(
+        x, [F.asc("id3")], out_col="row_number_order_by"
+    )
+    return ranked.crossJoin(F.broadcast(first)).select(
+        "id1", "id2", "id3", "v2", "first_order_by", "row_number_order_by"
+    )
+
+
+_W_BASIC_SQL = _CTE + (
+    "SELECT id1, id2, id3, v2, "
+    "CAST(SUM(v2) OVER () AS BIGINT) AS window_basic FROM x"
+)
+
+_W_SORTED_SQL = _CTE + (
+    "SELECT id1, id2, id3, v2, "
+    "FIRST_VALUE(v2) OVER (ORDER BY id3) AS first_order_by, "
+    "ROW_NUMBER() OVER (ORDER BY id3) AS row_number_order_by FROM x"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     name: QuerySpec(_make(_CTE + body), _CTE + body) for name, body in _SQL.items()
 }
+QUERIES["h2o_w_basic_global_sum"] = QuerySpec(h2o_w_basic_global_sum, _W_BASIC_SQL)
+QUERIES["h2o_w_sorted_rownum"] = QuerySpec(h2o_w_sorted_rownum, _W_SORTED_SQL)

@@ -6,11 +6,12 @@ events documents embeddings — one parquet each under an sf dir.
 Scale notes (the 100 TB story):
 - Loads are plain ``spark.read.parquet`` so Catalyst keeps predicate
   pushdown / column pruning / partition pruning; never materialize here.
-- ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-  with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
-  nanos and we convert via integer division (truncation — identical to the
-  DuckDB oracle's ns->us cast), keeping the whole conversion inside
-  whole-stage codegen.
+- ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (readable only as
+  int64 under ``spark.sql.legacy.parquet.nanosAsLong=true``) and as
+  TIMESTAMP(µs, naive) (arriving as TIMESTAMP_NTZ) across driver testdata
+  generations; ``load_table`` normalizes either to a session-TZ TIMESTAMP
+  (UTC) that matches the DuckDB oracle's naive read bit-for-bit, keeping
+  the whole conversion inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -50,9 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # tables load under ANY session (e.g. the driver's own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos -> TIMESTAMP (µs) by truncation, matching DuckDB.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # int64 nanos -> TIMESTAMP (µs) by truncation, matching DuckDB.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(µs, not UTC-adjusted) arrives as
+            # TIMESTAMP_NTZ under Spark 4's NTZ inference. DuckDB reads the
+            # same column as a naive timestamp; with the session pinned to
+            # UTC above, casting to TIMESTAMP keeps the wall-clock value
+            # bit-identical to the oracle while restoring the session-TZ
+            # type every timestamp function (unix_micros, window, ...)
+            # accepts.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -34,18 +34,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# File streams need an explicit schema; ts arrives as int64 nanos under
-# spark.sql.legacy.parquet.nanosAsLong (see sources/registry.py).
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# File streams need an explicit schema. The fixture's ts physical type has
+# shifted across driver generations — TIMESTAMP(NANOS) (readable only as
+# int64 under spark.sql.legacy.parquet.nanosAsLong) vs TIMESTAMP(µs,
+# naive) (arriving as TIMESTAMP_NTZ) — so the ts field is chosen by
+# inspecting the parquet footer, and both variants normalize to a
+# session-TZ TIMESTAMP column (see sources/registry.py).
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampNTZType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", None) == "ns"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,17 +69,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file is staged (symlinked) into an ingestion dir — exactly how a live
     pipeline would receive parquet drops.
     """
-    # ts is TIMESTAMP(NANOS); the LongType schema below needs the legacy
-    # nanos-as-long read path under any session (see sources/registry.py).
+    # nanos-era files need the legacy nanos-as-long read path; harmless
+    # for µs files (see sources/registry.py).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, "events.parquet")
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     ingest = os.path.join("/tmp/dbspark_stream", tag, "events")
     os.makedirs(ingest, exist_ok=True)
     link = os.path.join(ingest, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(ingest)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        os.symlink(src, link)
+    nanos = _ts_is_nanos(link)
+    raw = spark.readStream.schema(_events_schema(nanos)).parquet(ingest)
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:

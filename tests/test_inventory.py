@@ -23,12 +23,18 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries; round 3
-    rotates the previously-unverified modules into that window. Lock the
-    composition so an accidental reorder doesn't silently waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-4
+    window = the 11 rows that were driver-red in round 3 (oracle HUGEINT,
+    since fixed — they must be re-verified) + 39 first-ever rows for the
+    LLM-pipeline / io / events layer. Lock the composition so an
+    accidental reorder doesn't silently waste a round."""
     names = list(_ALL)[:50]
     mods = [_ALL[n].spark.__module__.rsplit(".", 1)[-1] for n in names]
-    assert mods[:17] == ["functions_cov"] * 17
-    assert mods[17:39] == ["h2o"] * 22
-    assert mods[39:46] == ["udf_surface"] * 7
-    assert mods[46:50] == ["sql_surface"] * 4
+    assert names[:3] == ["fn_math", "fn_json", "fn_agg_approx"]
+    assert mods[3:10] == ["h2o"] * 7
+    assert names[10] == "udf_sql_register"
+    assert mods[11:22] == ["pipeline_text"] * 11
+    assert mods[22:30] == ["pipeline_vector"] * 8
+    assert mods[30:43] == ["io_ops"] * 13
+    assert mods[43:49] == ["events"] * 6
+    assert names[49] == "multimodal_featurize"
