@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_surface,
         streaming_cov,
         tpcds,
+        tpcds2,
         tpch,
         udf_surface,
         windows,
@@ -79,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_cov,
         streaming_cov,
         tpcds,
+        tpcds2,
         functions_cov,
         h2o,
         udf_surface,
