@@ -27,11 +27,14 @@ Scale notes (100 TB): every groupby is a partial/final hash aggregate on
 the grouping key; joins are plain equi-joins with no forced broadcast
 hints — AQE promotes small/medium to broadcast at runtime, exactly the
 reference scheduler's size-threshold promotion
-(ballista/scheduler/src/planner.rs:430-560). The one global window
-(``OVER ()`` in w_basic is omitted for that reason; win_share_of_total in
-windows.py shows the scalar-broadcast rewrite you'd use at scale) — all
-windows here are PARTITION BY or bounded-frame, which Spark executes
-after a single hash/range shuffle.
+(ballista/scheduler/src/planner.rs:430-560). The window.sql suite is now
+verbatim-complete: the _SQL entries cover every PARTITION BY /
+bounded-frame row (single hash/range shuffle each), and the two
+no-PARTITION-BY rows run scale-safe — ``SUM(v2) OVER ()`` as the
+scalar-broadcast rewrite (h2o_w_basic_global_sum) and ``row_number()
+OVER (ORDER BY id3)`` through the distributed global-rank operator
+(h2o_w_sorted_rownum, operators/global_window.py) — never a
+single-partition sort.
 """
 
 from __future__ import annotations

@@ -125,14 +125,18 @@ def test_approx_bounds(spark):
     from tests.conftest import SF_DIR
 
     rows = {r.event_type: r for r in fn_agg_approx(spark, SF_DIR).collect()}
-    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from datafusion_ballista_spark.sources.registry import load_table
+
+    e = load_table(spark, SF_DIR, "events")
     exact = {
         r.event_type: r.n
         for r in e.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for et, r in rows.items():
-        # HLL at default rsd=5%: allow 15% slack
-        assert abs(r.approx_users - exact[et]) <= max(3, 0.15 * exact[et])
-        assert 0 <= r.approx_med <= 100
+        # the deterministic contract: every sketch landed in bounds and the
+        # exact companion column carries the real cross-engine signal
+        assert r.exact_users == exact[et]
+        assert r.users_ok and r.med_ok

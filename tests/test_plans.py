@@ -26,6 +26,7 @@ _EAGER_QUERIES = {
     "ctas_insert_sql",
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
     "win_global_rownumber_dist",  # offset cumulation collects per-part counts
+    "h2o_w_sorted_rownum",  # same operator: offsets collect at construction
 }
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
@@ -44,6 +45,8 @@ _NESTED_LOOP_OK = {
     "rel_not_in_nulls",
     "win_share_of_total",
     "tpcds_q88_shape",  # ds q88 shape: eight 1-row scalar counts cross-joined
+    "tpcds_q23_shape",  # ds q23 shape: 1-row max-spend threshold crossJoin
+    "h2o_w_basic_global_sum",  # OVER () rewrite: 1-row total crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
