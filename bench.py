@@ -9,9 +9,12 @@ Execution is forced with a noop sink (full pipeline, no driver collect
 cost), mirroring the reference benchmark harness's timing shape
 (reference: benchmarks/src/bin/tpch.rs benchmark loop).
 
-Hygiene (round-1 verdict): each query runs twice and ``queries`` reports
-the second (steady-state) iteration so the 1-3 s session/codegen overhead
-stops masking regressions; ``queries_cold`` keeps the first run. The same
+Hygiene (round-1 verdict, tightened round 4): each query runs once cold
+(``queries_cold``) then three timed iterations, and ``queries`` reports
+the MEDIAN of the three — the second run alone still carries whole-stage
+codegen compilation for the larger plans (measured: up to 2x), so a
+single post-warmup sample was too noisy to compare round-over-round.
+The iteration count is recorded in the JSON. The same
 queries' oracle SQL also runs on DuckDB (same parquet, same thread count)
 for a genuine same-scale local ratio — the reference's own published
 baseline lacks a single-node number at these SFs (BASELINE.md).
@@ -56,15 +59,21 @@ def main() -> None:
     # warmup: JVM/codegen/parquet footer caches on the smallest query
     specs["tpch_q6"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    iterations = 3
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in names:
-        for it in range(2):
+        samples: list[float] = []
+        for it in range(1 + iterations):
             t0 = time.perf_counter()
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            (cold if it == 0 else steady)[name] = dt
+            if it == 0:
+                cold[name] = dt
+            else:
+                samples.append(dt)
+        steady[name] = sorted(samples)[len(samples) // 2]
 
     # Same queries on DuckDB over the same parquet, same parallelism.
     duck: dict[str, float] = {}
@@ -100,6 +109,7 @@ def main() -> None:
         "unit": "sec",
         "queries": steady,
         "sf": _sf_of(sf_dir),
+        "iterations": iterations,
         "queries_cold": cold,
         "duckdb": duck,
         "bench_vs_duckdb": (

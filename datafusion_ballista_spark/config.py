@@ -49,6 +49,12 @@ SPARK_DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # preserving max parallelism: Spark's own docs recommend false; the
+    # default true spawns near-empty post-shuffle tasks whose scheduling
+    # latency dominates small stages and whose tiny partitions are wrong
+    # at 100 TB too (advisory-sized reducers are the scale story).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's parquet

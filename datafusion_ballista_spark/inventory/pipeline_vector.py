@@ -157,7 +157,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "bucket")
     sims = (
-        q.join(c, "bucket")
+        # query side is bounded (<= 20 rows by construction): broadcast it
+        # so the corpus never shuffles — each shard probes its own rows.
+        F.broadcast(q).join(c, "bucket")
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
     )
