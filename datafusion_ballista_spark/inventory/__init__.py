@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_cov,
         tpcds,
         tpcds2,
+        tpcds3,
         tpch,
         udf_surface,
         windows,
@@ -81,6 +82,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_cov,
         tpcds,
         tpcds2,
+        tpcds3,
         functions_cov,
         h2o,
         udf_surface,
