@@ -377,6 +377,91 @@ ORDER BY rn
 """
 
 
+def win_global_rank_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-table ``rank()`` with real ties, distributed — extends the
+    offset-stitched global window operator (operators/global_window.py)
+    beyond row_number: repartitionByRange keeps a tie group inside one
+    partition, so local rank + prior-partition row counts is exact. Every
+    97th rank is emitted to prove offsets across the whole range."""
+    from datafusion_ballista_spark.operators import global_rank
+
+    e = _events(spark, sf).select("event_id", "value")
+    ranked = global_rank(e, [F.desc("value")], out_col="rnk")
+    return (
+        ranked.where(F.col("rnk") % 97 == 0)
+        .select("rnk", "event_id", "value")
+        .orderBy("rnk", "event_id")
+    )
+
+
+WIN_GLOBAL_RANK_SQL = """
+SELECT rnk, event_id, value FROM (
+  SELECT CAST(RANK() OVER (ORDER BY value DESC) AS BIGINT) AS rnk,
+         event_id, value
+  FROM events)
+WHERE rnk % 97 = 0
+ORDER BY rnk, event_id
+"""
+
+
+def win_global_dense_rank_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-table ``dense_rank()``, distributed: the stitch offset is the
+    count of DISTINCT sort keys in prior partitions (a per-partition
+    countDistinct — still one tiny metadata row per partition)."""
+    from datafusion_ballista_spark.operators import global_rank
+
+    e = _events(spark, sf).select("event_id", "value")
+    ranked = global_rank(e, [F.desc("value")], out_col="rnk", dense=True)
+    return (
+        ranked.where(F.col("rnk") % 23 == 0)
+        .select("rnk", "event_id", "value")
+        .orderBy("rnk", "event_id")
+    )
+
+
+WIN_GLOBAL_DENSE_RANK_SQL = """
+SELECT rnk, event_id, value FROM (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY value DESC) AS BIGINT) AS rnk,
+         event_id, value
+  FROM events)
+WHERE rnk % 23 = 0
+ORDER BY rnk, event_id
+"""
+
+
+def win_global_cumsum_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-table running SUM OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING), distributed: per-partition local cumulative sums shifted
+    by the prior partitions' totals. Values accumulate in DECIMAL so the
+    stitched result is bit-identical to a serial scan (float partials
+    would re-associate)."""
+    from datafusion_ballista_spark.operators import global_running_sum
+
+    e = _events(spark, sf).select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    out = global_running_sum(
+        e, [F.asc("event_id")], F.col("v"), out_col="rsum"
+    )
+    return (
+        out.where(F.col("event_id") % 97 == 0)
+        .select("event_id", F.col("rsum").cast("double").alias("rsum"))
+        .orderBy("event_id")
+    )
+
+
+WIN_GLOBAL_CUMSUM_SQL = """
+SELECT event_id, CAST(rsum AS DOUBLE) AS rsum FROM (
+  SELECT event_id,
+         SUM(CAST(value AS DECIMAL(18,2)))
+           OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+  FROM events)
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ranking": QuerySpec(win_ranking, WIN_RANKING_SQL),
     "win_ntile_pct": QuerySpec(win_ntile_pct, WIN_NTILE_SQL),
@@ -390,5 +475,12 @@ QUERIES: dict[str, QuerySpec] = {
     "win_first_last_nth": QuerySpec(win_first_last_nth, WIN_FIRST_LAST_SQL),
     "win_global_rownumber_dist": QuerySpec(
         win_global_rownumber_dist, WIN_GLOBAL_RN_SQL
+    ),
+    "win_global_rank_dist": QuerySpec(win_global_rank_dist, WIN_GLOBAL_RANK_SQL),
+    "win_global_dense_rank_dist": QuerySpec(
+        win_global_dense_rank_dist, WIN_GLOBAL_DENSE_RANK_SQL
+    ),
+    "win_global_cumsum_dist": QuerySpec(
+        win_global_cumsum_dist, WIN_GLOBAL_CUMSUM_SQL
     ),
 }

@@ -79,3 +79,100 @@ def global_row_number(
         .withColumn(out_col, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("bigint"))
         .drop(_PID, _LOCAL_RN, _OFFSET)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rnk",
+    dense: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed no-PARTITION-BY ``rank()`` / ``dense_rank()`` — the same
+    offset-stitched algorithm as ``global_row_number``, exact because
+    ``repartitionByRange`` hashes EQUAL sort keys to the SAME partition:
+    a tie group never straddles a partition boundary, so a local rank plus
+    the preceding partitions' row count (or distinct-key count for dense)
+    is the global rank."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = (
+        df.repartitionByRange(int(n), *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries (see above)
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    fn = F.dense_rank() if dense else F.rank()
+    local = ranged.withColumn(_LOCAL_RN, fn.over(w))
+    if dense:
+        # dense offset = number of DISTINCT key tuples in prior partitions,
+        # which is exactly the partition's max local dense_rank (no need to
+        # re-derive the key expression from the sort columns).
+        counts_df = local.groupBy(_PID).agg(F.max(_LOCAL_RN).alias("c"))
+    else:
+        counts_df = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c"))
+    counts = sorted((r[_PID], r["c"]) for r in counts_df.collect())
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} int, {_OFFSET} bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("bigint"))
+        .drop(_PID, _LOCAL_RN, _OFFSET)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: Column,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed no-PARTITION-BY running ``SUM(value) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` — range shuffle, per-partition local
+    cumulative sum, then each partition shifts by the total of all prior
+    partitions (one tiny per-partition aggregate, cumulated driver-side
+    and broadcast back; the reference's partitioned bounded-window shape).
+    ``order_cols`` must end in a unique tiebreaker so the ROWS frame is
+    deterministic."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    val = "__gw_val"
+    ranged = (
+        df.withColumn(val, value_col)
+        .repartitionByRange(int(n), *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(_LOCAL_RN, F.sum(val).over(w))
+    # Offsets carry the LOCAL SUM's OWN type (pass decimals for exact,
+    # order-independent stitching — float partials would re-associate).
+    sum_type = dict(local.dtypes)[_LOCAL_RN]
+    sums = sorted(
+        (r[_PID], r["s"])
+        for r in ranged.groupBy(_PID).agg(F.sum(val).alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, str(acc)))
+        acc += s if s is not None else 0
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} int, {_OFFSET} string"
+    ).withColumn(_OFFSET, F.col(_OFFSET).cast(sum_type))
+    return (
+        local.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.col(_LOCAL_RN) + F.col(_OFFSET))
+        .drop(_PID, _LOCAL_RN, _OFFSET, val)
+    )

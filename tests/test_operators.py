@@ -51,3 +51,64 @@ def test_ranks_are_dense_and_complete(spark):
         ).collect()
     )
     assert rns == list(range(1, 251))
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from datafusion_ballista_spark.operators import global_rank
+
+    # v = id % 13 gives real tie groups spanning the id range, so ties
+    # land across range-partition boundaries if the operator were wrong.
+    df = spark.range(500).selectExpr("id", "CAST(id % 13 AS DOUBLE) AS v")
+    got = {
+        r.id: r.rnk
+        for r in global_rank(df, [F.desc("v")], num_partitions=7).collect()
+    }
+    want = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk", F.rank().over(Window.orderBy(F.desc("v"))).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_dense_rank_matches_single_partition_window(spark):
+    from datafusion_ballista_spark.operators import global_rank
+
+    df = spark.range(500).selectExpr("id", "CAST(id % 13 AS DOUBLE) AS v")
+    got = {
+        r.id: r.rnk
+        for r in global_rank(
+            df, [F.desc("v")], dense=True, num_partitions=7
+        ).collect()
+    }
+    want = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk",
+            F.dense_rank().over(Window.orderBy(F.desc("v"))).cast("bigint"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from datafusion_ballista_spark.operators import global_running_sum
+
+    df = spark.range(400).selectExpr(
+        "id", "CAST(CAST(id % 97 AS DECIMAL(18,2)) / 7 AS DECIMAL(18,2)) AS v"
+    )
+    got = {
+        r.id: r.rsum
+        for r in global_running_sum(
+            df, [F.asc("id")], F.col("v"), out_col="rsum", num_partitions=6
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.rsum
+        for r in df.withColumn("rsum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -26,6 +26,9 @@ _EAGER_QUERIES = {
     "ctas_insert_sql",
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
     "win_global_rownumber_dist",  # offset cumulation collects per-part counts
+    "win_global_rank_dist",  # same operator family
+    "win_global_dense_rank_dist",  # same operator family
+    "win_global_cumsum_dist",  # same operator family
     "h2o_w_sorted_rownum",  # same operator: offsets collect at construction
 }
 
