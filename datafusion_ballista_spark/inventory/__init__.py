@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
         tpch,
         udf_surface,
         windows,
@@ -83,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
         functions_cov,
         h2o,
         udf_surface,
