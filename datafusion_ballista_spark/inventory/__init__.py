@@ -37,6 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_ops,
         multimodal_cov,
         pipeline_text,
+        pipeline_train,
         pipeline_vector,
         relational,
         sql_surface,
@@ -85,6 +86,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds2,
         tpcds3,
         tpcds4,
+        pipeline_train,
         functions_cov,
         h2o,
         udf_surface,

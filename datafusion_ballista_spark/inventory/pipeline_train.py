@@ -1,0 +1,325 @@
+"""Training-data assembly pipeline: the last mile between a curated
+corpus (pipeline_text) and a training run — deterministic splits,
+stratified sampling, sequence packing, benchmark-contamination checks,
+and mixture weighting. Beyond-reference (the reference engine has no
+data-pipeline layer); sits alongside pipeline_text/pipeline_vector as
+the LLM-data surface over the ``documents`` fixture.
+
+Everything is hash-deterministic — no Bernoulli RNG anywhere — so every
+entry has an exact DuckDB oracle AND re-runs reproducibly on a cluster:
+the split/sample decisions come from md5(doc_id) buckets (``md5`` is
+engine-identical; folded via the shared 48-bit hex trick), not from
+``rand()``/``sampleBy`` whose draws no second engine can replay.
+
+Scale notes (100 TB):
+- split/sample/mixture are map-side expressions + one partial/final
+  aggregate each — no shuffle beyond the final groupBy;
+- sequence packing windows WITHIN a shard key (doc_id % nshards), so the
+  cumulative-token window is a per-shard sort, never global;
+- the contamination check is shingle-bucketed exactly like the dedup
+  family (explode -> semi-join on the shingle hash, hot-shingle cap
+  inherited from pipeline_text) — never an all-pairs compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.pipeline_text import (
+    _exploded_shingles,
+    _SHINGLE_CTE_SQL,
+)
+from datafusion_ballista_spark.inventory.util import tables
+
+_PACK_TOKENS = 512  # context-window budget per packed sequence
+_NSHARDS = 8
+
+
+def _hash_bucket(c: Column, mod: int) -> Column:
+    """md5-derived uniform bucket in [0, mod) — engine-identical."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+def _hash_bucket_sql(expr: str, mod: int) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 12))::BIGINT % {mod})"
+
+
+# ---------------------------------------------------------------------------
+# 1. deterministic train/val/test split
+
+
+def train_split_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 train/val/test split by md5(doc_id) bucket — the split a
+    doc lands in is a pure function of its id, so adding data or
+    re-running on a different cluster never reshuffles membership.
+    Output: per (split, lang) doc and char counts."""
+    d = tables(spark, sf, "documents").documents
+    b = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_SPLIT_SQL = f"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT lang, n_chars, {_hash_bucket_sql('doc_id', 100)} AS b
+      FROM documents)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. stratified (per-language) sampling
+
+
+_LANG_RATES = {"en": 1000, "de": 500, "fr": 500, "es": 250, "zh": 250}
+# per-mille keep rates: en 100%, de/fr 50%, es/zh 25%
+
+
+def train_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language downsampling at fixed per-mille rates, decided by an
+    independent salted hash (salt keeps it uncorrelated with the
+    train/val split). Output: kept vs total per language — the realized
+    rate converges to the target as the corpus grows."""
+    d = tables(spark, sf, "documents").documents
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _LANG_RATES.items()
+        ],
+        F.lit(0),
+    )
+    keep = _hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit("#s")), 1000) < rate
+    return (
+        d.select("lang", keep.cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_RATE_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _LANG_RATES.items())
+    + " ELSE 0 END"
+)
+
+TRAIN_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s'), 1, 12))::BIGINT
+     % 1000) < {_RATE_CASE_SQL}
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. sequence packing
+
+
+def train_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences: docs
+    are sharded (doc_id % N so packing parallelizes), ordered
+    deterministically within the shard, and assigned to bins by the
+    cumulative token count — floor(cum_before / budget), the streaming
+    first-fit discipline expressed as one bounded window. Output: per-bin
+    doc counts and token fill levels for the first shards."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _NSHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_TOKENS),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .where(F.col("shard") < 2)
+        .orderBy("shard", "bin")
+    )
+
+
+TRAIN_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_NSHARDS} AS shard,
+         len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT shard, doc_id, n_tok,
+    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        / {_PACK_TOKENS}) AS BIGINT) AS bin
+  FROM toks)
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM packed WHERE shard < 2
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. benchmark-contamination check
+
+
+def train_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Flag training documents sharing any word-3-gram with a held-out
+    benchmark set (doc_id % 97 == 0 stands in for the benchmark) — the
+    decontamination sweep every pretraining corpus needs. Shingle-
+    bucketed semi-join on the shared shingle pipeline (hot-shingle cap
+    included): cost is Σ per-shingle matches, never |train| × |bench|."""
+    ex = _exploded_shingles(spark, sf)
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_shingles = ex.where(is_bench).select("s").distinct()
+    train = ex.where(~is_bench)
+    contaminated = (
+        train.join(bench_shingles, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train_docs = train.select("doc_id").distinct()
+    return (
+        train_docs.join(
+            contaminated.withColumn("c", F.lit(1)), "doc_id", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+
+
+TRAIN_CONTAMINATION_SQL = (
+    "WITH "
+    + _SHINGLE_CTE_SQL.strip().rstrip(",")
+    + f""",
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM train WHERE s IN (SELECT s FROM bench))
+SELECT COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM (SELECT DISTINCT doc_id FROM train) t
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# 5. mixture weighting
+
+
+_TARGET_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+# target percent of the training mixture per language
+
+
+def train_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture rebalancing report: each language's actual char share vs
+    its target weight, and the sampling multiplier (target/actual) a
+    weighted loader would apply. Shares divide in DOUBLE on both sides;
+    the totals come from a 5-row aggregate crossJoined as a genuine
+    scalar broadcast."""
+    d = tables(spark, sf, "documents").documents
+    per_lang = d.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    total = per_lang.agg(F.sum("chars").alias("total_chars"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _TARGET_WEIGHTS.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("chars").cast("bigint").alias("chars"),
+            F.round(
+                F.col("chars").cast("double")
+                * 100
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("actual_pct"),
+            target.cast("bigint").alias("target_pct"),
+            F.round(
+                target.cast("double")
+                * F.col("total_chars").cast("double")
+                / (F.col("chars").cast("double") * 100),
+                6,
+            ).alias("multiplier"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TARGET_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _TARGET_WEIGHTS.items()
+    )
+    + " ELSE 0 END"
+)
+
+TRAIN_MIX_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total_chars FROM per_lang)
+SELECT lang, chars,
+  ROUND(CAST(chars AS DOUBLE) * 100 / CAST(total_chars AS DOUBLE), 6)
+    AS actual_pct,
+  CAST({_TARGET_CASE_SQL} AS BIGINT) AS target_pct,
+  ROUND(CAST({_TARGET_CASE_SQL} AS DOUBLE) * CAST(total_chars AS DOUBLE)
+        / (CAST(chars AS DOUBLE) * 100), 6) AS multiplier
+FROM per_lang, tot
+ORDER BY lang
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
+    "train_sample_stratified": QuerySpec(
+        train_sample_stratified, TRAIN_SAMPLE_SQL
+    ),
+    "train_seq_packing": QuerySpec(train_seq_packing, TRAIN_PACK_SQL),
+    "train_contamination_ngram": QuerySpec(
+        train_contamination_ngram, TRAIN_CONTAMINATION_SQL
+    ),
+    "train_mix_weights": QuerySpec(train_mix_weights, TRAIN_MIX_SQL),
+}
