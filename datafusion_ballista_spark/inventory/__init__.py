@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds2,
         tpcds3,
         tpcds4,
+        tpcds5,
         tpch,
         udf_surface,
         windows,
@@ -86,6 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds2,
         tpcds3,
         tpcds4,
+        tpcds5,
         pipeline_train,
         functions_cov,
         h2o,
