@@ -258,6 +258,44 @@ ORDER BY n_regionkey
 """
 
 
+def write_arrow_ipc_dist_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Arrow IPC sink roundtrip: every partition streams its
+    own IPC file via mapInArrow (sources/arrow_ipc.py:write_arrow_ipc_dist
+    — no driver materialization), then the distributed reader aggregates
+    them back. Proves the bulk write path, not just the small-result
+    sink."""
+    from datafusion_ballista_spark.sources.arrow_ipc import (
+        read_arrow_ipc_dist,
+        write_arrow_ipc_dist,
+    )
+
+    out_dir = _out(sf, "supplier_arrow_dist")
+    src = tables(spark, sf, "supplier").supplier.select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).repartition(4, "s_suppkey")
+    paths = write_arrow_ipc_dist(src, out_dir)
+    back = read_arrow_ipc_dist(spark, paths)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+WRITE_ARROW_DIST_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 def url_table_sql(spark: SparkSession, sf: str) -> DataFrame:
     """URL table: query a file path directly (context_checks.rs:561) —
     Spark's ``parquet.`path``` form."""
@@ -397,5 +435,8 @@ QUERIES: dict[str, QuerySpec] = {
     "inmem_table_join": QuerySpec(inmem_table_join, INMEM_TABLE_SQL),
     "bucketed_colocated_join": QuerySpec(
         bucketed_colocated_join, BUCKETED_JOIN_SQL
+    ),
+    "write_arrow_ipc_dist_roundtrip": QuerySpec(
+        write_arrow_ipc_dist_roundtrip, WRITE_ARROW_DIST_SQL
     ),
 }

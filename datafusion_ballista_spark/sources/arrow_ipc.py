@@ -77,8 +77,56 @@ def read_arrow_ipc_dist(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def write_arrow_ipc(df: DataFrame, path: str) -> None:
-    """Write a DataFrame to a single Arrow IPC file (small-result sink)."""
+    """Write a DataFrame to a single Arrow IPC file (small-result sink).
+
+    For bulk output use ``write_arrow_ipc_dist`` — this single-file form
+    exists for the reference's sideload-fixture use case only."""
     tbl = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with ipc.new_file(path, tbl.schema) as w:
         w.write_table(tbl)
+
+
+def write_arrow_ipc_dist(df: DataFrame, out_dir: str) -> list[str]:
+    """Distributed Arrow IPC sink: every partition streams its own
+    ``part-{pid:05d}.arrow`` file straight from Arrow batches — no
+    driver-side materialization, no shuffle, parallelism = input
+    partitions (the parquet-writer layout, IPC format). Returns the
+    written file paths (one manifest row per non-empty partition came
+    back through a collect of file names only — metadata-sized).
+
+    Empty partitions write nothing; readers glob the directory. Files
+    are written to a temp name and renamed so a concurrent reader never
+    sees a torn file (single-filesystem rename atomicity, the same
+    discipline Spark's own committers use)."""
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.arrow")
+        tmp = final + ".tmp"
+        writer = None
+        n = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = ipc.new_file(tmp, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            os.replace(tmp, final)
+        out = pa.RecordBatch.from_pylist(
+            [{"path": final, "rows": n}] if n else [],
+            schema=pa.schema(
+                [pa.field("path", pa.string()), pa.field("rows", pa.int64())]
+            ),
+        )
+        yield out
+
+    manifest = df.mapInArrow(_write, schema="path string, rows bigint")
+    return sorted(r["path"] for r in manifest.collect())

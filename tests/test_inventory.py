@@ -35,6 +35,5 @@ def test_driver_window_rotation():
     assert names[10] == "udf_sql_register"
     assert mods[11:22] == ["pipeline_text"] * 11
     assert mods[22:30] == ["pipeline_vector"] * 8
-    assert mods[30:43] == ["io_ops"] * 13
-    assert mods[43:49] == ["events"] * 6
-    assert names[49] == "multimodal_featurize"
+    assert mods[30:44] == ["io_ops"] * 14
+    assert mods[44:50] == ["events"] * 6

@@ -86,3 +86,27 @@ def test_bucketed_join_has_no_shuffle(spark):
             break
         below.append(l)
     assert not any("Exchange" in l for l in below), plan
+
+
+def test_write_arrow_ipc_dist_roundtrip(spark, tmp_path):
+    import pyarrow.ipc as ipc
+
+    from datafusion_ballista_spark.sources.arrow_ipc import (
+        read_arrow_ipc_dist,
+        write_arrow_ipc_dist,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(5, "id")
+    out = str(tmp_path / "ipc_out")
+    paths = write_arrow_ipc_dist(df, out)
+    assert 1 <= len(paths) <= 5
+    # every file is a valid IPC *file*-format stream, no torn temps left
+    import os
+
+    assert not [p for p in os.listdir(out) if p.endswith(".tmp")]
+    for p in paths:
+        with ipc.open_file(p) as r:
+            assert r.num_record_batches >= 1
+    back = read_arrow_ipc_dist(spark, paths)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(1000))
