@@ -157,6 +157,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on (user_id, event_type) — the scale-correct variant of
+    stream_dedup_exact (state for a key expires once the watermark passes
+    it, so a live stream never accumulates unbounded dedup state). The
+    fixture's event-time span is shorter than the delay here, so the
+    bounded-state result equals the global dedup and the batch oracle is
+    exact; on a live feed only the delay changes, not the code."""
+    ev = read_events_stream(spark, sf)
+    deduped = (
+        ev.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_available_now(deduped, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_WM_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_pairs
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a per-user
     accumulator (event count + running max value) kept in the state store
@@ -256,6 +284,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
     "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_SQL),
     "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),
+    "stream_dedup_watermarked": QuerySpec(
+        stream_dedup_watermarked, STREAM_DEDUP_WM_SQL
+    ),
     "stream_stateful_counter": QuerySpec(
         stream_stateful_counter, STREAM_STATEFUL_SQL
     ),
