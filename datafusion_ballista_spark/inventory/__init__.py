@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds3,
         tpcds4,
         tpcds5,
+        tpcds6,
         tpch,
         udf_surface,
         windows,
@@ -88,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds3,
         tpcds4,
         tpcds5,
+        tpcds6,
         pipeline_train,
         functions_cov,
         h2o,
