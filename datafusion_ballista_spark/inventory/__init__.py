@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds4,
         tpcds5,
         tpcds6,
+        tpcds7,
         tpch,
         udf_surface,
         windows,
@@ -90,6 +91,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds4,
         tpcds5,
         tpcds6,
+        tpcds7,
         pipeline_train,
         functions_cov,
         h2o,
