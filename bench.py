@@ -52,6 +52,11 @@ def main() -> None:
         "dedup_minhash_lsh",
         "ann_lsh_bucketed",
         "h2o_g2_sum_by_id1_id2",
+        # round-4 additions: a wide TPC-DS join shape and the shingle-heavy
+        # decontamination sweep (both new to the tracked set this round —
+        # round-over-round comparisons start at r04 for these two)
+        "tpcds_q64_shape",
+        "train_contamination_ngram",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
