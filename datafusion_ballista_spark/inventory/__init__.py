@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds5,
         tpcds6,
         tpcds7,
+        tpcds8,
         tpch,
         udf_surface,
         windows,
@@ -92,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds5,
         tpcds6,
         tpcds7,
+        tpcds8,
         pipeline_train,
         functions_cov,
         h2o,
