@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds6,
         tpcds7,
         tpcds8,
+        tpcds9,
         tpch,
         udf_surface,
         windows,
@@ -94,6 +95,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds6,
         tpcds7,
         tpcds8,
+        tpcds9,
         pipeline_train,
         functions_cov,
         h2o,
