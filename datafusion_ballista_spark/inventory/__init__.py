@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds7,
         tpcds8,
         tpcds9,
+        tpcds10,
         tpch,
         udf_surface,
         windows,
@@ -96,6 +97,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds7,
         tpcds8,
         tpcds9,
+        tpcds10,
         pipeline_train,
         functions_cov,
         h2o,
