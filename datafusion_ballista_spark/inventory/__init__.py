@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds8,
         tpcds9,
         tpcds10,
+        tpcds11,
         tpch,
         udf_surface,
         windows,
@@ -98,6 +99,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds8,
         tpcds9,
         tpcds10,
+        tpcds11,
         pipeline_train,
         functions_cov,
         h2o,
