@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds9,
         tpcds10,
         tpcds11,
+        tpcds12,
         tpch,
         udf_surface,
         windows,
@@ -100,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds9,
         tpcds10,
         tpcds11,
+        tpcds12,
         pipeline_train,
         functions_cov,
         h2o,
