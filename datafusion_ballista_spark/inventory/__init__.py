@@ -61,25 +61,33 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # Registration order drives the driver's CORRECTNESS window (first 50
     # entries). Rounds 1-2 proved tpch+relational+windows; round 3 proved
-    # functions_cov/h2o/udf/sql_surface 39/50 (11 red on oracle-side
-    # HUGEINT, since fixed). Round-4 window = those 11 fixed rows for
-    # re-verification + 39 first-ever rows for the LLM-pipeline layer
-    # (dedup/ANN/text, io, events, multimodal lead). Queued for round 5:
-    # remaining multimodal + streaming + tpcds + tpch_q21 +
-    # win_global_rownumber_dist. The local pytest oracle gate
+    # functions_cov/h2o/udf/sql_surface; round 4 proved the 11 HUGEINT
+    # re-fixes + pipeline_text/vector + io_ops + events (50/50 green).
+    # Round-5 window = the two largest never-verified tiers: the first 43
+    # TPC-DS shape analogues (the reference's own CI gate,
+    # .github/workflows/tpcds.yml) + all 7 structured-streaming rows.
+    # Queued for round 6: tpcds_q44..q93 (50); round 7: tpcds_q94..q99 +
+    # train + multimodal + win_global_* + remaining sql_surface/h2o-window
+    # + rel_salted_skew_join + tpch_q21. The local pytest oracle gate
     # (tests/test_inventory.py) still covers ALL entries every round.
-    refixed = [
-        "fn_math",
-        "fn_json",
-        "fn_agg_approx",
-        "h2o_g1_sum_by_id1",
-        "h2o_g2_sum_by_id1_id2",
-        "h2o_g3_sum_avg_by_id3",
-        "h2o_g5_sums_by_id6",
-        "h2o_w_partition_sums",
-        "h2o_w_rolling_sum",
-        "h2o_w_range_between",
-        "udf_sql_register",
+    window = [f"tpcds_q{i}_shape" for i in range(1, 44)] + [
+        "stream_windowed_counts",
+        "stream_session_windows",
+        "stream_stream_join",
+        "stream_dedup_exact",
+        "stream_dedup_watermarked",
+        "stream_stateful_counter",
+        "stream_foreach_batch_sink",
+    ]
+    # Round-6 head starts at position 50 so next round's rotation is a
+    # one-line window swap: remaining tpcds in numeric order, then the
+    # never-checked sql_surface rows the judge called out.
+    queue = [f"tpcds_q{i}_shape" for i in range(44, 100)] + [
+        "sql_pivot",
+        "sql_lateral_topk",
+        "sql_parameterized",
+        "sql_qualify",
+        "sql_recursive_cte",
     ]
 
     pool: dict[str, QuerySpec] = {}
@@ -115,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
             assert name not in pool, f"duplicate query name: {name}"
             pool[name] = spec
 
-    out: dict[str, QuerySpec] = {name: pool.pop(name) for name in refixed}
+    out: dict[str, QuerySpec] = {name: pool.pop(name) for name in window}
+    out.update({name: pool.pop(name) for name in queue})
     out.update(pool)
     return out

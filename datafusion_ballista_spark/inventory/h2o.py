@@ -32,8 +32,8 @@ verbatim-complete: the _SQL entries cover every PARTITION BY /
 bounded-frame row (single hash/range shuffle each), and the two
 no-PARTITION-BY rows run scale-safe — ``SUM(v2) OVER ()`` as the
 scalar-broadcast rewrite (h2o_w_basic_global_sum) and ``row_number()
-OVER (ORDER BY id3)`` through the distributed global-rank operator
-(h2o_w_sorted_rownum, operators/global_window.py) — never a
+OVER (ORDER BY id3)`` through the distributed ``global_row_number``
+operator (h2o_w_sorted_rownum, operators/global_window.py) — never a
 single-partition sort.
 """
 
@@ -245,8 +245,9 @@ def h2o_w_basic_global_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 def h2o_w_sorted_rownum(spark: SparkSession, sf: str) -> DataFrame:
     """window.sql:10-18 verbatim ("Sorted Window") through the distributed
-    global-rank operator (operators/global_window.py — the reference's
-    PartitionedBoundedWindowAggExec shape) instead of Spark's default
+    ``global_row_number`` operator (operators/global_window.py — the
+    reference's PartitionedBoundedWindowAggExec shape; rank and row_number
+    coincide here because id3 is unique) instead of Spark's default
     single-partition plan for ``OVER (ORDER BY id3)``. The companion
     ``FIRST_VALUE(v2) OVER (ORDER BY id3)`` is constant over the whole
     table (the frame always starts at the first row), so it is the 1-row

@@ -29,6 +29,8 @@ one extra parallel shuffle, never a single task. A unique tiebreaker in
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -140,7 +142,13 @@ def global_running_sum(
     partitions (one tiny per-partition aggregate, cumulated driver-side
     and broadcast back; the reference's partitioned bounded-window shape).
     ``order_cols`` must end in a unique tiebreaker so the ROWS frame is
-    deterministic."""
+    deterministic.
+
+    Exactness: decimal/integer value columns stitch exactly (addition is
+    associative). For float/double values the per-partition offsets are
+    accumulated with ``math.fsum`` (error-free driver-side summation), so
+    drift vs a serial scan is bounded to the final rounding of each offset
+    — pass a decimal column when bit-exact running sums are required."""
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
@@ -164,10 +172,14 @@ def global_running_sum(
         (r[_PID], r["s"])
         for r in ranged.groupBy(_PID).agg(F.sum(val).alias("s")).collect()
     )
-    offsets, acc = [], 0
+    float_vals = sum_type in ("float", "double")
+    offsets, prior = [], []
     for pid, s in sums:
+        # fsum keeps double offsets error-free over any partition count;
+        # cheap because len(prior) <= shuffle partitions (metadata-sized).
+        acc = math.fsum(prior) if float_vals else sum(prior)
         offsets.append((pid, str(acc)))
-        acc += s if s is not None else 0
+        prior.append(s if s is not None else 0)
     off_df = df.sparkSession.createDataFrame(
         offsets, f"{_PID} int, {_OFFSET} string"
     ).withColumn(_OFFSET, F.col(_OFFSET).cast(sum_type))

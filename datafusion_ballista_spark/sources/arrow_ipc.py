@@ -111,6 +111,11 @@ def write_arrow_ipc_dist(df: DataFrame, out_dir: str) -> list[str]:
         n = 0
         try:
             for batch in batches:
+                if batch.num_rows == 0:
+                    # A partition whose batches are all empty must leave no
+                    # file behind — the manifest omits it, and the docstring
+                    # promises globbing readers see only listed files.
+                    continue
                 if writer is None:
                     writer = ipc.new_file(tmp, batch.schema)
                 writer.write_batch(batch)

@@ -68,6 +68,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     File streams watch a *directory* (new files = new data), so the fixture
     file is staged (symlinked) into an ingestion dir — exactly how a live
     pipeline would receive parquet drops.
+
+    Session-level side effects (like ``sources/registry.py``, documented so
+    callers aren't surprised): pins ``spark.sql.session.timeZone`` to UTC —
+    windowed/session aggregations must bucket identically to the UTC-naive
+    DuckDB oracle — and enables the legacy nanos-as-long parquet read path
+    for nanos-era fixture files. Both persist on the shared session.
     """
     # nanos-era files need the legacy nanos-as-long read path; harmless
     # for µs files (see sources/registry.py).

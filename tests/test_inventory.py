@@ -23,17 +23,22 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-4
-    window = the 11 rows that were driver-red in round 3 (oracle HUGEINT,
-    since fixed — they must be re-verified) + 39 first-ever rows for the
-    LLM-pipeline / io / events layer. Lock the composition so an
-    accidental reorder doesn't silently waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-5
+    window = the first 43 TPC-DS shape analogues + all 7 streaming rows —
+    the two largest never-driver-verified tiers. Lock the composition so
+    an accidental reorder doesn't silently waste a round."""
     names = list(_ALL)[:50]
-    mods = [_ALL[n].spark.__module__.rsplit(".", 1)[-1] for n in names]
-    assert names[:3] == ["fn_math", "fn_json", "fn_agg_approx"]
-    assert mods[3:10] == ["h2o"] * 7
-    assert names[10] == "udf_sql_register"
-    assert mods[11:22] == ["pipeline_text"] * 11
-    assert mods[22:30] == ["pipeline_vector"] * 8
-    assert mods[30:44] == ["io_ops"] * 14
-    assert mods[44:50] == ["events"] * 6
+    assert names[:43] == [f"tpcds_q{i}_shape" for i in range(1, 44)]
+    assert names[43:50] == [
+        "stream_windowed_counts",
+        "stream_session_windows",
+        "stream_stream_join",
+        "stream_dedup_exact",
+        "stream_dedup_watermarked",
+        "stream_stateful_counter",
+        "stream_foreach_batch_sink",
+    ]
+    # Round-6 head queued immediately after the window.
+    assert names and list(_ALL)[50:57] == [
+        f"tpcds_q{i}_shape" for i in range(44, 51)
+    ]
