@@ -60,6 +60,62 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     assert n_out < n_static, f"expected coalesce below {n_static}, got {n_out}"
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling must engage on a deliberately skewed
+    sort-merge join: one key owning ~95% of the fact rows becomes one
+    monster shuffle partition, and OptimizeSkewedJoin must split it into
+    parallel sub-partitions — the final plan carries the
+    ``SortMergeJoin(skew=true)`` marker. This is the automatic complement
+    to the explicit salting rewrite (rel_salted_skew_join), which remains
+    for skew beyond AQE's thresholds."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    # Force a sort-merge join (no broadcast escape hatch) and scale the
+    # skew thresholds down to test-fixture bytes; the mechanism under test
+    # (split-and-replicate of oversized partitions) is size-relative.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k2"),
+            F.concat(F.lit("dim-"), F.col("id")).alias("tag"),
+        )
+        joined = fact.join(dim, F.col("k") == F.col("k2")).select(
+            "k", "pay", "tag"
+        )
+        plan = _final_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_job_name_maps_to_description(spark):
     bs = BallistaSession(spark)
     bs.set("ballista.job.name", "parity-check-job")
