@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds10,
         tpcds11,
         tpcds12,
+        tpcds_real,
         tpch,
         udf_surface,
         windows,
@@ -110,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds10,
         tpcds11,
         tpcds12,
+        tpcds_real,
         pipeline_train,
         functions_cov,
         h2o,

@@ -1,0 +1,90 @@
+"""Real-schema TPC-DS fixture + verbatim-query discipline.
+
+Correctness of the 7 verbatim queries is covered by the inventory gate
+(test_inventory parametrizes over all registered queries). Here we pin
+what correctness alone can't: fixture determinism and the 100TB plan
+shape — star joins must broadcast the bounded dims and push the dim
+filters to the scans, never shuffle the fact side per join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_ballista_spark.inventory.tpcds_real import (
+    FIXTURE_TABLES,
+    QUERIES,
+    fixture_dir,
+)
+
+EXPECTED_ROWS = {
+    "store_sales": 120_000,
+    "date_dim": 1826,
+    "item": 2000,
+    "customer": 5000,
+    "customer_address": 2500,
+    "store": 12,
+    "customer_demographics": 280,
+    "promotion": 30,
+}
+
+
+def test_fixture_complete_and_sized():
+    d = fixture_dir()
+    for t in FIXTURE_TABLES:
+        meta = pq.read_metadata(os.path.join(d, f"{t}.parquet"))
+        assert meta.num_rows == EXPECTED_ROWS[t], t
+
+
+def test_fixture_generation_deterministic(tmp_path):
+    """Regeneration into a fresh dir is value-identical to the committed
+    fixture — the no-RNG contract (FIXTURES.md §6)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from gen_tpcds_star import ensure_fixture
+    finally:
+        sys.path.pop(0)
+    fresh = ensure_fixture(str(tmp_path / "star"))
+    committed = fixture_dir()
+    for t in ("date_dim", "item", "store_sales"):
+        a = pq.read_table(os.path.join(committed, f"{t}.parquet"))
+        b = pq.read_table(os.path.join(fresh, f"{t}.parquet"))
+        assert a.equals(b), t
+
+
+def test_money_columns_are_decimal_7_2():
+    """The fidelity point of the fixture: TPC-DS money semantics."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(os.path.join(fixture_dir(), "store_sales.parquet"))
+    for c in ("ss_list_price", "ss_sales_price", "ss_ext_sales_price", "ss_coupon_amt"):
+        assert schema.field(c).type == pa.decimal128(7, 2), c
+
+
+def test_fact_fks_are_nullable():
+    t = pq.read_table(os.path.join(fixture_dir(), "store_sales.parquet"))
+    for c in ("ss_customer_sk", "ss_cdemo_sk", "ss_promo_sk"):
+        assert t.column(c).null_count > 0, c
+
+
+@pytest.mark.parametrize("name", ["tpcds_real_q3", "tpcds_real_q19", "tpcds_real_q98"])
+def test_star_join_plan_shape(spark, name):
+    """Every dim join must be broadcast (dims are bounded in SF); the item
+    filter must reach the item scan as a pushed filter; no SortMergeJoin
+    or cartesian anywhere — the plan that survives a 100x scale-up is
+    'shuffle the fact once for the aggregate, broadcast everything else'."""
+    df = QUERIES[name].spark(spark, "ignored")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    if name != "tpcds_real_q98":  # q98 filters category (IN), q3/q19 manufact/manager
+        assert "PushedFilters: [" in explained

@@ -1,0 +1,284 @@
+"""Deterministic TPC-DS star-schema fixture generator (sf ~0.01).
+
+The inventory's 99 ``tpcds_q*_shape`` analogues exercise each query's
+operator signature over the driver's TPC-H-ish fixtures, but they cannot
+cover what the real schema exercises: calendar date_dim joins, decimal(7,2)
+money columns, and null fact-table foreign keys. This generator writes a
+minimal real-schema star — store_sales + 7 dimensions — so a handful of
+the reference's verbatim TPC-DS queries
+(reference: benchmarks/queries-tpcds/q3.sql etc., run in CI by
+.github/workflows/tpcds.yml:55-74) can run unmodified-in-structure against
+the real table names/columns (inventory/tpcds_real.py).
+
+Determinism contract (same as the repo's hash-deterministic discipline —
+no RNG anywhere): every field derives from the row index through
+splitmix64, so regeneration is bit-identical on any platform/version.
+Fixtures land in fixtures/tpcds_star/ and are committed; regeneration is
+only needed if the schema here changes (version-stamp FIXTURES.md then).
+
+Scale shape mirrors real TPC-DS: one fact table (~120k rows at this sf,
+6 orders of magnitude below a 100 TB deployment but schema-identical),
+bounded dims (date_dim is 1826 rows for 5 years — constant in sf; item/
+customer/store grow sublinearly). Plans proven here (fact-side shuffle,
+broadcast dims, pushed date filters) are the plans that hold at SF1000.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures", "tpcds_star")
+
+N_SS = 120_000
+N_ITEM = 2_000
+N_CUSTOMER = 5_000
+N_ADDRESS = 2_500
+N_STORE = 12
+N_PROMO = 30
+DATE_START = dt.date(1998, 1, 1)
+DATE_END = dt.date(2002, 12, 31)
+DATE_SK_BASE = 2_450_815  # julian-style offset, TPC-DS convention
+
+_U = np.uint64
+
+
+def mix(i: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 of (i + salt*golden) — uniform uint64 per (row, field)."""
+    x = i.astype(np.uint64) + _U((salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
+    return x ^ (x >> _U(31))
+
+
+def m(i: np.ndarray, salt: int, mod: int) -> np.ndarray:
+    return (mix(i, salt) % _U(mod)).astype(np.int64)
+
+
+def dec2(cents: np.ndarray, null_mask: np.ndarray | None = None) -> pa.Array:
+    vals = [
+        None
+        if (null_mask is not None and null_mask[k])
+        else Decimal(int(c)).scaleb(-2)
+        for k, c in enumerate(cents)
+    ]
+    return pa.array(vals, type=pa.decimal128(7, 2))
+
+
+def gen_date_dim() -> pa.Table:
+    days = (DATE_END - DATE_START).days + 1
+    dates = [DATE_START + dt.timedelta(days=int(k)) for k in range(days)]
+    names = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+    dow = [(d.isoweekday()) % 7 for d in dates]  # 0=Sunday, TPC-DS style
+    return pa.table(
+        {
+            "d_date_sk": pa.array([DATE_SK_BASE + k for k in range(days)], pa.int64()),
+            "d_date_id": pa.array([f"D{DATE_SK_BASE + k:09d}" for k in range(days)]),
+            "d_date": pa.array(dates, pa.date32()),
+            "d_year": pa.array([d.year for d in dates], pa.int32()),
+            "d_moy": pa.array([d.month for d in dates], pa.int32()),
+            "d_dom": pa.array([d.day for d in dates], pa.int32()),
+            "d_qoy": pa.array([(d.month - 1) // 3 + 1 for d in dates], pa.int32()),
+            "d_dow": pa.array(dow, pa.int32()),
+            "d_day_name": pa.array([names[w] for w in dow]),
+            "d_week_seq": pa.array([5270 + k // 7 for k in range(days)], pa.int32()),
+        }
+    )
+
+
+_CATEGORIES = [
+    "Books", "Children", "Electronics", "Home", "Jewelry",
+    "Men", "Music", "Shoes", "Sports", "Women",
+]
+
+
+def gen_item() -> pa.Table:
+    i = np.arange(1, N_ITEM + 1, dtype=np.uint64)
+    cat_id = m(i, 2, 10) + 1
+    class_k = m(i, 3, 4) + 1
+    brand_id = cat_id * 1000 + m(i, 4, 50) + 1
+    # 301..550 (subset of TPC-DS's 1..1000): sf0.01's 2000 items can't
+    # populate 1000 manufacturers densely, and q3's literal (436) must be
+    # non-empty for the verbatim run to prove anything.
+    manufact_id = m(i, 5, 250) + 301
+    manager_id = m(i, 6, 100) + 1
+    price_c = m(i, 7, 9_900) + 99
+    cats = [_CATEGORIES[int(c) - 1] for c in cat_id]
+    return pa.table(
+        {
+            "i_item_sk": pa.array(i.astype(np.int64)),
+            "i_item_id": pa.array([f"ITEM{k:012d}" for k in i]),
+            "i_item_desc": pa.array(
+                [f"{c} item number {int(k)} described at length" for k, c in zip(i, cats)]
+            ),
+            "i_current_price": dec2(price_c),
+            "i_brand_id": pa.array(brand_id, pa.int32()),
+            "i_brand": pa.array([f"brand#{int(b)}" for b in brand_id]),
+            "i_class_id": pa.array((cat_id * 10 + class_k), pa.int32()),
+            "i_class": pa.array(
+                [f"{c.lower()}_class_{int(k)}" for c, k in zip(cats, class_k)]
+            ),
+            "i_category_id": pa.array(cat_id, pa.int32()),
+            "i_category": pa.array(cats),
+            "i_manufact_id": pa.array(manufact_id, pa.int32()),
+            "i_manufact": pa.array([f"manufact#{int(x)}" for x in manufact_id]),
+            "i_manager_id": pa.array(manager_id, pa.int32()),
+        }
+    )
+
+
+def gen_customer() -> pa.Table:
+    i = np.arange(1, N_CUSTOMER + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "c_customer_sk": pa.array(i.astype(np.int64)),
+            "c_customer_id": pa.array([f"CUST{k:012d}" for k in i]),
+            "c_current_addr_sk": pa.array(m(i, 20, N_ADDRESS) + 1),
+            "c_first_name": pa.array([f"First{int(m(np.array([k]), 21, 500)[0])}" for k in i]),
+            "c_last_name": pa.array([f"Last{int(m(np.array([k]), 22, 700)[0])}" for k in i]),
+        }
+    )
+
+
+def gen_customer_address() -> pa.Table:
+    i = np.arange(1, N_ADDRESS + 1, dtype=np.uint64)
+    zips = m(i, 25, 100_000)
+    return pa.table(
+        {
+            "ca_address_sk": pa.array(i.astype(np.int64)),
+            "ca_address_id": pa.array([f"ADDR{k:012d}" for k in i]),
+            "ca_zip": pa.array([f"{int(z):05d}" for z in zips]),
+            "ca_state": pa.array([f"S{int(s):02d}" for s in m(i, 26, 50)]),
+        }
+    )
+
+
+def gen_store() -> pa.Table:
+    i = np.arange(1, N_STORE + 1, dtype=np.uint64)
+    zips = m(i, 30, 100_000)
+    return pa.table(
+        {
+            "s_store_sk": pa.array(i.astype(np.int64)),
+            "s_store_id": pa.array([f"STORE{k:08d}" for k in i]),
+            "s_store_name": pa.array([f"Store {int(k)}" for k in i]),
+            "s_zip": pa.array([f"{int(z):05d}" for z in zips]),
+        }
+    )
+
+
+_GENDERS = ["M", "F"]
+_MARITAL = ["D", "M", "S", "U", "W"]
+_EDUCATION = [
+    "Primary", "Secondary", "College", "2 yr Degree",
+    "4 yr Degree", "Advanced Degree", "Unknown",
+]
+
+
+def gen_customer_demographics() -> pa.Table:
+    # Full cross product x 4 purchase bands — 280 rows, every predicate
+    # combination reachable (real cd is the same idea at 1.92M rows).
+    rows = []
+    sk = 1
+    for band in range(4):
+        for g in _GENDERS:
+            for ms in _MARITAL:
+                for ed in _EDUCATION:
+                    rows.append((sk, g, ms, ed, (band + 1) * 2500))
+                    sk += 1
+    t = list(zip(*rows))
+    return pa.table(
+        {
+            "cd_demo_sk": pa.array(t[0], pa.int64()),
+            "cd_gender": pa.array(t[1]),
+            "cd_marital_status": pa.array(t[2]),
+            "cd_education_status": pa.array(t[3]),
+            "cd_purchase_estimate": pa.array(t[4], pa.int32()),
+        }
+    )
+
+
+def gen_promotion() -> pa.Table:
+    i = np.arange(1, N_PROMO + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "p_promo_sk": pa.array(i.astype(np.int64)),
+            "p_promo_id": pa.array([f"PROMO{k:08d}" for k in i]),
+            "p_channel_email": pa.array(["N" if v else "Y" for v in m(i, 40, 2)]),
+            "p_channel_event": pa.array(["N" if v == 0 else "Y" for v in m(i, 41, 3)]),
+        }
+    )
+
+
+def gen_store_sales() -> pa.Table:
+    n_days = (DATE_END - DATE_START).days + 1
+    i = np.arange(N_SS, dtype=np.uint64)
+    qty = m(i, 60, 100) + 1
+    list_c = m(i, 61, 19_900) + 100  # 1.00 .. 200.00
+    pct = m(i, 62, 50) + 50  # sales price = 50..99% of list
+    sales_c = list_c * pct // 100
+    ext_c = sales_c * qty
+    coupon_c = np.where(m(i, 63, 10) == 0, m(i, 64, 2_000), 0)
+    # Real-schema pattern: fact FKs are nullable (~4%) — joins must drop,
+    # never match, these rows.
+    null_cust = m(i, 65, 25) == 0
+    null_cdemo = m(i, 66, 25) == 0
+    null_promo = m(i, 67, 25) == 0
+    cd_total = 4 * len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+
+    def fk(vals: np.ndarray, mask: np.ndarray) -> pa.Array:
+        return pa.array(
+            [None if mask[k] else int(v) for k, v in enumerate(vals)], pa.int64()
+        )
+
+    return pa.table(
+        {
+            "ss_sold_date_sk": pa.array(DATE_SK_BASE + m(i, 50, n_days)),
+            "ss_item_sk": pa.array(m(i, 51, N_ITEM) + 1),
+            "ss_customer_sk": fk(m(i, 52, N_CUSTOMER) + 1, null_cust),
+            "ss_cdemo_sk": fk(m(i, 53, cd_total) + 1, null_cdemo),
+            "ss_store_sk": pa.array(m(i, 54, N_STORE) + 1),
+            "ss_promo_sk": fk(m(i, 55, N_PROMO) + 1, null_promo),
+            "ss_ticket_number": pa.array(i.astype(np.int64) + 1),
+            "ss_quantity": pa.array(qty, pa.int32()),
+            "ss_list_price": dec2(list_c),
+            "ss_sales_price": dec2(sales_c),
+            "ss_ext_sales_price": dec2(ext_c.astype(np.int64)),
+            "ss_coupon_amt": dec2(coupon_c),
+        }
+    )
+
+
+GENERATORS = {
+    "date_dim": gen_date_dim,
+    "item": gen_item,
+    "customer": gen_customer,
+    "customer_address": gen_customer_address,
+    "store": gen_store,
+    "customer_demographics": gen_customer_demographics,
+    "promotion": gen_promotion,
+    "store_sales": gen_store_sales,
+}
+
+
+def ensure_fixture(out_dir: str = OUT_DIR) -> str:
+    """Generate any missing table; returns the fixture dir (idempotent —
+    committed fixtures are never rewritten, so bytes stay stable)."""
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, gen in GENERATORS.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            pq.write_table(gen(), path, compression="zstd")
+    return out_dir
+
+
+if __name__ == "__main__":
+    d = ensure_fixture()
+    for name in GENERATORS:
+        t = pq.read_table(os.path.join(d, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows, {t.num_columns} cols")
