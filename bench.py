@@ -57,6 +57,9 @@ def main() -> None:
         # round-over-round comparisons start at r04 for these two)
         "tpcds_q64_shape",
         "train_contamination_ngram",
+        # round-5 addition: verbatim TPC-DS over the real star fixture
+        # (own committed scale point — ignores sf_dir; tracking starts r05)
+        "tpcds_real_q98",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
