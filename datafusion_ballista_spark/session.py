@@ -299,6 +299,14 @@ class BallistaSession:
         # classpath; otherwise fall back to the pure-Python distributed OCF
         # reader (sources/avro_ocf.py). Reference Avro scan:
         # datafusion.proto:1155-1158 (AvroScanExecNode).
+        #
+        # CI note: this sandbox has no spark-avro jar, so only the OCF
+        # fallback is exercised here (tests/test_avro.py, driver-green
+        # round 4). A deployment that adds the jar
+        # (--packages org.apache.spark:spark-avro_2.13:<spark-version>)
+        # takes the first branch, which is intentionally a plain
+        # spark.read.format("avro") — nothing engine-specific to retest
+        # beyond the dispatch itself, which test_avro.py pins.
         try:
             return self.spark.read.format("avro").options(**options).load(path)
         except Exception as ex:

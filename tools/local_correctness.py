@@ -22,12 +22,21 @@ from datafusion_ballista_spark.session import get_session  # noqa: E402
 from datafusion_ballista_spark.sources.registry import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+# Defaults replicate the driver's sf0.01 gate (local[8]). Larger one-off
+# runs (e.g. the sf1 stress gate) size up via env: a 1g default driver
+# heap at sf1 fails on broadcast *materialization*, which is a harness
+# limit, not a plan defect — real executors have real heaps.
+GATE_CPUS = os.environ.get("SPARK_GRAFT_GATE_CPUS", "8")
+GATE_MEM = os.environ.get("SPARK_GRAFT_GATE_MEM")
 
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "LOCAL_CORRECTNESS.json"
     spark = get_session(
-        master="local[8]", app_name="local-correctness", shuffle_partitions=8
+        master=f"local[{GATE_CPUS}]",
+        app_name="local-correctness",
+        shuffle_partitions=int(GATE_CPUS),
+        extra_conf={"spark.driver.memory": GATE_MEM} if GATE_MEM else None,
     )
     con = duckdb.connect()
     for t in TABLES:
