@@ -3,7 +3,7 @@
 The 99 ``tpcds_q*_shape`` analogues prove each query's operator signature
 against the driver's TPC-H-ish fixtures; this module closes the fidelity
 gap they cannot: the queries below are the reference's own TPC-DS texts
-(reference: benchmarks/queries-tpcds/q{3,7,19,42,52,55,98}.sql, the suite
+(reference: benchmarks/queries-tpcds/q{3,7,13,19,42,52,55,88,96,98}.sql, the suite
 its CI runs at SF1 — .github/workflows/tpcds.yml:55-74) executed against
 the real table names, calendar date_dim, decimal(7,2) money columns, and
 nullable fact foreign keys of a committed deterministic star fixture
@@ -46,6 +46,8 @@ FIXTURE_TABLES = (
     "customer_address",
     "store",
     "customer_demographics",
+    "household_demographics",
+    "time_dim",
     "promotion",
 )
 
@@ -262,13 +264,118 @@ order by
         ,revenueratio
 """
 
+# -- q13 (q13.sql; disjunctive demographic/geo join branches; avgs in the
+#    repo-standard exact-decimal-then-double form, outputs aliased) ----------
+Q13_BODY = """
+select round(cast(sum(cast(ss_quantity as decimal(18,2))) as double) / count(*), 6) avg_qty
+       ,round(cast(sum(ss_ext_sales_price) as double) / count(*), 6) avg_ext_sales
+       ,round(cast(sum(ss_ext_wholesale_cost) as double) / count(*), 6) avg_wholesale
+       ,cast(sum(ss_ext_wholesale_cost) as double) sum_wholesale
+ from store_sales
+     ,store
+     ,customer_demographics
+     ,household_demographics
+     ,customer_address
+     ,date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2001
+ and((ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'D'
+  and cd_education_status = '2 yr Degree'
+  and ss_sales_price between 100.00 and 150.00
+  and hd_dep_count = 3
+     )or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'Secondary'
+  and ss_sales_price between 50.00 and 100.00
+  and hd_dep_count = 1
+     ) or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'W'
+  and cd_education_status = 'Advanced Degree'
+  and ss_sales_price between 150.00 and 200.00
+  and hd_dep_count = 1
+     ))
+ and((ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('CO', 'IL', 'MN')
+  and ss_net_profit between 100 and 200
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('OH', 'MT', 'NM')
+  and ss_net_profit between 150 and 300
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('TX', 'MO', 'MI')
+  and ss_net_profit between 50 and 250
+     ))
+"""
+
+# -- q96 (q96.sql; count(*) aliased for name-matched compare) ----------------
+Q96_BODY = """
+select  count(*) cnt
+from store_sales
+    ,household_demographics
+    ,time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+    and ss_hdemo_sk = household_demographics.hd_demo_sk
+    and ss_store_sk = s_store_sk
+    and time_dim.t_hour = 8
+    and time_dim.t_minute >= 30
+    and household_demographics.hd_dep_count = 5
+    and store.s_store_name = 'ese'
+order by cnt
+limit 100
+"""
+
+# -- q88 (q88.sql verbatim: 8 one-row time-band counts cross-joined) ---------
+
+
+def _q88_band(alias: str, hour: int, minute_pred: str) -> str:
+    return f"""
+ (select count(*) {alias}
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = {hour}
+     and time_dim.t_minute {minute_pred}
+     and ((household_demographics.hd_dep_count = 3 and household_demographics.hd_vehicle_count<=3+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+     and store.s_store_name = 'ese')"""
+
+
+Q88_BODY = "select  *\nfrom\n" + ",\n".join(
+    _q88_band(alias, hour, pred)
+    for alias, hour, pred in [
+        ("h8_30_to_9", 8, ">= 30"),
+        ("h9_to_9_30", 9, "< 30"),
+        ("h9_30_to_10", 9, ">= 30"),
+        ("h10_to_10_30", 10, "< 30"),
+        ("h10_30_to_11", 10, ">= 30"),
+        ("h11_to_11_30", 11, "< 30"),
+        ("h11_30_to_12", 11, ">= 30"),
+        ("h12_to_12_30", 12, "< 30"),
+    ]
+) + "\n"
+
 _BODIES = {
     "tpcds_real_q3": Q3_BODY,
     "tpcds_real_q7": Q7_BODY,
+    "tpcds_real_q13": Q13_BODY,
     "tpcds_real_q19": Q19_BODY,
     "tpcds_real_q42": Q42_BODY,
     "tpcds_real_q52": Q52_BODY,
     "tpcds_real_q55": Q55_BODY,
+    "tpcds_real_q88": Q88_BODY,
+    "tpcds_real_q96": Q96_BODY,
     "tpcds_real_q98": Q98_BODY,
 }
 

@@ -28,6 +28,8 @@ EXPECTED_ROWS = {
     "customer_address": 2500,
     "store": 12,
     "customer_demographics": 280,
+    "household_demographics": 600,
+    "time_dim": 86_400,
     "promotion": 30,
 }
 

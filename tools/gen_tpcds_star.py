@@ -145,6 +145,12 @@ def gen_customer() -> pa.Table:
     )
 
 
+_STATES = [
+    "CO", "IL", "MN", "OH", "MT", "NM", "TX", "MO", "MI",  # q13's literals
+    "CA", "NY", "FL", "WA", "OR", "GA", "PA", "NC", "VA", "AZ", "TN",
+]
+
+
 def gen_customer_address() -> pa.Table:
     i = np.arange(1, N_ADDRESS + 1, dtype=np.uint64)
     zips = m(i, 25, 100_000)
@@ -153,9 +159,17 @@ def gen_customer_address() -> pa.Table:
             "ca_address_sk": pa.array(i.astype(np.int64)),
             "ca_address_id": pa.array([f"ADDR{k:012d}" for k in i]),
             "ca_zip": pa.array([f"{int(z):05d}" for z in zips]),
-            "ca_state": pa.array([f"S{int(s):02d}" for s in m(i, 26, 50)]),
+            "ca_state": pa.array([_STATES[int(s)] for s in m(i, 26, len(_STATES))]),
+            # ~95% US, the TPC-DS q13/q48 country predicate target
+            "ca_country": pa.array(
+                ["United States" if v else "Canada" for v in m(i, 27, 20) > 0]
+            ),
         }
     )
+
+
+# TPC-DS's own cycling store names (q88/q96 filter on 'ese' verbatim).
+_STORE_NAMES = ["able", "ation", "bar", "ese", "eing", "ought"]
 
 
 def gen_store() -> pa.Table:
@@ -165,7 +179,9 @@ def gen_store() -> pa.Table:
         {
             "s_store_sk": pa.array(i.astype(np.int64)),
             "s_store_id": pa.array([f"STORE{k:08d}" for k in i]),
-            "s_store_name": pa.array([f"Store {int(k)}" for k in i]),
+            "s_store_name": pa.array(
+                [_STORE_NAMES[int(k - 1) % len(_STORE_NAMES)] for k in i]
+            ),
             "s_zip": pa.array([f"{int(z):05d}" for z in zips]),
         }
     )
@@ -202,6 +218,41 @@ def gen_customer_demographics() -> pa.Table:
     )
 
 
+N_HDEMO = 600
+_BUY_POTENTIAL = ["0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown"]
+
+
+def gen_household_demographics() -> pa.Table:
+    i = np.arange(1, N_HDEMO + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "hd_demo_sk": pa.array(i.astype(np.int64)),
+            "hd_income_band_sk": pa.array(m(i, 44, 20) + 1),
+            "hd_buy_potential": pa.array(
+                [_BUY_POTENTIAL[int(v)] for v in m(i, 45, len(_BUY_POTENTIAL))]
+            ),
+            "hd_dep_count": pa.array(m(i, 46, 10), pa.int32()),
+            "hd_vehicle_count": pa.array(m(i, 47, 6), pa.int32()),
+        }
+    )
+
+
+def gen_time_dim() -> pa.Table:
+    # One row per second of day, the real table's full 86400 — q88/q96's
+    # hour/minute band predicates need genuine time-dim semantics.
+    sk = np.arange(86_400, dtype=np.int64)
+    return pa.table(
+        {
+            "t_time_sk": pa.array(sk),
+            "t_time": pa.array(sk, pa.int32()),
+            "t_hour": pa.array(sk // 3600, pa.int32()),
+            "t_minute": pa.array((sk % 3600) // 60, pa.int32()),
+            "t_second": pa.array(sk % 60, pa.int32()),
+            "t_am_pm": pa.array(["AM" if s < 43_200 else "PM" for s in sk]),
+        }
+    )
+
+
 def gen_promotion() -> pa.Table:
     i = np.arange(1, N_PROMO + 1, dtype=np.uint64)
     return pa.table(
@@ -228,7 +279,12 @@ def gen_store_sales() -> pa.Table:
     null_cust = m(i, 65, 25) == 0
     null_cdemo = m(i, 66, 25) == 0
     null_promo = m(i, 67, 25) == 0
+    null_hdemo = m(i, 68, 25) == 0
+    null_addr = m(i, 69, 25) == 0
     cd_total = 4 * len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+    wholesale_c = m(i, 70, 15_000) + 50  # 0.50 .. 150.49
+    # profit spans negative (loss) through positive, q13's 50..300 band hit
+    profit_c = m(i, 71, 40_000) - 10_000  # -100.00 .. 299.99
 
     def fk(vals: np.ndarray, mask: np.ndarray) -> pa.Array:
         return pa.array(
@@ -238,9 +294,12 @@ def gen_store_sales() -> pa.Table:
     return pa.table(
         {
             "ss_sold_date_sk": pa.array(DATE_SK_BASE + m(i, 50, n_days)),
+            "ss_sold_time_sk": pa.array(m(i, 56, 86_400)),
             "ss_item_sk": pa.array(m(i, 51, N_ITEM) + 1),
             "ss_customer_sk": fk(m(i, 52, N_CUSTOMER) + 1, null_cust),
             "ss_cdemo_sk": fk(m(i, 53, cd_total) + 1, null_cdemo),
+            "ss_hdemo_sk": fk(m(i, 57, N_HDEMO) + 1, null_hdemo),
+            "ss_addr_sk": fk(m(i, 58, N_ADDRESS) + 1, null_addr),
             "ss_store_sk": pa.array(m(i, 54, N_STORE) + 1),
             "ss_promo_sk": fk(m(i, 55, N_PROMO) + 1, null_promo),
             "ss_ticket_number": pa.array(i.astype(np.int64) + 1),
@@ -248,7 +307,9 @@ def gen_store_sales() -> pa.Table:
             "ss_list_price": dec2(list_c),
             "ss_sales_price": dec2(sales_c),
             "ss_ext_sales_price": dec2(ext_c.astype(np.int64)),
+            "ss_ext_wholesale_cost": dec2(wholesale_c),
             "ss_coupon_amt": dec2(coupon_c),
+            "ss_net_profit": dec2(profit_c),
         }
     )
 
@@ -260,6 +321,8 @@ GENERATORS = {
     "customer_address": gen_customer_address,
     "store": gen_store,
     "customer_demographics": gen_customer_demographics,
+    "household_demographics": gen_household_demographics,
+    "time_dim": gen_time_dim,
     "promotion": gen_promotion,
     "store_sales": gen_store_sales,
 }
