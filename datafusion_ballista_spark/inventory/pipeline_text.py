@@ -168,7 +168,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     threshold separates them cleanly from the ~0.1 noise floor.
     """
     ex = _exploded_shingles(spark, sf)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # True (pre-cap) shingle-set sizes: the hot-shingle cap guards
+    # CANDIDATE GENERATION only — the Jaccard denominator must use the
+    # full sets or capped docs get inflated similarity. (Divergence found
+    # by the sf1 stress gate: below-cap fixtures can't tell these apart;
+    # at 10x duplication the capped-denominator variant passed 30x more
+    # pairs than the oracle.) Computed as a scan-side projection, no
+    # extra shuffle.
+    d = tables(spark, sf, "documents").documents
+    arr = _tokens(F.col("text"))
+    sizes = d.where(F.size(arr) >= 3).select(
+        "doc_id", F.size(_shingles(arr)).alias("n")
+    )
     a = ex.select(F.col("doc_id").alias("da"), "s")
     b = ex.select(F.col("doc_id").alias("db"), "s")
     shared = (
