@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 _STORE, _WEB, _CATALOG = 0, 1, 2
 
@@ -153,12 +153,15 @@ def tpcds_q18_shape(spark: SparkSession, sf: str) -> DataFrame:
         .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .where(F.year("o_orderdate") == 1995)
     )
+    # Averages via exact decimal sums (the inventory determinism contract):
+    # plain AVG(double) is an order-dependent float sum, and at the sf1
+    # group sizes the drift crosses the 6-dp rounding boundary vs DuckDB.
     return (
         base.rollup("n_name", "c_mktsegment", "o_orderpriority")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("agg1"),
-            F.round(F.avg("l_extendedprice"), 6).alias("agg2"),
-            F.round(F.avg("l_discount"), 6).alias("agg3"),
+            davg(D("l_quantity"), "agg1"),
+            davg(D("l_extendedprice"), "agg2"),
+            davg(D("l_discount"), "agg3"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(
@@ -172,9 +175,9 @@ def tpcds_q18_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 TPCDS_Q18_SQL = """
 SELECT n_name, c_mktsegment, o_orderpriority,
-       ROUND(AVG(l_quantity), 6) AS agg1,
-       ROUND(AVG(l_extendedprice), 6) AS agg2,
-       ROUND(AVG(l_discount), 6) AS agg3, COUNT(*) AS n
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg2,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg3, COUNT(*) AS n
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -287,9 +290,9 @@ def tpcds_q26_shape(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("agg1"),
-            F.round(F.avg("l_extendedprice"), 6).alias("agg2"),
-            F.round(F.avg("l_discount"), 6).alias("agg3"),
+            davg(D("l_quantity"), "agg1"),
+            davg(D("l_extendedprice"), "agg2"),
+            davg(D("l_discount"), "agg3"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("p_brand")
@@ -298,9 +301,9 @@ def tpcds_q26_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TPCDS_Q26_SQL = f"""
-SELECT p_brand, ROUND(AVG(l_quantity), 6) AS agg1,
-       ROUND(AVG(l_extendedprice), 6) AS agg2,
-       ROUND(AVG(l_discount), 6) AS agg3, COUNT(*) AS cnt
+SELECT p_brand, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg2,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg3, COUNT(*) AS cnt
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -369,8 +372,10 @@ def tpcds_q32_shape(spark: SparkSession, sf: str) -> DataFrame:
     for catalog lines against the per-part catalog average."""
     t = tables(spark, sf, "lineitem")
     li = t.lineitem.where(_chan(_CATALOG) & (F.year("l_shipdate") == 1995))
+    # exact decimal sum / count for the threshold average: a float-drifted
+    # AVG can flip rows sitting exactly on the 1.3x boundary
     avg_disc = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_discount").alias("ad")
+        (F.sum(D("l_discount")).cast("double") / F.count(F.lit(1))).alias("ad")
     )
     return (
         li.join(avg_disc, F.col("l_partkey") == F.col("pk"))
@@ -391,7 +396,8 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
 FROM lineitem l1
 WHERE {_chan_sql(_CATALOG)} AND year(l_shipdate) = 1995
   AND l_discount > 1.3 * (
-    SELECT AVG(l_discount) FROM lineitem l2
+    SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2
     WHERE l2.l_partkey = l1.l_partkey AND year(l2.l_shipdate) = 1995
       AND l2.l_linenumber % 3 = {_CATALOG})
 """

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 _STORE, _WEB, _CATALOG = 0, 1, 2
 
@@ -162,8 +162,10 @@ def _deviation_shape(spark, sf, chan, group_col: str, group_expr) -> DataFrame:
         .groupBy(group_expr.alias(group_col), F.quarter("o_orderdate").alias("q"))
         .agg(F.sum(_rev()).alias("sum_sales"))
         .withColumn(
+            # exact decimal window SUM / COUNT (see tpcds3 q47 note)
             "avg_q_sales",
-            F.avg("sum_sales").over(Window.partitionBy(group_col)),
+            F.sum("sum_sales").over(Window.partitionBy(group_col)).cast("double")
+            / F.count(F.lit(1)).over(Window.partitionBy(group_col)),
         )
     )
     return (
@@ -197,7 +199,8 @@ def _deviation_sql(chan: int, group_col: str, group_sql: str) -> str:
 WITH v1 AS (
   SELECT {group_sql} AS {group_col}, quarter(o_orderdate) AS q,
          SUM({_REV_SQL}) AS sum_sales,
-         AVG(SUM({_REV_SQL})) OVER (PARTITION BY {group_sql})
+         CAST(SUM(SUM({_REV_SQL})) OVER (PARTITION BY {group_sql}) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY {group_sql})
            AS avg_q_sales
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
@@ -778,8 +781,8 @@ def tpcds_q85_shape(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("l_returnflag") == "R") & p)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            davg(D("l_quantity"), "avg_qty"),
+            davg(D("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
@@ -787,8 +790,8 @@ def tpcds_q85_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TPCDS_Q85_SQL = """
-SELECT o_orderpriority, ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n
+SELECT o_orderpriority, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS n
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'R'
   AND ((l_quantity BETWEEN 1 AND 15 AND l_discount BETWEEN 0.0 AND 0.03)

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 # Channel split — the fixture analogue of TPC-DS's store/web/catalog fact
 # tables. The regenerated lineitem fixture carries no shipmode column, so
@@ -160,7 +160,7 @@ def tpcds_q39_shape(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("l_quantity"), 6).alias("qmean"),
+            davg(D("l_quantity"), "qmean"),
             F.round(F.stddev_samp("l_quantity"), 6).alias("qstd"),
         )
         .where(F.col("cnt") >= 3)
@@ -192,7 +192,7 @@ def tpcds_q39_shape(spark: SparkSession, sf: str) -> DataFrame:
 TPCDS_Q39_SQL = """
 WITH stats AS (
   SELECT l_suppkey, l_partkey, month(l_shipdate) AS m, COUNT(*) AS cnt,
-         ROUND(AVG(l_quantity), 6) AS qmean,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS qmean,
          ROUND(STDDEV_SAMP(l_quantity), 6) AS qstd
   FROM lineitem WHERE year(l_shipdate) = 1995
   GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 _STORE, _WEB, _CATALOG = 0, 1, 2
 
@@ -152,16 +152,26 @@ def tpcds_q17_shape(spark: SparkSession, sf: str) -> DataFrame:
     li = t.lineitem
 
     def stats(cond, tag: str) -> DataFrame:
+        # stddev/cov from exact decimal power sums (sum, sum-of-squares):
+        # native STDDEV_SAMP is an order-dependent float reduction whose
+        # engine-specific accumulation can cross the rounding boundary.
+        # With exact sums pinned, both engines evaluate the SAME double
+        # expression tree -> bit-identical results; variance is clamped
+        # at 0 against cancellation noise for constant groups.
+        n = F.count(F.lit(1))
+        s1 = F.sum(D("l_quantity")).cast("double")
+        s2 = F.sum(
+            D(F.col("l_quantity") * F.col("l_quantity"), 28, 4)
+        ).cast("double")
+        var = F.greatest(F.lit(0.0), (s2 - s1 * s1 / n) / (n - 1))
         return (
             li.where(cond)
             .groupBy("l_partkey")
             .agg(
-                F.count(F.lit(1)).alias(f"{tag}_cnt"),
-                F.round(F.avg("l_quantity"), 6).alias(f"{tag}_avg"),
-                F.round(F.stddev_samp("l_quantity"), 6).alias(f"{tag}_std"),
-                F.round(
-                    F.stddev_samp("l_quantity") / F.avg("l_quantity"), 6
-                ).alias(f"{tag}_cov"),
+                n.alias(f"{tag}_cnt"),
+                F.round(s1 / n, 6).alias(f"{tag}_avg"),
+                F.round(F.sqrt(var), 6).alias(f"{tag}_std"),
+                F.round(F.sqrt(var) / (s1 / n), 6).alias(f"{tag}_cov"),
             )
             .where(F.col(f"{tag}_cnt") >= 3)
         )
@@ -188,12 +198,17 @@ def tpcds_q17_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q17_stats_sql(cond: str, tag: str) -> str:
+    # Mirrors the Spark side exactly: stddev/cov from exact decimal power
+    # sums, same double expression tree, variance clamped at 0.
+    s1 = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    s2 = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)"
+    var = f"GREATEST(0.0, ({s2} - {s1} * {s1} / COUNT(*)) / (COUNT(*) - 1))"
     return f"""
 {tag} AS (
   SELECT l_partkey, COUNT(*) AS {tag}_cnt,
-         ROUND(AVG(l_quantity), 6) AS {tag}_avg,
-         ROUND(STDDEV_SAMP(l_quantity), 6) AS {tag}_std,
-         ROUND(STDDEV_SAMP(l_quantity) / AVG(l_quantity), 6) AS {tag}_cov
+         ROUND({s1} / COUNT(*), 6) AS {tag}_avg,
+         ROUND(SQRT({var}), 6) AS {tag}_std,
+         ROUND(SQRT({var}) / ({s1} / COUNT(*)), 6) AS {tag}_cov
   FROM lineitem WHERE {cond}
   GROUP BY 1 HAVING COUNT(*) >= 3)"""
 
@@ -386,8 +401,14 @@ def tpcds_q47_shape(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(D("l_extendedprice")).alias("sum_sales"))
         .withColumn(
+            # exact decimal window SUM / window COUNT, divided in double —
+            # AVG(decimal) returns an order-dependent double in DuckDB,
+            # and the engines' rounding can split at the 6th decimal
             "avg_monthly_sales",
-            F.avg("sum_sales").over(Window.partitionBy("p_brand", "y")),
+            F.sum("sum_sales")
+            .over(Window.partitionBy("p_brand", "y"))
+            .cast("double")
+            / F.count(F.lit(1)).over(Window.partitionBy("p_brand", "y")),
         )
         .withColumn(
             "rn",
@@ -452,8 +473,9 @@ TPCDS_Q47_SQL = """
 WITH v1 AS (
   SELECT p_brand, year(o_orderdate) AS y, month(o_orderdate) AS moy,
          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_sales,
-         AVG(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
-           OVER (PARTITION BY p_brand, year(o_orderdate))
+         CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
+              OVER (PARTITION BY p_brand, year(o_orderdate)) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand, year(o_orderdate))
            AS avg_monthly_sales,
          RANK() OVER (PARTITION BY p_brand
                       ORDER BY year(o_orderdate), month(o_orderdate)) AS rn

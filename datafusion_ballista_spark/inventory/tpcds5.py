@@ -384,8 +384,9 @@ def tpcds_q92_shape(spark: SparkSession, sf: str) -> DataFrame:
     oracle keeps the verbatim correlated scalar subquery."""
     t = tables(spark, sf, "lineitem")
     li = t.lineitem.where(F.year("l_shipdate") == 1995)
+    # exact decimal sum / count for the threshold average (see tpcds11 q32)
     avg_disc = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_discount").alias("ad")
+        (F.sum(D("l_discount")).cast("double") / F.count(F.lit(1))).alias("ad")
     )
     return (
         li.join(avg_disc, F.col("l_partkey") == F.col("pk"))
@@ -406,7 +407,8 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
 FROM lineitem l1
 WHERE year(l_shipdate) = 1995
   AND l_discount > 1.3 * (
-    SELECT AVG(l_discount) FROM lineitem l2
+    SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2
     WHERE l2.l_partkey = l1.l_partkey AND year(l2.l_shipdate) = 1995)
 """
 

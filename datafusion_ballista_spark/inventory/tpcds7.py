@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 _REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))"
 
@@ -49,12 +49,21 @@ def tpcds_q9_shape(spark: SparkSession, sf: str) -> DataFrame:
         [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)], start=1
     ):
         band = F.col("l_quantity").between(lo, hi)
+        # Conditional averages via exact decimal sums over an explicit
+        # band count (AVG(double) is an order-dependent float sum — the
+        # sf1 stress gate showed the class diverging from the oracle).
+        n_band = F.sum(F.when(band, 1).otherwise(0))
+
+        def cavg(col: str, alias: str):
+            num = F.sum(D(F.when(band, F.col(col))))
+            return F.round(
+                num.cast("double") / F.nullif(n_band, F.lit(0)), 6
+            ).alias(alias)
+
         aggs += [
-            F.sum(F.when(band, 1).otherwise(0)).alias(f"cnt{i}"),
-            F.round(F.avg(F.when(band, F.col("l_discount"))), 6).alias(
-                f"disc{i}"
-            ),
-            F.round(F.avg(F.when(band, F.col("l_tax"))), 6).alias(f"tax{i}"),
+            n_band.alias(f"cnt{i}"),
+            cavg("l_discount", f"disc{i}"),
+            cavg("l_tax", f"tax{i}"),
         ]
     one = li.agg(*aggs)
     return one.select(
@@ -69,10 +78,18 @@ def tpcds_q9_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q9_bucket_sql(i: int, lo: int, hi: int) -> str:
     b = f"l_quantity BETWEEN {lo} AND {hi}"
+
+    def cavg(col: str) -> str:
+        return (
+            f"ROUND(CAST(SUM(CAST(CASE WHEN {b} THEN {col} END"
+            f" AS DECIMAL(18,2))) AS DOUBLE)"
+            f" / NULLIF(SUM(CASE WHEN {b} THEN 1 ELSE 0 END), 0), 6)"
+        )
+
     return (
         f"CASE WHEN SUM(CASE WHEN {b} THEN 1 ELSE 0 END) > 1000 "
-        f"THEN ROUND(AVG(CASE WHEN {b} THEN l_discount END), 6) "
-        f"ELSE ROUND(AVG(CASE WHEN {b} THEN l_tax END), 6) END AS bucket{i}"
+        f"THEN {cavg('l_discount')} "
+        f"ELSE {cavg('l_tax')} END AS bucket{i}"
     )
 
 
@@ -105,7 +122,7 @@ def tpcds_q22_shape(spark: SparkSession, sf: str) -> DataFrame:
     return (
         j.rollup("p_brand", "p_type6", "p_size")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("qoh"),
+            davg(D("l_quantity"), "qoh"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(
@@ -119,7 +136,7 @@ def tpcds_q22_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 TPCDS_Q22_SQL = """
 SELECT p_brand, substr(p_type, 1, 6) AS p_type6, p_size,
-       ROUND(AVG(l_quantity), 6) AS qoh, COUNT(*) AS n
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS qoh, COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ROLLUP (p_brand, substr(p_type, 1, 6), p_size)
 ORDER BY p_brand ASC NULLS FIRST, p_type6 ASC NULLS FIRST,

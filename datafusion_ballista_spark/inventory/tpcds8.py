@@ -136,10 +136,15 @@ def tpcds_q28_shape(spark: SparkSession, sf: str) -> DataFrame:
     for i, (lo, hi) in enumerate(_Q28_BANDS, start=1):
         band = F.col("l_quantity").between(lo, hi)
         priced = F.when(band, F.col("l_extendedprice"))
+        n_band = F.sum(F.when(band, 1).otherwise(0))
         aggs += [
-            F.round(F.avg(priced), 6).alias(f"avg_price_{i}"),
+            # exact decimal sum / explicit band count — AVG(double) drifts
+            # order-dependently at scale (sf1-gate finding, see tpcds11 q18)
+            F.round(
+                F.sum(D(priced)).cast("double") / F.nullif(n_band, F.lit(0)), 6
+            ).alias(f"avg_price_{i}"),
             F.countDistinct(priced).alias(f"distinct_prices_{i}"),
-            F.sum(F.when(band, 1).otherwise(0)).alias(f"n_{i}"),
+            n_band.alias(f"n_{i}"),
         ]
     return li.agg(*aggs)
 
@@ -147,7 +152,9 @@ def tpcds_q28_shape(spark: SparkSession, sf: str) -> DataFrame:
 def _q28_block_sql(i: int, lo: int, hi: int) -> str:
     b = f"l_quantity BETWEEN {lo} AND {hi}"
     return (
-        f"ROUND(AVG(CASE WHEN {b} THEN l_extendedprice END), 6)"
+        f"ROUND(CAST(SUM(CAST(CASE WHEN {b} THEN l_extendedprice END"
+        f" AS DECIMAL(18,2))) AS DOUBLE)"
+        f" / NULLIF(SUM(CASE WHEN {b} THEN 1 ELSE 0 END), 0), 6)"
         f" AS avg_price_{i}, "
         f"COUNT(DISTINCT CASE WHEN {b} THEN l_extendedprice END)"
         f" AS distinct_prices_{i}, "

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
-from datafusion_ballista_spark.inventory.util import D, tables
+from datafusion_ballista_spark.inventory.util import D, davg, tables
 
 _REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))"
 
@@ -77,9 +77,9 @@ def tpcds_q7_shape(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("agg1"),
-            F.round(F.avg("l_extendedprice"), 6).alias("agg2"),
-            F.round(F.avg("l_discount"), 6).alias("agg3"),
+            davg(D("l_quantity"), "agg1"),
+            davg(D("l_extendedprice"), "agg2"),
+            davg(D("l_discount"), "agg3"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -87,9 +87,9 @@ def tpcds_q7_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TPCDS_Q7_SQL = """
-SELECT p_brand, ROUND(AVG(l_quantity), 6) AS agg1,
-       ROUND(AVG(l_extendedprice), 6) AS agg2,
-       ROUND(AVG(l_discount), 6) AS agg3, COUNT(*) AS cnt
+SELECT p_brand, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg2,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg3, COUNT(*) AS cnt
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -115,18 +115,18 @@ def tpcds_q13_shape(spark: SparkSession, sf: str) -> DataFrame:
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .where(p)
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            davg(D("l_quantity"), "avg_qty"),
+            davg(D("l_extendedprice"), "avg_price"),
+            davg(D("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 TPCDS_Q13_SQL = """
-SELECT ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n_lines
+SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -193,8 +193,8 @@ def tpcds_q27_shape(spark: SparkSession, sf: str) -> DataFrame:
     return (
         base.rollup("n_name", "p_brand")
         .agg(
-            F.round(F.avg("l_quantity"), 6).alias("agg1"),
-            F.round(F.avg("l_extendedprice"), 6).alias("agg2"),
+            davg(D("l_quantity"), "agg1"),
+            davg(D("l_extendedprice"), "agg2"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("p_brand"))
@@ -203,8 +203,8 @@ def tpcds_q27_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TPCDS_Q27_SQL = """
-SELECT n_name, p_brand, ROUND(AVG(l_quantity), 6) AS agg1,
-       ROUND(AVG(l_extendedprice), 6) AS agg2, COUNT(*) AS n
+SELECT n_name, p_brand, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS agg2, COUNT(*) AS n
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
