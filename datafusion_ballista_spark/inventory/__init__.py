@@ -55,6 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds11,
         tpcds12,
         tpcds_real,
+        tpcds_real2,
+        tpcds_real3,
         tpch,
         udf_surface,
         windows,
@@ -114,6 +116,8 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds11,
         tpcds12,
         tpcds_real,
+        tpcds_real2,
+        tpcds_real3,
         pipeline_train,
         functions_cov,
         h2o,

@@ -49,6 +49,8 @@ _NESTED_LOOP_OK = {
     "win_share_of_total",
     "tpcds_q88_shape",  # ds q88 shape: eight 1-row scalar counts cross-joined
     "tpcds_real_q88",  # verbatim ds q88: same eight 1-row counts, real schema
+    "tpcds_real_q28",  # verbatim ds q28: six 1-row quantity-band stat blocks
+    "tpcds_real_q61",  # verbatim ds q61: two 1-row scalar revenue blocks
     "tpcds_q23_shape",  # ds q23 shape: 1-row max-spend threshold crossJoin
     "tpcds_q61_shape",  # ds q61 shape: two 1-row scalar revenue crossJoins
     "tpcds_q24_shape",  # ds q24 shape: 1-row spine-average threshold crossJoin

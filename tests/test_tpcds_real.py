@@ -26,7 +26,7 @@ EXPECTED_ROWS = {
     "item": 2000,
     "customer": 5000,
     "customer_address": 2500,
-    "store": 12,
+    "store": 60,
     "customer_demographics": 280,
     "household_demographics": 600,
     "time_dim": 86_400,
@@ -74,13 +74,34 @@ def test_fact_fks_are_nullable():
         assert t.column(c).null_count > 0, c
 
 
-@pytest.mark.parametrize("name", ["tpcds_real_q3", "tpcds_real_q19", "tpcds_real_q98"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpcds_real_q3",
+        "tpcds_real_q19",
+        "tpcds_real_q98",
+        # tranche 2/3 star-agg shapes (window-over-aggregate queries whose
+        # only joins are fact x bounded dims):
+        "tpcds_real_q43",
+        "tpcds_real_q53",
+        "tpcds_real_q67",
+        "tpcds_real_q89",
+    ],
+)
 def test_star_join_plan_shape(spark, name):
     """Every dim join must be broadcast (dims are bounded in SF); the item
     filter must reach the item scan as a pushed filter; no SortMergeJoin
     or cartesian anywhere — the plan that survives a 100x scale-up is
     'shuffle the fact once for the aggregate, broadcast everything else'."""
-    df = QUERIES[name].spark(spark, "ignored")
+    from datafusion_ballista_spark.inventory.tpcds_real2 import (
+        QUERIES as QUERIES2,
+    )
+    from datafusion_ballista_spark.inventory.tpcds_real3 import (
+        QUERIES as QUERIES3,
+    )
+
+    pool = {**QUERIES, **QUERIES2, **QUERIES3}
+    df = pool[name].spark(spark, "ignored")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan

@@ -28,6 +28,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 # limit, not a plan defect — real executors have real heaps.
 GATE_CPUS = os.environ.get("SPARK_GRAFT_GATE_CPUS", "8")
 GATE_MEM = os.environ.get("SPARK_GRAFT_GATE_MEM")
+# Comma-separated query names to skip, recorded in the artifact. Used by
+# the sf1 stress gate to exclude the two WHITELISTED quadratic ground-truth
+# baselines (ann_bruteforce_topk, emb_neardup_cosine): they are documented
+# O(N^2)-by-design oracle paths, never the scale path (their LSH/IVF
+# counterparts ARE gated at sf1), and at 200k embeddings the all-pairs
+# space is ~4e9 dot products — hours of compute proving nothing new.
+GATE_EXCLUDE = {
+    s for s in os.environ.get("SPARK_GRAFT_GATE_EXCLUDE", "").split(",") if s
+}
+# Scan-split ceiling (spark.sql.files.maxPartitionBytes). The sf1 stress
+# fixtures are ~50 MB single files; the 128 MB default makes each scan one
+# task. 16m restores the multi-task scans a real cluster would have.
+GATE_MAXPART = os.environ.get("SPARK_GRAFT_GATE_MAXPART")
 
 
 def main() -> int:
@@ -36,7 +49,15 @@ def main() -> int:
         master=f"local[{GATE_CPUS}]",
         app_name="local-correctness",
         shuffle_partitions=int(GATE_CPUS),
-        extra_conf={"spark.driver.memory": GATE_MEM} if GATE_MEM else None,
+        extra_conf={
+            k: v
+            for k, v in {
+                "spark.driver.memory": GATE_MEM,
+                "spark.sql.files.maxPartitionBytes": GATE_MAXPART,
+            }.items()
+            if v
+        }
+        or None,
     )
     con = duckdb.connect()
     for t in TABLES:
@@ -47,6 +68,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     failures = 0
     for name, spec in all_queries().items():
+        if name in GATE_EXCLUDE:
+            continue
         try:
             df = spec.spark(spark, SF_DIR)
             rec = compare_query(df, con, spec.oracle)
@@ -61,7 +84,8 @@ def main() -> int:
             print(f"FAIL {name}: {rec}", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump({"sf_dir": SF_DIR, "n": len(results), "failures": failures,
-                   "results": results}, f, indent=1, sort_keys=True)
+                   "excluded": sorted(GATE_EXCLUDE), "results": results},
+                  f, indent=1, sort_keys=True)
     print(f"{len(results) - failures}/{len(results)} green -> {out_path}")
     spark.stop()
     con.close()
