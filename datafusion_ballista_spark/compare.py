@@ -44,8 +44,12 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # kill -0.0 and representation noise far below our rounding levels;
-        # kind-tagged so double-vs-int divergences are visible too.
-        return ("f", round(v + 0.0, 9))
+        # kind-tagged so double-vs-int divergences are visible too. The 9dp
+        # rounding is ABSOLUTE, so it does nothing at large magnitudes —
+        # cap at 12 significant digits too: the engines' decimal->double
+        # conversions legitimately differ by 1 ULP, and ULP(2.8e10) ~ 4e-6
+        # (first seen on tpch_q1.sum_charge at the sf1 stress gate).
+        return ("f", float(f"{round(v + 0.0, 9):.12g}"))
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
     if isinstance(v, dict):  # map/struct cells (either engine)
@@ -85,7 +89,9 @@ def fetch_oracle(rel):
     fetched via Arrow so type-level divergence survives into the compare."""
     tbl = rel.arrow()
     cols = list(tbl.column_names)
-    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    # per-column fetch, NOT to_pylist(): a row-dict collapses duplicate
+    # output names (q39's twin inv1/inv2 columns) to the last value.
+    rows = list(zip(*[col.to_pylist() for col in tbl.columns])) if cols else []
     return cols, rows, hugeint_columns(tbl)
 
 

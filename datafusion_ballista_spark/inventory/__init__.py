@@ -57,6 +57,12 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds_real,
         tpcds_real2,
         tpcds_real3,
+        tpcds_real4,
+        tpcds_real5,
+        tpcds_real6,
+        tpcds_real7,
+        tpcds_real8,
+        tpcds_real9,
         tpch,
         udf_surface,
         windows,
@@ -118,6 +124,12 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds_real,
         tpcds_real2,
         tpcds_real3,
+        tpcds_real4,
+        tpcds_real5,
+        tpcds_real6,
+        tpcds_real7,
+        tpcds_real8,
+        tpcds_real9,
         pipeline_train,
         functions_cov,
         h2o,

