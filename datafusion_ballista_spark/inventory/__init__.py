@@ -91,15 +91,41 @@ def all_queries() -> dict[str, QuerySpec]:
     # Round-6 head starts at position 50 so next round's rotation is a
     # one-line window swap: the never-checked sql_surface rows the judge
     # called out lead (guaranteed inside the r6 window), then the
-    # remaining tpcds in numeric order; r7 takes the tail (tpcds 94..99 +
-    # train/multimodal/win_global/h2o-window/salted/tpch_q21/tpcds_real).
-    queue = [
-        "sql_pivot",
-        "sql_lateral_topk",
-        "sql_parameterized",
-        "sql_qualify",
-        "sql_recursive_cte",
-    ] + [f"tpcds_q{i}_shape" for i in range(44, 100)]
+    # remaining tpcds shapes in numeric order, then every other tier that
+    # has never had a driver CORRECTNESS row (train/multimodal/
+    # win_global/h2o-window/salted/tpch_q21, then the 99 verbatim
+    # tpcds_real texts) — so each future swap just advances the window
+    # over never-checked rows instead of re-verifying green ones.
+    queue = (
+        [
+            "sql_pivot",
+            "sql_lateral_topk",
+            "sql_parameterized",
+            "sql_qualify",
+            "sql_recursive_cte",
+        ]
+        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
+        + [
+            "train_split_hash",
+            "train_sample_stratified",
+            "train_seq_packing",
+            "train_contamination_ngram",
+            "train_mix_weights",
+            "multimodal_featurize",
+            "multimodal_frame_sample",
+            "multimodal_resize",
+            "multimodal_audio_stats",
+            "win_global_rownumber_dist",
+            "win_global_rank_dist",
+            "win_global_dense_rank_dist",
+            "win_global_cumsum_dist",
+            "h2o_w_basic_global_sum",
+            "h2o_w_sorted_rownum",
+            "rel_salted_skew_join",
+            "tpch_q21_waiting_suppliers",
+        ]
+        + [f"tpcds_real_q{i}" for i in range(1, 100)]
+    )
 
     pool: dict[str, QuerySpec] = {}
     for mod in (
