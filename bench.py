@@ -35,10 +35,15 @@ def main() -> None:
     from datafusion_ballista_spark.inventory import all_queries
     from datafusion_ballista_spark.session import get_session
 
+    # SPARK_GRAFT_DRIVER_MEM sizes the single-JVM heap for one-off larger-
+    # scale runs (e.g. the sf1 stress bench); unset = Spark default, so the
+    # standard sf0.1 measurement is untouched.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     spark = get_session(
         master=f"local[{cpus}]",
         app_name="dbspark-bench",
         shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": mem} if mem else None,
     )
 
     headline = [

@@ -93,10 +93,19 @@ def fixture_dir() -> str:
     return d
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def _register(spark: SparkSession) -> None:
+    """Register the 24 fixture views once per session — re-reading 24
+    parquet schemas on every query call dominated sub-second queries."""
     d = fixture_dir()
+    key = (id(spark), d)
+    if key in _REGISTERED:
+        return
     for t in FIXTURE_TABLES:
         spark.read.parquet(os.path.join(d, f"{t}.parquet")).createOrReplaceTempView(t)
+    _REGISTERED.add(key)
 
 
 def _oracle(body: str) -> str:

@@ -53,16 +53,13 @@ def q1(spark: SparkSession, sf: str) -> DataFrame:
             dsum(D("l_quantity"), "sum_qty"),
             dsum(D("l_extendedprice"), "sum_base_price"),
             dsum(_rev(), "sum_disc_price"),
-            # factor-wise decimal casts (each factor is an exact 2dp value,
-            # so the casts are tie-free) keep the 3-way product EXACT at
-            # (22,6); casting the double product instead hits the engines'
-            # different double->decimal tie rounding at sf>=1 scale
-            dsum(
-                D("l_extendedprice", 12, 2)
-                * D(1 - F.col("l_discount"), 4, 2)
-                * D(1 + F.col("l_tax"), 4, 2),
-                "sum_charge",
-            ),
+            # the revenue product of two exact-2dp doubles is an exact 4dp
+            # value, so its decimal cast is TIE-FREE; one further exact
+            # decimal multiply by (1+tax) keeps sum_charge identical across
+            # engines. Casting the full 3-way double product instead hits
+            # the engines' different double->decimal tie rounding at sf>=1
+            # (6dp boundary cases appear around 6M rows).
+            dsum(_rev() * D(1 + F.col("l_tax"), 4, 2), "sum_charge"),
             davg(D("l_quantity"), "avg_qty"),
             davg(D("l_extendedprice"), "avg_price"),
             davg(D("l_discount"), "avg_disc"),
@@ -76,7 +73,7 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
