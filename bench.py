@@ -39,11 +39,23 @@ def main() -> None:
     # scale runs (e.g. the sf1 stress bench); unset = Spark default, so the
     # standard sf0.1 measurement is untouched.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    # SPARK_GRAFT_MAXPART (spark.sql.files.maxPartitionBytes) splits the
+    # sf1 fixtures' single ~50 MB files into parallel scan tasks, matching
+    # the gate tool's knob; unset for the standard sf0.1 run.
+    maxpart = os.environ.get("SPARK_GRAFT_MAXPART")
     spark = get_session(
         master=f"local[{cpus}]",
         app_name="dbspark-bench",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": mem} if mem else None,
+        extra_conf={
+            k: v
+            for k, v in {
+                "spark.driver.memory": mem,
+                "spark.sql.files.maxPartitionBytes": maxpart,
+            }.items()
+            if v
+        }
+        or None,
     )
 
     headline = [

@@ -93,19 +93,27 @@ def fixture_dir() -> str:
     return d
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+_DF_CACHE: dict[tuple[int, str, str], list] = {}
 
 
 def _register(spark: SparkSession) -> None:
-    """Register the 24 fixture views once per session — re-reading 24
-    parquet schemas on every query call dominated sub-second queries."""
+    """(Re)register the 24 fixture views. The DataFrames are cached per
+    session (re-reading 24 parquet schemas per query call dominated
+    sub-second queries), but the views are re-registered EVERY call:
+    other inventory queries legitimately bind the same names (TPC-H's
+    ``customer``/``orders`` vs this schema's) and view registration is a
+    cheap catalog-only operation."""
     d = fixture_dir()
-    key = (id(spark), d)
-    if key in _REGISTERED:
-        return
-    for t in FIXTURE_TABLES:
-        spark.read.parquet(os.path.join(d, f"{t}.parquet")).createOrReplaceTempView(t)
-    _REGISTERED.add(key)
+    key = (id(spark), spark.sparkContext.applicationId, d)
+    dfs = _DF_CACHE.get(key)
+    if dfs is None:
+        dfs = [
+            (t, spark.read.parquet(os.path.join(d, f"{t}.parquet")))
+            for t in FIXTURE_TABLES
+        ]
+        _DF_CACHE[key] = dfs
+    for t, df in dfs:
+        df.createOrReplaceTempView(t)
 
 
 def _oracle(body: str) -> str:
