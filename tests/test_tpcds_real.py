@@ -101,6 +101,9 @@ def test_fact_fks_are_nullable():
         "tpcds_real_q53",
         "tpcds_real_q67",
         "tpcds_real_q89",
+        # v4 catalog/web channels: same star discipline on the new facts
+        "tpcds_real_q15",
+        "tpcds_real_q86",
     ],
 )
 def test_star_join_plan_shape(spark, name):
@@ -114,8 +117,14 @@ def test_star_join_plan_shape(spark, name):
     from datafusion_ballista_spark.inventory.tpcds_real3 import (
         QUERIES as QUERIES3,
     )
+    from datafusion_ballista_spark.inventory.tpcds_real4 import (
+        QUERIES as QUERIES4,
+    )
+    from datafusion_ballista_spark.inventory.tpcds_real9 import (
+        QUERIES as QUERIES9,
+    )
 
-    pool = {**QUERIES, **QUERIES2, **QUERIES3}
+    pool = {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES9}
     df = pool[name].spark(spark, "ignored")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
