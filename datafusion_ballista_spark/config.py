@@ -60,6 +60,15 @@ SPARK_DEFAULTS: dict[str, str] = {
     # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects; read as int64 nanos and convert in the registry shim.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan-split sizing: Spark plans file splits as
+    # max(openCostInBytes, totalBytes/defaultParallelism) capped at
+    # maxPartitionBytes. The 4 MiB openCost default models HDFS-era file
+    # open latency and forces compact columnar tables (zstd parquet packs
+    # ~600k lineitem rows into 11 MiB) onto 2-3 cores; local NVMe and
+    # object-store range reads make opens cheap, so let small-but-dense
+    # tables fan out to all cores. No effect at real scale, where
+    # bytes-per-core far exceeds maxPartitionBytes anyway.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # parity with reference defaults: sort-based shuffle + zstd IPC
     # compression (core/src/config.rs:168) — Spark's sort shuffle is native.

@@ -105,9 +105,27 @@ sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
 """.replace("{max_df}", str(_MAX_SHINGLE_DF))
 
 
+def _spread_for_explode(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Rebalance the documents scan before a ~100x explode amplification.
+
+    Shingling multiplies each input row into hundreds of output rows, so
+    scan-split granularity — sized for reading bytes, not for exploding
+    them — under-parallelizes the CPU-heavy tokenize+shingle stage when
+    the table has fewer splits than cores (the fixtures' documents table
+    is one small file = one split).  The round-robin exchange costs one
+    pass over the *compressed input* bytes but balances the 100x larger
+    downstream work.  At real scale a 100 TB documents table already
+    scans as thousands of splits, and this is a no-op.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        return d.repartition(cores)
+    return d
+
+
 def _exploded_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, shingle) pairs, hot shingles capped (scale guard)."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     arr = _tokens(F.col("text"))
     ex = (
         d.where(F.size(arr) >= 3)

@@ -28,8 +28,11 @@ from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.pipeline_text import (
-    _exploded_shingles,
+    _MAX_SHINGLE_DF,
     _SHINGLE_CTE_SQL,
+    _shingles,
+    _spread_for_explode,
+    _tokens,
 )
 from datafusion_ballista_spark.inventory.util import tables
 
@@ -201,27 +204,40 @@ ORDER BY 1, 2
 def train_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Flag training documents sharing any word-3-gram with a held-out
     benchmark set (doc_id % 97 == 0 stands in for the benchmark) — the
-    decontamination sweep every pretraining corpus needs. Shingle-
-    bucketed semi-join on the shared shingle pipeline (hot-shingle cap
-    included): cost is Σ per-shingle matches, never |train| × |bench|."""
-    ex = _exploded_shingles(spark, sf)
-    is_bench = F.col("doc_id") % 97 == 0
-    bench_shingles = ex.where(is_bench).select("s").distinct()
-    train = ex.where(~is_bench)
-    contaminated = (
-        train.join(bench_shingles, "s", "left_semi")
-        .select("doc_id")
-        .distinct()
+    decontamination sweep every pretraining corpus needs.
+
+    Plan (round-5 rewrite): the old bench-distinct → semi-join →
+    double-distinct formulation evaluated the shingle explode in six
+    subtrees; this one touches it twice.  A single groupBy on the shingle
+    computes BOTH the hot-shingle document frequency (the scale cap,
+    pipeline_text._MAX_SHINGLE_DF) and a "some benchmark doc contains this
+    shingle" flag; joining that 2-column table back to the exploded pairs
+    and max-ing the flag per train doc answers contamination in exactly
+    two shuffles (s, then doc_id).  groupBy+join is chosen over a window
+    on purpose: partial aggregation caps the map-side cost of hot
+    shingles and AQE's skew-join split handles them at the join — a
+    PARTITION BY s window would put every occurrence of a hot shingle on
+    one task.  Cost stays Σ per-shingle matches, never |train|×|bench|."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    arr = _tokens(F.col("text"))
+    ex = (
+        d.where(F.size(arr) >= 3)
+        .select("doc_id", F.explode(_shingles(arr)).alias("s"))
+        .withColumn("is_bench", (F.col("doc_id") % 97 == 0).cast("int"))
     )
-    train_docs = train.select("doc_id").distinct()
-    return (
-        train_docs.join(
-            contaminated.withColumn("c", F.lit(1)), "doc_id", "left"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_train_docs"),
-            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_contaminated"),
-        )
+    per_shingle = ex.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.max("is_bench").alias("has_bench"),
+    )
+    doc_flags = (
+        ex.join(per_shingle, "s")
+        .where((F.col("is_bench") == 0) & (F.col("df") <= _MAX_SHINGLE_DF))
+        .groupBy("doc_id")
+        .agg(F.max("has_bench").alias("c"))
+    )
+    return doc_flags.agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum("c").cast("bigint").alias("n_contaminated"),
     )
 
 

@@ -44,11 +44,19 @@ _PLANES: list[list[int]] = [
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        tables(spark, sf, "embeddings")
-        .embeddings.select(
+    # Vector math is ~100x the scan cost per row (64-d dot products per
+    # hyperplane / candidate), so rebalance a fewer-splits-than-cores scan
+    # the same way the shingle pipeline does (pipeline_text
+    # _spread_for_explode); no-op when the table already scans wide.
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _spread_for_explode,
+    )
+
+    return _spread_for_explode(
+        spark,
+        tables(spark, sf, "embeddings").embeddings.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-        )
+        ),
     )
 
 

@@ -609,18 +609,20 @@ WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * aq
 
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     t = tables(spark, sf, "customer", "orders", "lineitem")
+    # The HAVING aggregate already IS the output sum_qty (the outer GROUP BY
+    # keys are functionally determined by o_orderkey), so carry it through
+    # the join instead of re-shuffling + re-aggregating lineitem a second
+    # time.  One lineitem pass; the post-filter "big" side is tiny and AQE
+    # broadcast-joins it against orders at runtime.
     big = (
         t.lineitem.groupBy("l_orderkey")
         .agg(F.sum(D("l_quantity")).alias("q"))
         .where(F.col("q") > 300)
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
     return (
-        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(D("l_quantity"), "sum_qty"))
         .select(
             "c_name",
             "c_custkey",

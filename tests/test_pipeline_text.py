@@ -45,3 +45,20 @@ def test_simhash_recall(spark, true_pairs):
     found = high & pairs
     assert len(found) >= 0.8 * len(high), f"simhash recall too low: {len(found)}/{len(high)}"
     assert pairs <= set(true_pairs), f"false positives: {pairs - set(true_pairs)}"
+
+
+def test_spread_for_explode_rebalances_narrow_scans(spark):
+    """Explode-amplified pipelines must not run on a single core just
+    because the input table packs into fewer splits than cores: the
+    pre-explode rebalance widens a narrow scan to defaultParallelism and
+    leaves an already-wide input untouched (at real scale the scan has
+    more splits than cores, so the exchange is a no-op)."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _spread_for_explode,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread_for_explode(spark, narrow).rdd.getNumPartitions() == cores
+    wide = spark.range(1000).repartition(cores + 4)
+    assert _spread_for_explode(spark, wide) is wide
