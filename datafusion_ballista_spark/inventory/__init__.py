@@ -111,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "train_seq_packing",
             "train_contamination_ngram",
             "train_mix_weights",
+            "train_split_leakage",
             "multimodal_featurize",
             "multimodal_frame_sample",
             "multimodal_resize",

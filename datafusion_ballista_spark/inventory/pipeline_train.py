@@ -258,6 +258,68 @@ FROM (SELECT DISTINCT doc_id FROM train) t
 
 
 # ---------------------------------------------------------------------------
+# 4b. split-leakage audit
+
+
+def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs that straddle the train/val/test boundary —
+    the quieter cousin of benchmark contamination: a test doc whose
+    near-twin sits in train leaks evaluation signal even though the ids
+    differ.  Audits the SAME hash split ``train_split_hash`` assigns and
+    the SAME MinHash-LSH candidate generation the dedup layer uses
+    (``pipeline_text.dedup_minhash_lsh`` — banded candidates, never
+    all-pairs), so the report is consistent with both: every candidate
+    pair with signature agreement >= 0.5 whose members land in different
+    splits, with the split on each side.  Scale shape inherits LSH's
+    (groupBy band key + bounded in-bucket join); the split label is a
+    map-side hash expression, so the audit adds zero extra shuffles."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        dedup_minhash_lsh,
+    )
+
+    def split_of(c: Column) -> Column:
+        b = _hash_bucket(c, 100)
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    return (
+        dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select(
+            "da",
+            "db",
+            "est_jaccard",
+            split_of(F.col("da")).alias("split_a"),
+            split_of(F.col("db")).alias("split_b"),
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .orderBy("da", "db")
+    )
+
+
+def _split_case_sql(expr: str) -> str:
+    b = _hash_bucket_sql(expr, 100)
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _train_leakage_sql() -> str:
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _minhash_oracle_sql,
+    )
+
+    return f"""
+SELECT da, db, est_jaccard, {_split_case_sql('da')} AS split_a,
+       {_split_case_sql('db')} AS split_b
+FROM ({_minhash_oracle_sql()}) mh
+WHERE est_jaccard >= 0.5
+  AND {_split_case_sql('da')} <> {_split_case_sql('db')}
+ORDER BY da, db
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. mixture weighting
 
 
@@ -338,4 +400,5 @@ QUERIES: dict[str, QuerySpec] = {
         train_contamination_ngram, TRAIN_CONTAMINATION_SQL
     ),
     "train_mix_weights": QuerySpec(train_mix_weights, TRAIN_MIX_SQL),
+    "train_split_leakage": QuerySpec(train_split_leakage, _train_leakage_sql()),
 }
