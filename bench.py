@@ -43,6 +43,12 @@ def main() -> None:
     # sf1 fixtures' single ~50 MB files into parallel scan tasks, matching
     # the gate tool's knob; unset for the standard sf0.1 run.
     maxpart = os.environ.get("SPARK_GRAFT_MAXPART")
+    # SPARK_GRAFT_ADVISORY (spark.sql.adaptive.advisoryPartitionSizeInBytes)
+    # sizes AQE-coalesced reducers for one-off larger-scale runs: the 64 MiB
+    # default is right for network-shuffle clusters, but on one node it
+    # collapses a 1.5M-group aggregate's output to a single core (local
+    # shuffle reads are cheap; parallelism is the scarce resource).
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY")
     spark = get_session(
         master=f"local[{cpus}]",
         app_name="dbspark-bench",
@@ -52,6 +58,7 @@ def main() -> None:
             for k, v in {
                 "spark.driver.memory": mem,
                 "spark.sql.files.maxPartitionBytes": maxpart,
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
             }.items()
             if v
         }

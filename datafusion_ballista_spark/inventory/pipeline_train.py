@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.pipeline_text import (
     _MAX_SHINGLE_DF,
-    _SHINGLE_CTE_SQL,
+    _h48,
     _shingles,
     _spread_for_explode,
     _tokens,
@@ -217,12 +217,20 @@ def train_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     on purpose: partial aggregation caps the map-side cost of hot
     shingles and AQE's skew-join split handles them at the join — a
     PARTITION BY s window would put every occurrence of a hot shingle on
-    one task.  Cost stays Σ per-shingle matches, never |train|×|bench|."""
+    one task.  Cost stays Σ per-shingle matches, never |train|×|bench|.
+
+    Shingles are folded to the shared 48-bit md5 hash (pipeline_text
+    ``_h48``, bit-identical in DuckDB) BEFORE the shuffle: 8-byte int
+    keys instead of ~30-byte strings cut shuffle volume ~4x, and the
+    MinHash signature path already matches on exactly this fold — a
+    48-bit collision (odds ~n²/2⁴⁹) would flag one extra doc pair in
+    both engines identically."""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     arr = _tokens(F.col("text"))
     ex = (
         d.where(F.size(arr) >= 3)
         .select("doc_id", F.explode(_shingles(arr)).alias("s"))
+        .select("doc_id", _h48(F.col("s")).alias("s"))
         .withColumn("is_bench", (F.col("doc_id") % 97 == 0).cast("int"))
     )
     per_shingle = ex.groupBy("s").agg(
@@ -241,20 +249,31 @@ def train_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-TRAIN_CONTAMINATION_SQL = (
-    "WITH "
-    + _SHINGLE_CTE_SQL.strip().rstrip(",")
-    + f""",
-bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
-train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
-contaminated AS (
-  SELECT DISTINCT doc_id FROM train WHERE s IN (SELECT s FROM bench))
+# Mirrors the Spark plan exactly: one per-hashed-shingle aggregate
+# computing (df, has_bench), joined back, max-ed per train doc.
+TRAIN_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(arr)-1),
+      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks WHERE len(arr) >= 3),
+ex AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS x
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+per AS (
+  SELECT x, COUNT(*) AS df,
+         MAX(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS has_bench
+  FROM ex GROUP BY x),
+doc_flags AS (
+  SELECT e.doc_id, MAX(p.has_bench) AS c
+  FROM ex e JOIN per p USING (x)
+  WHERE e.doc_id % 97 <> 0 AND p.df <= {_MAX_SHINGLE_DF}
+  GROUP BY e.doc_id)
 SELECT COUNT(*) AS n_train_docs,
-       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
-FROM (SELECT DISTINCT doc_id FROM train) t
+       CAST(SUM(c) AS BIGINT) AS n_contaminated
+FROM doc_flags
 """
-)
 
 
 # ---------------------------------------------------------------------------

@@ -89,8 +89,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest = os.path.join("/tmp/dbspark_stream", f"{base}-{digest}", "events")
     os.makedirs(ingest, exist_ok=True)
     link = os.path.join(ingest, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # Symlink the ABSOLUTE source path: a relative target resolves against
+    # the link's own directory, not the caller's cwd, leaving a broken
+    # link when sf_dir is relative (e.g. "fixtures/sf1"). And test with
+    # lexists/realpath, not exists: exists() is False for a broken link,
+    # so a stale one from an interrupted run would make symlink() raise
+    # FileExistsError forever. A link that resolves elsewhere (or nowhere)
+    # is removed and re-staged.
+    target = os.path.abspath(src)
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     nanos = _ts_is_nanos(link)
     raw = spark.readStream.schema(_events_schema(nanos)).parquet(ingest)
     if nanos:
