@@ -116,6 +116,9 @@ def all_queries() -> dict[str, QuerySpec]:
             "multimodal_frame_sample",
             "multimodal_resize",
             "multimodal_audio_stats",
+            "multimodal_wav_roundtrip",
+            "stream_static_enrich",
+            "stream_checkpoint_resume",
             "win_global_rownumber_dist",
             "win_global_rank_dist",
             "win_global_dense_rank_dist",

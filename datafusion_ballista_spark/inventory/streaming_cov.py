@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import tables
 from datafusion_ballista_spark.streaming import read_events_stream, run_available_now
 
 
@@ -279,6 +280,109 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join enrichment — the canonical streaming lookup: a
+    live event stream joined against a batch dimension table (here the
+    customer dim on user_id = c_custkey). The static side is re-resolved
+    per micro-batch, so a refreshed dimension snapshot is picked up
+    without restarting the query. Left join keeps unmatched events
+    (coalesced to 'unknown'); no watermark is needed because the join adds
+    no state — only the downstream complete-mode aggregate does. The dim
+    is NOT broadcast-hinted: customer grows with scale, so the planner
+    picks broadcast vs shuffled hash from its size per batch."""
+    ev = read_events_stream(spark, sf)
+    dim = tables(spark, sf, "customer").customer.select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(dim, ev.user_id == dim.c_custkey, "left")
+    agg = joined.groupBy(
+        "event_type",
+        F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+    out = run_available_now(agg, "complete")
+    return out.orderBy("event_type", "segment")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT event_type, COALESCE(c_mktsegment, 'unknown') AS segment,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
+def stream_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed resume across two data drops — the production
+    streaming semantic the other entries don't exercise: offsets live in
+    the checkpoint, so a restarted query processes ONLY files that
+    arrived since the last run. Drop 1 (even event_ids) is drained by an
+    availableNow run; drop 2 (odd event_ids) lands in the monitored dir;
+    a SECOND run with the SAME checkpoint resumes and must not reprocess
+    drop 1 — if it did, the appended sink would double drop 1's rows and
+    the hash against the plain batch oracle over the full table would
+    fail. Fresh uuid-tagged staging per call; state is the file-source
+    log only."""
+    import os
+    import shutil
+    import uuid
+
+    base = os.path.join(
+        "/tmp/dbspark_stream", "resume_" + uuid.uuid4().hex[:8]
+    )
+    src = os.path.join(base, "in")
+    sink = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ck")
+    ev = tables(spark, sf, "events").events.select(
+        "event_id", "event_type", "value"
+    )
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(src)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    drain()
+    back = spark.read.parquet(sink)
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+    result = out.localCheckpoint()  # materialize before staging teardown
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+STREAM_RESUME_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
@@ -292,5 +396,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_foreach_batch_sink": QuerySpec(
         stream_foreach_batch_sink, STREAM_FOREACH_BATCH_SQL
+    ),
+    "stream_static_enrich": QuerySpec(
+        stream_static_enrich, STREAM_STATIC_ENRICH_SQL
+    ),
+    "stream_checkpoint_resume": QuerySpec(
+        stream_checkpoint_resume, STREAM_RESUME_SQL
     ),
 }

@@ -144,10 +144,13 @@ FROM events
 def udtf_lateral_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Python UDTF via LATERAL — a user table function, which the reference
     has no surface for at all (only built-in generate_series,
-    datafusion.proto:1487-1498)."""
+    datafusion.proto:1487-1498). ``useArrow=True`` keeps even this
+    row-generator surface on the Arrow serialization path (plan shows
+    ArrowEvalPythonUDTF, not the pickle BatchEvalPython — pinned by the
+    whole-inventory audit in tests/test_plans.py)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="tok string")
+    @udtf(returnType="tok string", useArrow=True)
     class SplitToks:
         def eval(self, text: str | None):
             if text is not None:

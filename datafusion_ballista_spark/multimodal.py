@@ -7,10 +7,15 @@ this engine where Python in the data path is the right call, because media
 codecs are Python/native libraries, and Arrow batching amortizes the
 transfer.
 
-The image/audio libraries are NOT in this container, so the real decoders
-are stubbed behind ``NotImplementedError`` with a clearly-marked
-deterministic fake used by tests and the inventory; the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested.
+Image/video libraries are NOT in this container, so those decoders are
+stubbed behind ``NotImplementedError`` with a clearly-marked deterministic
+fake used by tests and the inventory; the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested. AUDIO has a
+REAL codec path: ``attach_wav``/``decode_wav_stats`` write and parse
+genuine RIFF/WAVE PCM containers with the stdlib ``wave`` module — the
+decoded header fields and sample statistics round-trip through an actual
+binary format and hash-match a SQL oracle computing the same stats from
+the source bytes.
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches — no
 per-row Python calls, no driver collection; partition count controls
@@ -136,6 +141,89 @@ def audio_stats(df: DataFrame, data_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", data_col).mapInPandas(_stats, schema=AUDIO_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 16_000
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "rms_amp double"
+)
+
+
+def attach_wav(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL audio blobs: each doc's utf-8 bytes become int16 PCM samples
+    ((b-128)*256) written through the stdlib ``wave`` codec into a genuine
+    RIFF/WAVE container (44-byte header, fmt + data chunks) — unlike the
+    image/video paths, nothing here is faked; any WAV reader plays these.
+    Arrow-batched mapInPandas, one encode per row, no driver involvement."""
+    import io
+    import wave as wave_codec
+
+    import numpy as np
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = str(text).encode("utf-8")
+                samples = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int16) - 128
+                ) * 256
+                buf = io.BytesIO()
+                with wave_codec.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(samples.tobytes())
+                out.append((doc_id, buf.getvalue()))
+            yield pd.DataFrame(out, columns=["doc_id", "wav"])
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _mk, schema="doc_id bigint, wav binary"
+    )
+
+
+def decode_wav_stats(df: DataFrame, data_col: str = "wav") -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE container with the stdlib
+    ``wave`` codec — sample rate / channel count / frame count come from
+    the actual parsed header, not metadata carried alongside — then numpy
+    over the PCM frames for RMS (exact int sum -> one IEEE divide/sqrt,
+    bit-identical to the SQL oracle's aggregate)."""
+    import io
+    import math
+    import wave as wave_codec
+
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                with wave_codec.open(io.BytesIO(bytes(data)), "rb") as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rms = (
+                    math.sqrt(int((x * x).sum()) / x.size) if x.size else None
+                )
+                rows.append((doc_id, sr, nch, n, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "rms_amp",
+                ],
+            )
+
+    return df.select("doc_id", data_col).mapInPandas(
+        _stats, schema=WAV_STATS_SCHEMA
+    )
 
 
 def frame_sample(df: DataFrame, data_col: str = "media") -> DataFrame:

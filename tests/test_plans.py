@@ -86,6 +86,12 @@ def _plan(spark, name):
 @pytest.mark.parametrize("name", sorted(_ALL))
 def test_no_unbounded_cartesian(name, spark):
     plan = _plan(spark, name)
+    # Python may enter a plan only through Arrow-vectorized evaluation
+    # (ArrowEvalPython / mapInPandas / mapInArrow). BatchEvalPython is the
+    # row-at-a-time pickle path — 10-100x slower — and must never appear.
+    assert "BatchEvalPython" not in plan, (
+        f"[{name}] row-at-a-time Python UDF in plan"
+    )
     if name in _NESTED_LOOP_OK:
         return
     assert "CartesianProduct" not in plan, f"[{name}] cartesian product in plan"

@@ -110,3 +110,49 @@ def test_write_arrow_ipc_dist_roundtrip(spark, tmp_path):
     back = read_arrow_ipc_dist(spark, paths)
     assert back.count() == 1000
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(1000))
+
+
+class TestWavCodec:
+    """The audio path uses a REAL codec (stdlib wave): the container must
+    be a valid RIFF/WAVE file whose parsed header — not carried metadata —
+    yields the format fields, and PCM samples must round-trip bit-exactly."""
+
+    def test_wav_roundtrip_parses_real_header(self, spark):
+        import io
+        import wave
+
+        from datafusion_ballista_spark.multimodal import attach_wav
+
+        df = spark.createDataFrame(
+            [(1, "abc xyz"), (2, "q")], "doc_id bigint, text string"
+        )
+        rows = {r.doc_id: bytes(r.wav) for r in attach_wav(df).collect()}
+        blob = rows[1]
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            assert w.getframerate() == 16_000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == len("abc xyz")
+            raw = w.readframes(w.getnframes())
+        import numpy as np
+
+        samples = np.frombuffer(raw, dtype="<i2")
+        expect = (
+            np.frombuffer(b"abc xyz", dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+        assert (samples == expect).all()
+
+    def test_decode_stats_from_container(self, spark):
+        from datafusion_ballista_spark.multimodal import (
+            attach_wav,
+            decode_wav_stats,
+        )
+
+        df = spark.createDataFrame([(7, "AA")], "doc_id bigint, text string")
+        out = decode_wav_stats(attach_wav(df)).collect()[0]
+        # 'A' = 65 -> sample (65-128)*256 = -16128; RMS of two equal samples
+        assert out.sample_rate == 16_000
+        assert out.n_channels == 1
+        assert out.n_samples == 2
+        assert out.rms_amp == 16128.0
