@@ -6,13 +6,12 @@ label): brute-force cosine top-k (the exactness baseline), random-hyperplane
 LSH bucketed ANN (the scale path), kNN label voting, cosine-threshold
 near-dup pairs, and label-centroid statistics.
 
-Numerics: cosine is a double dot product on both sides (Spark: one numpy
-einsum per Arrow batch in ``_cos_vec``; DuckDB ``list_dot_product`` over
-DOUBLE[]). Summation order differs by engine, so every similarity is
-rounded at 9 dp — ~6 orders of magnitude above the worst 64-term
-reassociation ulp — before any ranking or comparison, and the oracle gate
-re-verifies every vector query at each fixture scale. Array means use
-DECIMAL accumulation for partition-order independence.
+Numerics: cosine is an explicit left-fold double dot product on both
+sides (Spark ``F.aggregate``/``zip_with`` over array<double>; DuckDB
+``list_dot_product`` over DOUBLE[]); every similarity is additionally
+rounded at 9 dp before ranking, and the oracle gate re-verifies every
+vector query at each fixture scale. Array means use DECIMAL accumulation
+for partition-order independence.
 
 Scale notes (100 TB):
 - Brute-force is O(Q·N) by construction; it exists as the correctness
@@ -23,10 +22,10 @@ Scale notes (100 TB):
   groupBy(bucket) join, cost Σ per-bucket sizes. More tables/probes trade
   recall for cost without changing the plan shape. An IVF variant is the
   same plan with learned centroids as the bucketer.
-- The dot-product kernels are Arrow-batched pandas UDFs (one numpy matmul
-  per batch) — Spark's higher-order array lambdas evaluate per-element on
-  the interpreted expression path, ~128 dispatches per 64-d dot. Scalar
-  expression forms (`_dot`/`_cos`/`_bucket`) remain documented alongside.
+- Dot products run as in-JVM expression folds: at 64-d this beats the
+  Arrow-batched pandas_udf alternative (kept + tested as `_cos_vec`/
+  `_bucket_vec`) because the UDF pays ~1 KB/pair operand transfer; the
+  vectorized forms are the documented switch-over for ~512-d+ embeddings.
 """
 
 from __future__ import annotations
@@ -77,16 +76,17 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-# Arrow-vectorized versions of the two hot kernels. Spark's higher-order
-# array functions (zip_with/aggregate lambdas) evaluate on the interpreted
-# expression path PER ELEMENT — outside whole-stage codegen — so a 64-d
-# dot product costs ~128 interpreter dispatches per row. The pandas_udf
-# forms move each Arrow batch through one numpy matmul / einsum instead
-# (measured ~3-5x on the ANN queries). Results agree with the expression
-# forms within 1 ulp; every consumer rounds at 9 dp, far above that, and
-# the oracle gate re-verifies all vector queries at every fixture scale.
-# The expression forms stay for the few scalar-literal uses and as the
-# no-Arrow fallback documentation.
+# Arrow-vectorized ALTERNATIVES to the two kernels, measured and NOT used
+# at this dimensionality: at 64-d the in-JVM expression fold wins (A/B at
+# sf0.1 and sf1: e.g. ann_bruteforce 0.56s expr vs 0.75s pandas_udf),
+# because the UDF must ship BOTH operand arrays through the Arrow pipe
+# (~1 KB per candidate pair) while the expression path computes with zero
+# transfer — "stay JVM-side" beats "vectorize in numpy" until the
+# per-row compute outgrows the per-row transfer. Kept, tested
+# (tests/test_pipeline_vector.py::test_vectorized_kernels_match), and
+# documented as the switch-over path for high-dim embeddings (~512-d+),
+# where one matmul per batch amortizes the transfer. Results agree with
+# the expression forms within 1 ulp; every consumer rounds at 9 dp.
 
 
 @pandas_udf(DoubleType())
@@ -173,7 +173,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
     sims = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(_cos_vec(F.col("qv"), F.col("nv")), 9).alias("sim"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -205,7 +205,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): sign-pattern buckets from 8
     deterministic Rademacher hyperplanes; candidates share the query's
     bucket; exact cosine re-rank inside the bucket, top-3."""
-    e = _emb(spark, sf).withColumn("bucket", _bucket_vec(F.col("v")))
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
     q = e.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
@@ -215,7 +215,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         # so the corpus never shuffles — each shard probes its own rows.
         F.broadcast(q).join(c, "bucket")
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(_cos_vec(F.col("qv"), F.col("nv")), 9).alias("sim"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -281,7 +281,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "v",
         "clabel",
-        F.round(_cos_vec(F.col("v"), F.col("cv")), 9).alias("csim"),
+        F.round(_cos(F.col("v"), F.col("cv")), 9).alias("csim"),
     )
     asg = (
         sims.groupBy("vec_id", "v")
@@ -295,7 +295,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     pair = (
         q.join(c, "cell")
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(_cos_vec(F.col("qv"), F.col("nv")), 9).alias("sim"))
+        .select("qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -359,7 +359,7 @@ def emb_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     )
     sims = c.join(F.broadcast(q)).select(
         "qid", "true_label", "nid", "nlabel",
-        F.round(_cos_vec(F.col("qv"), F.col("nv")), 9).alias("sim"),
+        F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     top = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
@@ -412,7 +412,7 @@ def emb_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, F.col("da") < F.col("db"))
         .select(
-            "da", "db", F.round(_cos_vec(F.col("va"), F.col("vb")), 9).alias("sim")
+            "da", "db", F.round(_cos(F.col("va"), F.col("vb")), 9).alias("sim")
         )
         .where(F.col("sim") >= 0.4)
         .select("da", "db", F.round("sim", 6).alias("cosine"))
@@ -437,14 +437,14 @@ def emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (for cos=0.4, P[same 8-bit signature] ≈ (1 - 0.436)^8 — so this
     deliberately reports the *bucket-local* subset, which is the documented
     trade; raise recall with multiple tables/probes, same plan shape)."""
-    e = _emb(spark, sf).withColumn("bucket", _bucket_vec(F.col("v")))
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
     a = e.select("bucket", F.col("vec_id").alias("da"), F.col("v").alias("va"))
     b = e.select("bucket", F.col("vec_id").alias("db"), F.col("v").alias("vb"))
     return (
         a.join(b, "bucket")
         .where(F.col("da") < F.col("db"))
         .select(
-            "da", "db", F.round(_cos_vec(F.col("va"), F.col("vb")), 9).alias("sim")
+            "da", "db", F.round(_cos(F.col("va"), F.col("vb")), 9).alias("sim")
         )
         .where(F.col("sim") >= 0.4)
         .select("da", "db", F.round("sim", 6).alias("cosine"))
