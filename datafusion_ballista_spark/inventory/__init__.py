@@ -117,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "multimodal_resize",
             "multimodal_audio_stats",
             "multimodal_wav_roundtrip",
+            "dedup_incremental",
             "stream_static_enrich",
             "stream_checkpoint_resume",
             "win_global_rownumber_dist",

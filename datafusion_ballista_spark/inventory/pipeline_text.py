@@ -823,8 +823,121 @@ ORDER BY lang, source
 """
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the production ingestion
+    shape: a NEW crawl batch (doc_id % 3 == 0 stands in for it) is
+    deduped against the EXISTING corpus without ever re-pairing
+    corpus x corpus. Same MinHash signatures and band keys as
+    ``dedup_minhash_lsh``, but the candidate join is asymmetric
+    (new-side bands x corpus-side bands), so ingestion cost is
+    Σ per-bucket |new| x |corpus| overlaps — re-running yesterday's
+    dedup is never part of today's bill. Output: one row per new doc
+    with its best corpus match (highest signature agreement >= 0.5,
+    ties to the lowest corpus id) or NULLs if the doc is clean."""
+    sig = _minhash_signatures(spark, sf).cache()
+    is_new = F.col("doc_id") % 3 == 0
+    bands = []
+    for bnd in range(_BANDS):
+        cols = [f"h{bnd * _ROWS + r}" for r in range(_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band_id"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for bf in bands[1:]:
+        all_bands = all_bands.union(bf)
+    new_b = all_bands.where(is_new).select(
+        "band_id", "band_key", F.col("doc_id").alias("n")
+    )
+    corp_b = all_bands.where(~is_new).select(
+        "band_id", "band_key", F.col("doc_id").alias("c")
+    )
+    cand = new_b.join(corp_b, ["band_id", "band_key"]).select("n", "c").distinct()
+    sign = sig.select(
+        F.col("doc_id").alias("n"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_K)],
+    )
+    sigc = sig.select(
+        F.col("doc_id").alias("c"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_K)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_K)
+    )
+    scored = (
+        cand.join(sign, "n")
+        .join(sigc, "c")
+        .select("n", "c", F.round(agree / F.lit(float(_K)), 6).alias("est"))
+        .where(F.col("est") >= 0.5)
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("est"), F.asc("c"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("n", F.col("c").alias("dup_of"), F.col("est").alias("est_jaccard"))
+    )
+    new_docs = sig.where(is_new).select(F.col("doc_id"))
+    return (
+        new_docs.join(best, new_docs.doc_id == best.n, "left")
+        .select("doc_id", "dup_of", "est_jaccard")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle_sql() -> str:
+    mins = ",\n    ".join(
+        f"MIN((x * {a} + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bnd} AS band_id, ".format(bnd=bnd)
+        + " || '_' || ".join(
+            f"CAST(h{bnd * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for bnd in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    return f"""
+WITH {_SHINGLE_CTE_SQL},
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS x FROM ex),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS n, b.doc_id AS c
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+scored AS (
+  SELECT n, c, round(({agree}) / {float(_K)}, 6) AS est
+  FROM cand
+  JOIN sig sa ON n = sa.doc_id
+  JOIN sig sb ON c = sb.doc_id),
+best AS (
+  SELECT n, c AS dup_of, est AS est_jaccard,
+    ROW_NUMBER() OVER (PARTITION BY n ORDER BY est DESC, c) AS rk
+  FROM scored WHERE est >= 0.5)
+SELECT s.doc_id, b.dup_of, b.est_jaccard
+FROM sig s LEFT JOIN best b ON s.doc_id = b.n AND b.rk = 1
+WHERE s.doc_id % 3 = 0
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": QuerySpec(dedup_incremental, _incremental_oracle_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle_sql()),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
