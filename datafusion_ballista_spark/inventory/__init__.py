@@ -71,41 +71,31 @@ def all_queries() -> dict[str, QuerySpec]:
     # Registration order drives the driver's CORRECTNESS window (first 50
     # entries). Rounds 1-2 proved tpch+relational+windows; round 3 proved
     # functions_cov/h2o/udf/sql_surface; round 4 proved the 11 HUGEINT
-    # re-fixes + pipeline_text/vector + io_ops + events (50/50 green).
-    # Round-5 window = the two largest never-verified tiers: the first 43
-    # TPC-DS shape analogues (the reference's own CI gate,
-    # .github/workflows/tpcds.yml) + all 7 structured-streaming rows.
-    # Queued for round 6: tpcds_q44..q93 (50); round 7: tpcds_q94..q99 +
-    # train + multimodal + win_global_* + remaining sql_surface/h2o-window
-    # + rel_salted_skew_join + tpch_q21. The local pytest oracle gate
-    # (tests/test_inventory.py) still covers ALL entries every round.
-    window = [f"tpcds_q{i}_shape" for i in range(1, 44)] + [
-        "stream_windowed_counts",
-        "stream_session_windows",
-        "stream_stream_join",
-        "stream_dedup_exact",
-        "stream_dedup_watermarked",
-        "stream_stateful_counter",
-        "stream_foreach_batch_sink",
-    ]
-    # Round-6 head starts at position 50 so next round's rotation is a
-    # one-line window swap: the never-checked sql_surface rows the judge
-    # called out lead (guaranteed inside the r6 window), then the
-    # remaining tpcds shapes in numeric order, then every other tier that
-    # has never had a driver CORRECTNESS row (train/multimodal/
-    # win_global/h2o-window/salted/tpch_q21, then the 99 verbatim
-    # tpcds_real texts) — so each future swap just advances the window
-    # over never-checked rows instead of re-verifying green ones.
+    # re-fixes + pipeline_text/vector + io_ops + events; round 5 proved
+    # the first 43 TPC-DS shape analogues + all 7 streaming rows (50/50
+    # green each round).
+    # Round-6 window (per VERDICT r5 Next #1): the 5 never-checked
+    # sql_surface rows, then the first 45 VERBATIM TPC-DS query texts on
+    # the real star fixture — the reference's own CI gate
+    # (reference: .github/workflows/tpcds.yml:55-74) and strictly
+    # stronger evidence than more shape analogues.
+    window = [
+        "sql_pivot",
+        "sql_lateral_topk",
+        "sql_parameterized",
+        "sql_qualify",
+        "sql_recursive_cte",
+    ] + [f"tpcds_real_q{i}" for i in range(1, 46)]
+    # Round-7 head starts at position 50 so next round's rotation is a
+    # one-line window swap (VERDICT r5 Next #2): every beyond-reference
+    # tier that has never had a driver CORRECTNESS row — train(6) +
+    # multimodal(5) + win_global(4) + h2o-window(2) + salted/q21/
+    # dedup_incremental + the 2 round-5 stream rows — then the remaining
+    # verbatim tpcds_real texts, then the leftover shape analogues.
+    # Each future swap advances the window over never-checked rows
+    # instead of re-verifying green ones.
     queue = (
         [
-            "sql_pivot",
-            "sql_lateral_topk",
-            "sql_parameterized",
-            "sql_qualify",
-            "sql_recursive_cte",
-        ]
-        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
-        + [
             "train_split_hash",
             "train_sample_stratified",
             "train_seq_packing",
@@ -129,7 +119,8 @@ def all_queries() -> dict[str, QuerySpec]:
             "rel_salted_skew_join",
             "tpch_q21_waiting_suppliers",
         ]
-        + [f"tpcds_real_q{i}" for i in range(1, 100)]
+        + [f"tpcds_real_q{i}" for i in range(46, 100)]
+        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
     )
 
     pool: dict[str, QuerySpec] = {}

@@ -93,18 +93,24 @@ def fixture_dir() -> str:
     return d
 
 
-_DF_CACHE: dict[tuple[int, str, str], list] = {}
+_DF_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _register(spark: SparkSession) -> None:
     """(Re)register the 24 fixture views. The DataFrames are cached per
-    session (re-reading 24 parquet schemas per query call dominated
+    SparkContext (re-reading 24 parquet schemas per query call dominated
     sub-second queries), but the views are re-registered EVERY call:
     other inventory queries legitimately bind the same names (TPC-H's
     ``customer``/``orders`` vs this schema's) and view registration is a
-    cheap catalog-only operation."""
+    cheap catalog-only operation.
+
+    Cache key = (applicationId, fixture dir): applicationId is unique per
+    SparkContext lifetime, so a restarted context never sees stale
+    DataFrames; multiple SparkSessions over one context can safely share
+    the plans (DataFrames are context-scoped, not session-scoped, for
+    parquet reads with no session-local catalog state)."""
     d = fixture_dir()
-    key = (id(spark), spark.sparkContext.applicationId, d)
+    key = (spark.sparkContext.applicationId, d)
     dfs = _DF_CACHE.get(key)
     if dfs is None:
         dfs = [

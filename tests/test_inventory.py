@@ -23,29 +23,46 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-5
-    window = the first 43 TPC-DS shape analogues + all 7 streaming rows —
-    the two largest never-driver-verified tiers. Lock the composition so
-    an accidental reorder doesn't silently waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-6
+    window (VERDICT r5 Next #1) = the 5 never-checked sql_surface rows +
+    the first 45 VERBATIM TPC-DS texts on the real star fixture (the
+    reference's own CI gate). Lock the composition so an accidental
+    reorder doesn't silently waste a round."""
     names = list(_ALL)[:50]
-    assert names[:43] == [f"tpcds_q{i}_shape" for i in range(1, 44)]
-    assert names[43:50] == [
-        "stream_windowed_counts",
-        "stream_session_windows",
-        "stream_stream_join",
-        "stream_dedup_exact",
-        "stream_dedup_watermarked",
-        "stream_stateful_counter",
-        "stream_foreach_batch_sink",
-    ]
-    # Round-6 head queued immediately after the window: the never-checked
-    # sql_surface rows first, then the remaining tpcds shapes.
-    assert names and list(_ALL)[50:57] == [
+    assert names[:5] == [
         "sql_pivot",
         "sql_lateral_topk",
         "sql_parameterized",
         "sql_qualify",
         "sql_recursive_cte",
-        "tpcds_q44_shape",
-        "tpcds_q45_shape",
     ]
+    assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
+    # Round-7 head queued immediately after the window (VERDICT r5 Next
+    # #2): every beyond-reference tier that has never had a driver row.
+    assert list(_ALL)[50:72] == [
+        "train_split_hash",
+        "train_sample_stratified",
+        "train_seq_packing",
+        "train_contamination_ngram",
+        "train_mix_weights",
+        "train_split_leakage",
+        "multimodal_featurize",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_stats",
+        "multimodal_wav_roundtrip",
+        "dedup_incremental",
+        "stream_static_enrich",
+        "stream_checkpoint_resume",
+        "win_global_rownumber_dist",
+        "win_global_rank_dist",
+        "win_global_dense_rank_dist",
+        "win_global_cumsum_dist",
+        "h2o_w_basic_global_sum",
+        "h2o_w_sorted_rownum",
+        "rel_salted_skew_join",
+        "tpch_q21_waiting_suppliers",
+    ]
+    # Remaining verbatim texts precede the leftover shape analogues.
+    assert list(_ALL)[72:74] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[126:128] == ["tpcds_q44_shape", "tpcds_q45_shape"]
