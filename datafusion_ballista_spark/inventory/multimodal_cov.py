@@ -2,8 +2,20 @@
 
 See datafusion_ballista_spark/multimodal.py for the design. The payload is
 synthesized from text (no binary fixture exists), which makes every fake
-decode DuckDB-replayable: the oracle recomputes byte lengths, sha256 and the
-fake header fields from ``text::BLOB``.
+decode DuckDB-replayable.
+
+Oracle byte discipline (round-6 ADVICE fix): the Spark paths iterate UTF-8
+BYTES of the payload, so the oracles must too. Character-based forms
+(``ascii(substr(text, i, 1))`` / ``string_split(text, '')``) yield
+CODEPOINTS (233 for 'é', one '' element for empty text) and silently
+diverge on any non-ASCII or empty document. Every byte-consuming oracle
+below therefore extracts true bytes via hex slicing —
+``('0x' || substring(hex(encode(text)), 2*i-1, 2))::INTEGER`` is byte i of
+the UTF-8 encoding — and empty payloads flow through a LEFT JOIN so both
+engines emit the same zero-sample row. The one exception is
+``multimodal_frame_sample``: its oracle must sha256 a VARCHAR (this
+DuckDB build has no sha256(BLOB)), so BOTH engines enforce an explicit
+ASCII-only filter (byte == char by construction) instead of assuming it.
 """
 
 from __future__ import annotations
@@ -30,17 +42,18 @@ def multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
     return feats.orderBy("doc_id")
 
 
-# CASE guards mirror fake_decode_header's len checks: missing bytes are 0,
-# whereas ascii('') would otherwise yield 0 % 64 + 1 = 1 on short payloads.
+# CASE guards mirror fake_decode_header's len checks: missing bytes are 0.
+# Header fields read true UTF-8 BYTES 1/2 via hex slicing (sha256(VARCHAR)
+# already hashes the UTF-8 bytes, matching Spark's sha2 over encode(text)).
 MULTIMODAL_FEATURIZE_SQL = """
 SELECT doc_id,
-  octet_length(text::BLOB) AS n_bytes,
+  octet_length(encode(text)) AS n_bytes,
   sha256(text) AS sha256,
-  CASE WHEN octet_length(text::BLOB) >= 1
-       THEN CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER)
+  CASE WHEN octet_length(encode(text)) >= 1
+       THEN CAST((('0x' || substring(hex(encode(text)), 1, 2))::INTEGER % 64) + 1 AS INTEGER)
        ELSE 0 END AS width,
-  CASE WHEN octet_length(text::BLOB) >= 2
-       THEN CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS INTEGER)
+  CASE WHEN octet_length(encode(text)) >= 2
+       THEN CAST((('0x' || substring(hex(encode(text)), 3, 2))::INTEGER % 64) + 1 AS INTEGER)
        ELSE 0 END AS height
 FROM documents
 ORDER BY doc_id
@@ -48,8 +61,17 @@ ORDER BY doc_id
 
 
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame sampling over 'video' payloads: 32-byte frames, every 4th."""
-    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 50)
+    """Frame sampling over 'video' payloads: 32-byte frames, every 4th.
+
+    ASCII-only filter ENFORCED on both engines (not assumed): the oracle
+    must sha256 a VARCHAR frame slice (no sha256(BLOB) in this DuckDB
+    build), which equals the Spark side's byte-slice hash only when every
+    byte is a single-byte char."""
+    d = (
+        tables(spark, sf, "documents")
+        .documents.where(F.col("doc_id") < 50)
+        .where(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+    )
     return frame_sample(attach_binary(d)).orderBy("doc_id", "frame_idx")
 
 
@@ -57,30 +79,32 @@ MULTIMODAL_FRAME_SQL = """
 SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
   sha256(substr(text, i * 32 + 1, 32)) AS frame_sha
 FROM (SELECT doc_id, text,
-        unnest(range(0, (octet_length(text::BLOB) + 31) // 32, 4)) AS i
-      FROM documents WHERE doc_id < 50)
+        unnest(range(0, (octet_length(encode(text)) + 31) // 32, 4)) AS i
+      FROM documents
+      WHERE doc_id < 50 AND regexp_matches(text, '^[\\x00-\\x7f]*$'))
 ORDER BY doc_id, frame_idx
 """
 
 
 def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Fake image resize (every 2nd byte) — emitted length/dims recomputable
-    from the text payload byte-arithmetically (ASCII fixture: byte == char)."""
+    from the text payload's UTF-8 bytes (oracle hex-slices true bytes)."""
     d = tables(spark, sf, "documents").documents
     return resize(attach_binary(d)).orderBy("doc_id")
 
 
 # Resized payload keeps every 2nd byte, so its header bytes map to source
-# bytes 1 and 3; the CASE guards mirror fake_decode_header on the RESIZED
-# length ((n+1)//2): new_w needs >=1 source byte, new_h needs >=3.
+# BYTES 1 and 3 (hex-sliced, not chars); the CASE guards mirror
+# fake_decode_header on the RESIZED length ((n+1)//2): new_w needs >=1
+# source byte, new_h needs >=3.
 MULTIMODAL_RESIZE_SQL = """
 SELECT doc_id,
-  (octet_length(text::BLOB) + 1) // 2 AS out_bytes,
-  CASE WHEN octet_length(text::BLOB) >= 1
-       THEN CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER)
+  (octet_length(encode(text)) + 1) // 2 AS out_bytes,
+  CASE WHEN octet_length(encode(text)) >= 1
+       THEN CAST((('0x' || substring(hex(encode(text)), 1, 2))::INTEGER % 64) + 1 AS INTEGER)
        ELSE 0 END AS new_w,
-  CASE WHEN octet_length(text::BLOB) >= 3
-       THEN CAST((ascii(substr(text, 3, 1)) % 64) + 1 AS INTEGER)
+  CASE WHEN octet_length(encode(text)) >= 3
+       THEN CAST((('0x' || substring(hex(encode(text)), 5, 2))::INTEGER % 64) + 1 AS INTEGER)
        ELSE 0 END AS new_h
 FROM documents
 ORDER BY doc_id
@@ -89,21 +113,31 @@ ORDER BY doc_id
 
 def multimodal_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Audio-style amplitude stats over payload bytes (numpy per Arrow
-    batch); oracle unnests characters (ASCII: ascii(char) == byte value)."""
+    batch); oracle unnests true UTF-8 bytes via hex slicing, and empty
+    payloads LEFT-JOIN through as the same (0, NULL, NULL) row Spark
+    emits."""
     d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 200)
     return audio_stats(attach_binary(d)).orderBy("doc_id")
 
 
 MULTIMODAL_AUDIO_SQL = """
-SELECT doc_id, COUNT(*) AS n_samples,
-  SUM(a) / COUNT(*) AS mean_amp,
-  SQRT(SUM(a * a) / COUNT(*)) AS rms_amp
-FROM (
-  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS a
-  FROM documents WHERE doc_id < 200
+WITH byte_vals AS (
+  SELECT doc_id,
+    ('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT AS a
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents WHERE doc_id < 200
+  )
 )
-GROUP BY doc_id
-ORDER BY doc_id
+SELECT d.doc_id, COUNT(b.a) AS n_samples,
+  SUM(b.a) / COUNT(b.a) AS mean_amp,
+  SQRT(SUM(b.a * b.a) / COUNT(b.a)) AS rms_amp
+FROM documents d
+LEFT JOIN byte_vals b USING (doc_id)
+WHERE d.doc_id < 200
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -113,9 +147,10 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     container written by the stdlib ``wave`` codec; a second mapInPandas
     stage re-parses the container — sample rate, channel count and frame
     count come from the DECODED HEADER — and computes RMS over the decoded
-    frames. The oracle recomputes the expected stats directly from the
-    source bytes, so a hash match proves the binary container round-trips
-    bit-exactly through encode -> Arrow shuffle -> decode."""
+    frames. The oracle recomputes the expected stats from the payload's
+    true UTF-8 bytes (hex-sliced — NOT characters, which diverge on
+    non-ASCII text), so a hash match proves the binary container
+    round-trips bit-exactly through encode -> Arrow shuffle -> decode."""
     d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 200)
     from datafusion_ballista_spark.multimodal import attach_wav, decode_wav_stats
 
@@ -132,21 +167,30 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# (b-128)*256 per byte; exact integer sum of squares -> one IEEE
-# divide/sqrt, matching decode_wav_stats' numpy arithmetic bit-for-bit.
+# (b-128)*256 per true UTF-8 byte (hex-sliced); exact integer sum of
+# squares -> one IEEE divide/sqrt, matching decode_wav_stats' numpy
+# arithmetic bit-for-bit. Empty payloads LEFT-JOIN through as the
+# (16000, 1, 0, NULL) row the decoded empty container produces.
 MULTIMODAL_WAV_SQL = """
-SELECT doc_id,
+WITH byte_vals AS (
+  SELECT doc_id,
+    (('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT - 128) * 256 AS s
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents WHERE doc_id < 200
+  )
+)
+SELECT d.doc_id,
   16000 AS sample_rate,
   1 AS n_channels,
-  COUNT(*) AS n_samples,
-  ROUND(SQRT(SUM(CAST(s * s AS BIGINT)) / COUNT(*)), 6) AS rms_amp
-FROM (
-  SELECT doc_id,
-    CAST((ascii(unnest(string_split(text, ''))) - 128) * 256 AS BIGINT) AS s
-  FROM documents WHERE doc_id < 200
-)
-GROUP BY doc_id
-ORDER BY doc_id
+  COUNT(b.s) AS n_samples,
+  ROUND(SQRT(SUM(b.s * b.s) / COUNT(b.s)), 6) AS rms_amp
+FROM documents d
+LEFT JOIN byte_vals b USING (doc_id)
+WHERE d.doc_id < 200
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 

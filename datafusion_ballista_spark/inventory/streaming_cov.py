@@ -329,7 +329,13 @@ def stream_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
     drop 1 — if it did, the appended sink would double drop 1's rows and
     the hash against the plain batch oracle over the full table would
     fail. Fresh uuid-tagged staging per call; state is the file-source
-    log only."""
+    log only.
+
+    EAGER by design: the two streaming drains + parquet writes execute at
+    DataFrame-construction time (the resume semantic cannot be expressed
+    lazily), so plan-audit/bench callers pay the full pipeline on build.
+    Staging teardown runs in a try/finally — an exception mid-run no
+    longer leaks /tmp/dbspark_stream/resume_* dirs (round-6 ADVICE)."""
     import os
     import shutil
     import uuid
@@ -340,40 +346,42 @@ def stream_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(base, "in")
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ck")
-    ev = tables(spark, sf, "events").events.select(
-        "event_id", "event_type", "value"
-    )
-    ev.where(F.col("event_id") % 2 == 0).write.parquet(src)
-
-    def drain() -> None:
-        q = (
-            spark.readStream.schema(ev.schema)
-            .parquet(src)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    try:
+        ev = tables(spark, sf, "events").events.select(
+            "event_id", "event_type", "value"
         )
-        q.awaitTermination()
+        ev.where(F.col("event_id") % 2 == 0).write.parquet(src)
 
-    drain()
-    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
-    drain()
-    back = spark.read.parquet(sink)
-    out = (
-        back.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("total"),
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(ev.schema)
+                .parquet(src)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        drain()
+        back = spark.read.parquet(sink)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("total"),
+            )
+            .orderBy("event_type")
         )
-        .orderBy("event_type")
-    )
-    result = out.localCheckpoint()  # materialize before staging teardown
-    shutil.rmtree(base, ignore_errors=True)
-    return result
+        return out.localCheckpoint()  # materialize before staging teardown
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 STREAM_RESUME_SQL = """

@@ -54,12 +54,14 @@ def get_session(
         master = f"local[{cpus}]"
     b = SparkSession.builder.master(master).appName(app_name)
     conf = dict(SPARK_DEFAULTS)
-    if master.startswith("local"):
+    if master == "local" or master.startswith("local["):
         # AQE sizes coalesced reducers to 64 MiB — right for network
         # shuffle on a cluster, but in local mode shuffle reads are
         # memory/disk-local and parallelism is the scarce resource: 64 MiB
         # collapses e.g. a 1.5M-group aggregate's output onto one core.
-        # Local mode only; cluster deployments keep Spark's default.
+        # Single-process local mode ONLY — the exact match deliberately
+        # excludes local-cluster[...] (multi-executor with real shuffle),
+        # which keeps Spark's default like any cluster deployment.
         conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "8m"
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

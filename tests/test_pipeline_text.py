@@ -58,7 +58,21 @@ def test_spread_for_explode_rebalances_narrow_scans(spark):
     )
 
     cores = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
-    assert _spread_for_explode(spark, narrow).rdd.getNumPartitions() == cores
-    wide = spark.range(1000).repartition(cores + 4)
-    assert _spread_for_explode(spark, wide) is wide
+    # File sources: split estimate comes from inputFiles + the
+    # maxPartitionBytes rule, with no RDD-conversion re-planning.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        narrow_p = f"{tmp}/narrow"
+        spark.range(1000).coalesce(1).write.parquet(narrow_p)
+        narrow = spark.read.parquet(narrow_p)
+        assert (
+            _spread_for_explode(spark, narrow).rdd.getNumPartitions() == cores
+        )
+        wide_p = f"{tmp}/wide"
+        spark.range(1000).repartition(cores + 4).write.parquet(wide_p)
+        wide = spark.read.parquet(wide_p)
+        assert _spread_for_explode(spark, wide) is wide
+    # Non-file sources (in-memory, stream) have no split metadata: spread.
+    mem = spark.range(1000).coalesce(1)
+    assert _spread_for_explode(spark, mem).rdd.getNumPartitions() == cores
