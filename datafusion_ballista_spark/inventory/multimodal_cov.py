@@ -1,8 +1,12 @@
 """Multimodal-column inventory: binary payload + mapInPandas stages.
 
 See datafusion_ballista_spark/multimodal.py for the design. The payload is
-synthesized from text (no binary fixture exists), which makes every fake
-decode DuckDB-replayable.
+synthesized from text (no binary fixture exists), which makes every decode
+DuckDB-replayable. Image (BMP via struct) and audio (WAV via wave) paths
+use REAL stdlib codecs — the oracle recomputes the decoded stats from the
+source bytes, so a hash match proves genuine container round-trips; only
+the video frame-sampler still chunks raw payload bytes (no video lib in
+this container).
 
 Oracle byte discipline (round-6 ADVICE fix): the Spark paths iterate UTF-8
 BYTES of the payload, so the oracles must too. Character-based forms
@@ -27,6 +31,7 @@ from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.util import tables
 from datafusion_ballista_spark.multimodal import (
     attach_binary,
+    attach_bmp,
     audio_stats,
     featurize,
     frame_sample,
@@ -35,28 +40,47 @@ from datafusion_ballista_spark.multimodal import (
 
 
 def multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary feature extraction (Arrow-batched mapInPandas) — length,
-    digest, fake-decoded header fields."""
+    """REAL image codec round-trip: each doc's bytes become grayscale
+    pixels of a genuine 24-bpp BMP container (width 16, zero-padded last
+    row — multimodal.encode_bmp_gray); featurize re-parses the container
+    and emits header-decoded dimensions plus exact integer luminance
+    sums. The oracle recomputes everything from the payload's true UTF-8
+    bytes, so a hash match proves the image container round-trips through
+    encode -> Arrow shuffle -> decode bit-exactly."""
     d = tables(spark, sf, "documents").documents
-    feats = featurize(attach_binary(d))
+    feats = featurize(attach_bmp(d))
     return feats.orderBy("doc_id")
 
 
-# CASE guards mirror fake_decode_header's len checks: missing bytes are 0.
-# Header fields read true UTF-8 BYTES 1/2 via hex slicing (sha256(VARCHAR)
-# already hashes the UTF-8 bytes, matching Spark's sha2 over encode(text)).
+# Container layout is arithmetic over the byte count: height = ceil(n/16),
+# container = 54-byte headers + 48*height pixel bytes (stride 16*3, no row
+# padding at width 16). Padding pixels are 0, so SUM(bytes) == px_sum and
+# the mean's denominator is the full padded grid 16*height. mean_lum is
+# one IEEE divide of exact ints on both engines — no rounding needed.
 MULTIMODAL_FEATURIZE_SQL = """
-SELECT doc_id,
-  octet_length(encode(text)) AS n_bytes,
-  sha256(text) AS sha256,
-  CASE WHEN octet_length(encode(text)) >= 1
-       THEN CAST((('0x' || substring(hex(encode(text)), 1, 2))::INTEGER % 64) + 1 AS INTEGER)
-       ELSE 0 END AS width,
-  CASE WHEN octet_length(encode(text)) >= 2
-       THEN CAST((('0x' || substring(hex(encode(text)), 3, 2))::INTEGER % 64) + 1 AS INTEGER)
-       ELSE 0 END AS height
-FROM documents
-ORDER BY doc_id
+WITH byte_vals AS (
+  SELECT doc_id,
+    ('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT AS a
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents
+  )
+)
+SELECT d.doc_id,
+  54 + 48 * ((octet_length(encode(d.text)) + 15) // 16) AS n_bytes,
+  16 AS width,
+  CAST((octet_length(encode(d.text)) + 15) // 16 AS INTEGER) AS height,
+  24 AS bpp,
+  CAST(COALESCE(SUM(b.a), 0) AS BIGINT) AS px_sum,
+  CAST(COALESCE(SUM(b.a * b.a), 0) AS BIGINT) AS px_sum_sq,
+  CASE WHEN octet_length(encode(d.text)) > 0
+       THEN SUM(b.a) / (16 * ((octet_length(encode(d.text)) + 15) // 16))
+       END AS mean_lum
+FROM documents d
+LEFT JOIN byte_vals b USING (doc_id)
+GROUP BY d.doc_id, d.text
+ORDER BY d.doc_id
 """
 
 
@@ -87,27 +111,45 @@ ORDER BY doc_id, frame_idx
 
 
 def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """Fake image resize (every 2nd byte) — emitted length/dims recomputable
-    from the text payload's UTF-8 bytes (oracle hex-slices true bytes)."""
+    """REAL image resize: decode the genuine BMP container, 2x-subsample
+    the decoded pixel grid, RE-ENCODE as a width-8 BMP, decode THAT for
+    the emitted stats — two full codec cycles. The oracle replays the
+    subsample byte-arithmetically: pixel (r,c) of the padded 16-wide grid
+    is source byte j = r*16+c, kept when r and c are both even, i.e.
+    j%2==0 (16 is even, so c parity == j parity) and (j//16)%2==0."""
     d = tables(spark, sf, "documents").documents
-    return resize(attach_binary(d)).orderBy("doc_id")
+    return resize(attach_bmp(d)).orderBy("doc_id")
 
 
-# Resized payload keeps every 2nd byte, so its header bytes map to source
-# BYTES 1 and 3 (hex-sliced, not chars); the CASE guards mirror
-# fake_decode_header on the RESIZED length ((n+1)//2): new_w needs >=1
-# source byte, new_h needs >=3.
+# new_h = ceil(ceil(n/16)/2); container = 54 + 24*new_h (stride 8*3);
+# padding pixels are 0 so the kept-byte SUM equals the resized px_sum and
+# the mean denominator is the full 8*new_h sampled grid.
 MULTIMODAL_RESIZE_SQL = """
-SELECT doc_id,
-  (octet_length(encode(text)) + 1) // 2 AS out_bytes,
-  CASE WHEN octet_length(encode(text)) >= 1
-       THEN CAST((('0x' || substring(hex(encode(text)), 1, 2))::INTEGER % 64) + 1 AS INTEGER)
-       ELSE 0 END AS new_w,
-  CASE WHEN octet_length(encode(text)) >= 3
-       THEN CAST((('0x' || substring(hex(encode(text)), 5, 2))::INTEGER % 64) + 1 AS INTEGER)
-       ELSE 0 END AS new_h
-FROM documents
-ORDER BY doc_id
+WITH byte_vals AS (
+  SELECT doc_id,
+    ('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT AS a,
+    i - 1 AS j
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents
+  )
+)
+SELECT d.doc_id,
+  54 + 24 * ((((octet_length(encode(d.text)) + 15) // 16) + 1) // 2) AS out_bytes,
+  8 AS new_w,
+  CAST((((octet_length(encode(d.text)) + 15) // 16) + 1) // 2 AS INTEGER) AS new_h,
+  CAST(COALESCE(SUM(CASE WHEN b.j % 2 = 0 AND (b.j // 16) % 2 = 0
+                         THEN b.a ELSE 0 END), 0) AS BIGINT) AS new_px_sum,
+  CASE WHEN octet_length(encode(d.text)) > 0
+       THEN SUM(CASE WHEN b.j % 2 = 0 AND (b.j // 16) % 2 = 0
+                     THEN b.a ELSE 0 END)
+            / (8 * ((((octet_length(encode(d.text)) + 15) // 16) + 1) // 2))
+       END AS new_mean_lum
+FROM documents d
+LEFT JOIN byte_vals b USING (doc_id)
+GROUP BY d.doc_id, d.text
+ORDER BY d.doc_id
 """
 
 

@@ -7,15 +7,20 @@ this engine where Python in the data path is the right call, because media
 codecs are Python/native libraries, and Arrow batching amortizes the
 transfer.
 
-Image/video libraries are NOT in this container, so those decoders are
-stubbed behind ``NotImplementedError`` with a clearly-marked deterministic
-fake used by tests and the inventory; the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested. AUDIO has a
-REAL codec path: ``attach_wav``/``decode_wav_stats`` write and parse
-genuine RIFF/WAVE PCM containers with the stdlib ``wave`` module — the
-decoded header fields and sample statistics round-trip through an actual
-binary format and hash-match a SQL oracle computing the same stats from
-the source bytes.
+IMAGE and AUDIO both have REAL codec paths built on the stdlib alone:
+- ``attach_wav``/``decode_wav_stats`` write and parse genuine RIFF/WAVE
+  PCM containers with the stdlib ``wave`` module;
+- ``attach_bmp``/``decode_bmp``/``featurize_bmp``/``resize_bmp`` write
+  and parse genuine 24-bpp BMP containers (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, bottom-up BGR rows) with ``struct`` — any image
+  viewer opens them. Dimensions and pixel statistics come from the
+  DECODED container, and resize is a real decode -> subsample ->
+  re-encode -> re-decode pipeline.
+In both, decoded header fields and pixel/sample statistics round-trip
+through an actual binary format and hash-match a SQL oracle computing the
+same stats from the source bytes. Only VIDEO remains stubbed
+(``decode_video``: no video library in this container); its frame-sample
+plumbing runs over raw payload chunks.
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches — no
 per-row Python calls, no driver collection; partition count controls
@@ -34,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, sha256 string, width int, height int"
+    "doc_id bigint, n_bytes bigint, width int, height int, bpp int, "
+    "px_sum bigint, px_sum_sq bigint, mean_lum double"
 )
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sha string"
@@ -43,21 +49,84 @@ _FRAME_BYTES = 32
 _FRAME_STRIDE = 4  # sample every 4th frame
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub by design
-    """Real image decode — requires an imaging library not present in this
-    environment. STUB: raises. Swap in PIL/torchvision in production."""
+def decode_video(data: bytes):  # pragma: no cover - stub by design
+    """Real video decode — requires a video library (ffmpeg/torchvision)
+    not present in this container. STUB: raises. The frame_sample
+    plumbing below runs over raw payload chunks instead; swap this in for
+    real keyframe extraction in production."""
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake_decode_header for deterministic tests"
+        "video codecs are not available in this environment; "
+        "frame_sample chunks raw payload bytes instead"
     )
 
 
-def fake_decode_header(data: bytes) -> tuple[int, int]:
-    """Deterministic fake decoder: 'parses' width/height from the first two
-    bytes — stands in for decode_image so the pipeline shape is testable."""
-    w = (data[0] % 64) + 1 if len(data) > 0 else 0
-    h = (data[1] % 64) + 1 if len(data) > 1 else 0
-    return w, h
+# ---------------------------------------------------------------------------
+# REAL image codec: 24-bpp BMP via stdlib struct (mirrors the WAV pattern)
+
+BMP_WIDTH = 16  # gray-strip width; stride 16*3 = 48 is 4-byte aligned
+BMP_HEADER_BYTES = 54  # 14 (BITMAPFILEHEADER) + 40 (BITMAPINFOHEADER)
+
+
+def encode_bmp_gray(gray: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Genuine 24-bpp BMP container from row-major top-down grayscale
+    bytes (``len(gray)`` must be a multiple of ``width``; each byte v
+    becomes BGR pixel (v,v,v)). Real BITMAPFILEHEADER + BITMAPINFOHEADER,
+    rows stored bottom-up as the format requires; ``width*3`` must be
+    4-byte aligned (true for 16 and 8) so no row padding is needed and
+    the pixel array is exactly ``3*len(gray)`` bytes. Any image viewer
+    opens these files."""
+    import struct
+
+    if width <= 0 or len(gray) % width:
+        raise ValueError("gray length must be a positive multiple of width")
+    if (width * 3) % 4:
+        raise ValueError("width*3 must be 4-byte aligned (use 8 or 16)")
+    height = len(gray) // width
+    stride = width * 3
+    img_size = stride * height
+    rows = [
+        bytes(v for px in gray[r * width : (r + 1) * width] for v in (px, px, px))
+        for r in range(height - 1, -1, -1)  # bottom-up row order
+    ]
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_BYTES + img_size, 0, 0, BMP_HEADER_BYTES
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode: parse a BMP container — magic, pixel offset and
+    dimensions come from the actual headers — and return
+    (width, height, top-down row-major grayscale bytes). Accepts the
+    uncompressed 24-bpp bottom-up form ``encode_bmp_gray`` writes (gray =
+    blue channel; our pixels are achromatic). Raises ValueError on
+    anything that is not such a BMP."""
+    import struct
+
+    if len(data) < BMP_HEADER_BYTES or data[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    _, _file_size, _, _, pix_offset = struct.unpack("<2sIHHI", data[:14])
+    (
+        hdr_size, width, height, planes, bpp, compression,
+        _img_size, _xppm, _yppm, _clr_used, _clr_imp,
+    ) = struct.unpack("<IiiHHIIiiII", data[14:54])
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24bpp)")
+    if width < 0 or height < 0:
+        raise ValueError("top-down/negative-dimension BMP not supported")
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(data) < pix_offset + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray(width * height)
+    for r in range(height):
+        src = pix_offset + (height - 1 - r) * stride  # stored bottom-up
+        row = data[src : src + width * 3]
+        out[r * width : (r + 1) * width] = row[0::3]  # blue channel
+    return width, height, bytes(out)
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,44 +141,93 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def featurize(df: DataFrame, data_col: str = "media") -> DataFrame:
-    """Arrow-batched feature extraction over a binary column."""
+def attach_bmp(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL image blobs: each doc's UTF-8 bytes become grayscale pixels of
+    a genuine 24-bpp BMP (width 16, last row zero-padded) written by
+    ``encode_bmp_gray`` — any image viewer opens these. Arrow-batched
+    mapInPandas, one encode per row, no driver involvement."""
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = str(text).encode("utf-8")
+                pad = (-len(b)) % BMP_WIDTH
+                out.append((doc_id, encode_bmp_gray(b + b"\x00" * pad)))
+            yield pd.DataFrame(out, columns=["doc_id", "bmp"])
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _mk, schema="doc_id bigint, bmp binary"
+    )
+
+
+def featurize(df: DataFrame, data_col: str = "bmp") -> DataFrame:
+    """REAL image feature extraction: parse the BMP container — dimensions
+    come from the DECODED HEADER, not carried metadata — then exact
+    integer luminance sums over the decoded pixels (padding pixels are
+    value 0 and included). ``mean_lum`` is one IEEE divide of exact ints,
+    bit-identical to the SQL oracle's aggregate; the exact
+    px_sum/px_sum_sq pair is the pixel-roundtrip checksum."""
+    import numpy as np
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
                 b = bytes(data)
-                w, h = fake_decode_header(b)
-                rows.append(
-                    (doc_id, len(b), hashlib.sha256(b).hexdigest(), w, h)
-                )
+                w, h, gray = decode_bmp(b)
+                x = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+                s = int(x.sum())
+                s2 = int((x * x).sum())
+                mean = s / (w * h) if h else None
+                rows.append((doc_id, len(b), w, h, 24, s, s2, mean))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "sha256", "width", "height"]
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "bpp",
+                    "px_sum", "px_sum_sq", "mean_lum",
+                ],
             )
 
     return df.select("doc_id", data_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id bigint, out_bytes bigint, new_w int, new_h int"
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_bytes bigint, new_w int, new_h int, "
+    "new_px_sum bigint, new_mean_lum double"
+)
 
 AUDIO_SCHEMA = "doc_id bigint, n_samples bigint, mean_amp double, rms_amp double"
 
 
-def resize(df: DataFrame, data_col: str = "media") -> DataFrame:
-    """'Image' resize: the fake downsample keeps every 2nd byte (a real
-    implementation would decode -> resample -> re-encode here). The resized
-    payload is produced for downstream stages; the emitted columns are its
-    length and the header dims re-decoded from the new payload."""
+def resize(df: DataFrame, data_col: str = "bmp") -> DataFrame:
+    """REAL image resize: decode the BMP container, 2x-subsample (every
+    2nd row and column of the decoded pixel grid), RE-ENCODE the result
+    as a genuine width-8 BMP, then decode THAT container for the emitted
+    dimensions and luminance stats — so the output numbers have passed
+    through two real encode/decode cycles, not carried state."""
+    import numpy as np
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
-                small = bytes(data)[::2]
-                w, h = fake_decode_header(small)
-                rows.append((doc_id, len(small), w, h))
-            yield pd.DataFrame(rows, columns=["doc_id", "out_bytes", "new_w", "new_h"])
+                w, h, gray = decode_bmp(bytes(data))
+                g = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+                small = np.ascontiguousarray(g[::2, ::2])
+                out = encode_bmp_gray(small.tobytes(), width=w // 2)
+                nw, nh, ngray = decode_bmp(out)
+                x = np.frombuffer(ngray, dtype=np.uint8).astype(np.int64)
+                s = int(x.sum())
+                mean = s / (nw * nh) if nh else None
+                rows.append((doc_id, len(out), nw, nh, s, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_bytes", "new_w", "new_h",
+                    "new_px_sum", "new_mean_lum",
+                ],
+            )
 
     return df.select("doc_id", data_col).mapInPandas(_resize, schema=RESIZE_SCHEMA)
 

@@ -156,3 +156,72 @@ class TestWavCodec:
         assert out.n_channels == 1
         assert out.n_samples == 2
         assert out.rms_amp == 16128.0
+
+
+class TestBmpCodec:
+    """The image path uses a REAL codec (stdlib struct): the container
+    must be a valid 24-bpp BMP whose parsed headers — not carried
+    metadata — yield the dimensions, and grayscale pixels must round-trip
+    bit-exactly, including through the resize's second codec cycle."""
+
+    def test_encode_decode_roundtrip(self):
+        from datafusion_ballista_spark.multimodal import (
+            decode_bmp,
+            encode_bmp_gray,
+        )
+
+        gray = bytes(range(32))  # 16x2 image
+        blob = encode_bmp_gray(gray)
+        assert blob[:2] == b"BM"
+        assert len(blob) == 54 + 48 * 2
+        import struct
+
+        file_size = struct.unpack("<I", blob[2:6])[0]
+        assert file_size == len(blob)
+        w, h, back = decode_bmp(blob)
+        assert (w, h) == (16, 2)
+        assert back == gray  # bit-exact through the BGR pixel array
+
+    def test_decode_rejects_non_bmp(self):
+        import pytest as _pytest
+
+        from datafusion_ballista_spark.multimodal import decode_bmp
+
+        for bad in (b"", b"JUNKJUNKJUNK" * 10, b"BM" + b"\x00" * 20):
+            with _pytest.raises(ValueError):
+                decode_bmp(bad)
+
+    def test_attach_featurize_header_decoded(self, spark):
+        from datafusion_ballista_spark.multimodal import attach_bmp, featurize
+
+        df = spark.createDataFrame(
+            [(1, "A" * 20), (2, ""), (3, "zz")], "doc_id bigint, text string"
+        )
+        out = {r.doc_id: r for r in featurize(attach_bmp(df)).collect()}
+        # doc 1: 20 bytes -> 16x2 padded grid, sum = 20*65
+        assert (out[1].width, out[1].height) == (16, 2)
+        assert out[1].n_bytes == 54 + 48 * 2
+        assert out[1].px_sum == 20 * 65
+        assert out[1].px_sum_sq == 20 * 65 * 65
+        assert out[1].mean_lum == (20 * 65) / 32
+        # doc 2: empty -> height-0 container, NULL mean
+        assert (out[2].width, out[2].height, out[2].px_sum) == (16, 0, 0)
+        assert out[2].mean_lum is None
+        # doc 3: 'zz' = 2 bytes of 122
+        assert (out[3].height, out[3].px_sum) == (1, 244)
+
+    def test_resize_two_codec_cycles(self, spark):
+        from datafusion_ballista_spark.multimodal import attach_bmp, resize
+
+        # 48 ASCII bytes -> 16x3; subsample keeps rows 0,2 cols 0,2..14 ->
+        # 8x2; re-encoded container 54 + 24*2
+        df = spark.createDataFrame(
+            [(1, "".join(chr(i) for i in range(48)))],
+            "doc_id bigint, text string",
+        )
+        r = resize(attach_bmp(df)).collect()[0]
+        assert (r.new_w, r.new_h) == (8, 2)
+        assert r.out_bytes == 54 + 24 * 2
+        kept = [j for j in range(48) if j % 2 == 0 and (j // 16) % 2 == 0]
+        assert r.new_px_sum == sum(kept)
+        assert r.new_mean_lum == sum(kept) / 16
