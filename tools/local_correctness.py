@@ -37,6 +37,12 @@ GATE_MEM = os.environ.get("SPARK_GRAFT_GATE_MEM")
 GATE_EXCLUDE = {
     s for s in os.environ.get("SPARK_GRAFT_GATE_EXCLUDE", "").split(",") if s
 }
+# Restrict the gate to names matching any of these comma-separated
+# prefixes (empty = whole inventory). Used by the star-schema stress gate
+# to run just the 99 verbatim tpcds_real_* rows against a scaled fixture.
+GATE_ONLY_PREFIXES = [
+    s for s in os.environ.get("SPARK_GRAFT_GATE_ONLY_PREFIX", "").split(",") if s
+]
 # Scan-split ceiling (spark.sql.files.maxPartitionBytes). The sf1 stress
 # fixtures are ~50 MB single files; the 128 MB default makes each scan one
 # task. 16m restores the multi-task scans a real cluster would have.
@@ -70,6 +76,10 @@ def main() -> int:
     for name, spec in all_queries().items():
         if name in GATE_EXCLUDE:
             continue
+        if GATE_ONLY_PREFIXES and not any(
+            name.startswith(p) for p in GATE_ONLY_PREFIXES
+        ):
+            continue
         try:
             df = spec.spark(spark, SF_DIR)
             rec = compare_query(df, con, spec.oracle)
@@ -82,10 +92,14 @@ def main() -> int:
         if not ok:
             failures += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
+    meta = {"sf_dir": SF_DIR, "n": len(results), "failures": failures,
+            "excluded": sorted(GATE_EXCLUDE), "results": results}
+    if os.environ.get("SPARK_GRAFT_STAR_DIR"):
+        meta["star_dir"] = os.environ["SPARK_GRAFT_STAR_DIR"]
+    if GATE_ONLY_PREFIXES:
+        meta["only_prefixes"] = GATE_ONLY_PREFIXES
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "n": len(results), "failures": failures,
-                   "excluded": sorted(GATE_EXCLUDE), "results": results},
-                  f, indent=1, sort_keys=True)
+        json.dump(meta, f, indent=1, sort_keys=True)
     print(f"{len(results) - failures}/{len(results)} green -> {out_path}")
     spark.stop()
     con.close()
