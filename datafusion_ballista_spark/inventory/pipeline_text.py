@@ -456,6 +456,12 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         labels = nxt
         if changed == 0:
             break
+    # The per-round localCheckpoint materialized `labels` independent of
+    # the edge lineage, so the loop caches can be released here instead of
+    # accumulating for the rest of a gate/bench session (same leak class
+    # as the round-6 dedup_incremental ADVICE).
+    pairs.unpersist()
+    edges.unpersist()
     return (
         labels.groupBy(F.col("lab").alias("cluster_root"))
         .agg(
