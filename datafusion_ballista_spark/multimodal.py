@@ -174,8 +174,17 @@ def featurize(df: DataFrame, data_col: str = "bmp") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
-                b = bytes(data)
-                w, h, gray = decode_bmp(b)
+                b = bytes(data) if data is not None else b""
+                try:
+                    w, h, gray = decode_bmp(b)
+                except ValueError:
+                    # Corrupt/foreign container: a NULL feature row, not a
+                    # task abort — at 100 TB a bad payload must not kill
+                    # the job (docs/SCALE.md contract).
+                    rows.append(
+                        (doc_id, len(b), None, None, None, None, None, None)
+                    )
+                    continue
                 x = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
                 s = int(x.sum())
                 s2 = int((x * x).sum())
@@ -212,7 +221,14 @@ def resize(df: DataFrame, data_col: str = "bmp") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
-                w, h, gray = decode_bmp(bytes(data))
+                try:
+                    w, h, gray = decode_bmp(
+                        bytes(data) if data is not None else b""
+                    )
+                except ValueError:
+                    # NULL row, not a task abort (docs/SCALE.md contract)
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
                 g = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
                 small = np.ascontiguousarray(g[::2, ::2])
                 out = encode_bmp_gray(small.tobytes(), width=w // 2)

@@ -88,3 +88,57 @@ def test_not_in_join_matches_spark_sql(spark, left, right):
         (r.k for r in not_in_join(ldf, "k", rdf, "rk").collect()), key=nkey
     )
     assert got == expected, f"left={left} right={right}"
+
+
+# --- BMP codec: encode/decode total round-trip (round 6) --------------------
+# The real stdlib image codec must round-trip ANY grayscale payload
+# bit-exactly at both supported widths, and its subsample->re-encode
+# resize must equal the pure-numpy subsample of the source grid.
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=1024),
+    width=st.sampled_from([8, 16]),
+)
+def test_bmp_roundtrip_bit_exact(data, width):
+    from datafusion_ballista_spark.multimodal import decode_bmp, encode_bmp_gray
+
+    pad = (-len(data)) % width
+    gray = data + b"\x00" * pad
+    blob = encode_bmp_gray(gray, width=width)
+    w, h, back = decode_bmp(blob)
+    assert (w, h) == (width, len(gray) // width)
+    assert back == gray
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=1, max_size=512))
+def test_bmp_resize_cycle_matches_numpy_subsample(data):
+    import numpy as np
+
+    from datafusion_ballista_spark.multimodal import decode_bmp, encode_bmp_gray
+
+    pad = (-len(data)) % 16
+    gray = data + b"\x00" * pad
+    w, h, g = decode_bmp(encode_bmp_gray(gray))
+    grid = np.frombuffer(g, dtype=np.uint8).reshape(h, w)
+    small = np.ascontiguousarray(grid[::2, ::2])
+    nw, nh, ngray = decode_bmp(encode_bmp_gray(small.tobytes(), width=8))
+    assert (nw, nh) == (8, (h + 1) // 2)
+    assert ngray == small.tobytes()
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_bmp_decode_never_crashes_unstructured(junk):
+    """decode_bmp on arbitrary bytes either returns a valid decode (only
+    if the bytes genuinely form a supported BMP) or raises ValueError —
+    never IndexError/struct.error/segfault-adjacent behavior."""
+    from datafusion_ballista_spark.multimodal import decode_bmp
+
+    try:
+        w, h, gray = decode_bmp(junk)
+        assert w >= 0 and h >= 0 and len(gray) == w * h
+    except ValueError:
+        pass

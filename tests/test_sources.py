@@ -225,3 +225,28 @@ class TestBmpCodec:
         kept = [j for j in range(48) if j % 2 == 0 and (j // 16) % 2 == 0]
         assert r.new_px_sum == sum(kept)
         assert r.new_mean_lum == sum(kept) / 16
+
+    def test_corrupt_payload_yields_null_row_not_task_abort(self, spark):
+        """docs/SCALE.md contract: at 100 TB a corrupt media payload must
+        degrade to a NULL feature row, never abort the task."""
+        from pyspark.sql import functions as F
+
+        from datafusion_ballista_spark.multimodal import (
+            encode_bmp_gray,
+            featurize,
+            resize,
+        )
+
+        good = encode_bmp_gray(bytes(range(16)))
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"JUNK" * 20)), (3, None)],
+            "doc_id bigint, bmp binary",
+        )
+        feats = {r.doc_id: r for r in featurize(df).collect()}
+        assert feats[1].width == 16 and feats[1].px_sum == sum(range(16))
+        assert feats[2].width is None and feats[2].px_sum is None
+        assert feats[2].n_bytes == 80  # length still reported
+        assert feats[3].width is None
+        rs = {r.doc_id: r for r in resize(df).collect()}
+        assert rs[1].new_w == 8
+        assert rs[2].new_w is None and rs[3].out_bytes is None
