@@ -300,7 +300,9 @@ def attach_wav(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                b = str(text).encode("utf-8")
+                # NULL text -> empty payload (str(None) would encode the
+                # 4-byte literal "None")
+                b = text.encode("utf-8") if isinstance(text, str) else b""
                 samples = (
                     np.frombuffer(b, dtype=np.uint8).astype(np.int16) - 128
                 ) * 256
@@ -334,11 +336,20 @@ def decode_wav_stats(df: DataFrame, data_col: str = "wav") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
-                with wave_codec.open(io.BytesIO(bytes(data)), "rb") as w:
-                    sr = w.getframerate()
-                    nch = w.getnchannels()
-                    n = w.getnframes()
-                    raw = w.readframes(n)
+                try:
+                    with wave_codec.open(
+                        io.BytesIO(bytes(data) if data is not None else b""),
+                        "rb",
+                    ) as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                except (wave_codec.Error, EOFError):
+                    # Corrupt/foreign container: NULL stats row, not a task
+                    # abort (docs/SCALE.md contract)
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 rms = (
                     math.sqrt(int((x * x).sum()) / x.size) if x.size else None

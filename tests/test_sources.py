@@ -157,6 +157,25 @@ class TestWavCodec:
         assert out.n_samples == 2
         assert out.rms_amp == 16128.0
 
+    def test_corrupt_wav_yields_null_row_not_task_abort(self, spark):
+        """Same docs/SCALE.md contract for the audio decoder."""
+        from datafusion_ballista_spark.multimodal import (
+            attach_wav,
+            decode_wav_stats,
+        )
+
+        good = attach_wav(
+            spark.createDataFrame([(1, "AA")], "doc_id bigint, text string")
+        ).collect()[0].wav
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"RIFFjunk" * 8)), (3, None)],
+            "doc_id bigint, wav binary",
+        )
+        out = {r.doc_id: r for r in decode_wav_stats(df).collect()}
+        assert out[1].n_samples == 2 and out[1].rms_amp == 16128.0
+        assert out[2].sample_rate is None and out[2].n_samples is None
+        assert out[3].sample_rate is None
+
 
 class TestBmpCodec:
     """The image path uses a REAL codec (stdlib struct): the container
