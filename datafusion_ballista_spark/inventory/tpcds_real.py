@@ -141,6 +141,21 @@ def _spark_runner(body: str):
         # sf is ignored by design: the real-schema fixture is its own
         # (committed, deterministic) scale point.
         _register(spark)
+        # Default: verbatim execution — Catalyst inlines CTEs, and a
+        # 12-query A/B at the x100 star fixture measured inlining FASTER
+        # overall (36.4 s vs 77.9 s): consumer-specific filter pushdown
+        # into the CTE body is the dominant effect on Spark (q95's
+        # pair-list CTE degrades 3.9 s -> 44 s if materialized). The
+        # DuckDB/Postgres-style materialized strategy stays available as
+        # an opt-in for the shapes where it wins (q14/q23/q47/q57):
+        # SPARK_GRAFT_MATERIALIZE_CTES=1. datafusion_ballista_spark/cte.py
+        # has the full trade analysis.
+        if os.environ.get("SPARK_GRAFT_MATERIALIZE_CTES") == "1":
+            from datafusion_ballista_spark.cte import (
+                run_with_materialized_ctes,
+            )
+
+            return run_with_materialized_ctes(spark, body)
         return spark.sql(body)
 
     return run
