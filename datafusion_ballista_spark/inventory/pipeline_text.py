@@ -1030,8 +1030,96 @@ ORDER BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 10. PII redaction sweep
+
+# Patterns chosen for IDENTICAL semantics in Java regex (Spark) and RE2
+# (DuckDB): no alternation (Java is leftmost-first, RE2 leftmost-longest —
+# alternation order is the one place they disagree), ASCII \d/\b only,
+# greedy quantifiers (greedy in both). Scrub order is part of the
+# contract: EMAIL first (it consumes the '@domain' text the IP pattern
+# could partially overlap), then IP, then PHONE (disjoint alphabets).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d ]{7,}\d"
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the curation stage every production corpus runs
+    before training: emails / IPv4s / phone numbers replaced by typed
+    redaction tokens, with per-doc match counts for the audit trail.
+
+    The fixture text contains no natural PII, so each doc is seeded with
+    DETERMINISTIC synthetic PII (an email, a phone, an IP derived from
+    doc_id) before scrubbing — the op is provably non-vacuous and the
+    oracle replays the identical seed + scrub. Everything is codegen'd
+    regexp expressions: at 100 TB this is a map-only pass, zero shuffles,
+    zero Python.
+    """
+    d = tables(spark, sf, "documents").documents
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" 4321 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    seeded = d.select("doc_id", txt.alias("txt"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            F.regexp_count(F.col("txt"), F.lit(_PII_EMAIL))
+            .cast("int")
+            .alias("n_emails"),
+            F.regexp_count(F.col("txt"), F.lit(_PII_IP))
+            .cast("int")
+            .alias("n_ips"),
+            F.regexp_count(F.col("txt"), F.lit(_PII_PHONE))
+            .cast("int")
+            .alias("n_phones"),
+            F.md5(scrubbed).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com or +1 555 01'
+      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      || ' 4321 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS txt
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IP}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM seeded
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
     "dedup_incremental": QuerySpec(dedup_incremental, _incremental_oracle_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle_sql()),
