@@ -2,11 +2,11 @@
 
 See datafusion_ballista_spark/multimodal.py for the design. The payload is
 synthesized from text (no binary fixture exists), which makes every decode
-DuckDB-replayable. Image (BMP via struct) and audio (WAV via wave) paths
-use REAL stdlib codecs — the oracle recomputes the decoded stats from the
-source bytes, so a hash match proves genuine container round-trips; only
-the video frame-sampler still chunks raw payload bytes (no video lib in
-this container).
+DuckDB-replayable. Image (BMP via struct), audio (WAV via wave) and video
+(uncompressed AVI via struct, round 6) paths all use REAL stdlib codecs —
+the oracle recomputes the decoded stats from the source bytes, so a hash
+match proves genuine container round-trips. ``multimodal_frame_sample``
+additionally keeps the codec-free raw-chunk plumbing variant.
 
 Oracle byte discipline (round-6 ADVICE fix): the Spark paths iterate UTF-8
 BYTES of the payload, so the oracles must too. Character-based forms
@@ -236,6 +236,49 @@ ORDER BY d.doc_id
 """
 
 
+def multimodal_video_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video codec round-trip (round 6 — retires the last stub):
+    each doc's bytes become 8x8 grayscale frames of a genuine uncompressed
+    AVI container (RIFF hdrl/movi/idx1 — multimodal.encode_avi_gray);
+    video_keyframe_stats re-walks the RIFF tree, takes dimensions from the
+    DECODED avih header and pixels from the decoded '00db' DIB chunks,
+    samples every 4th frame, and emits exact integer luminance sums. The
+    oracle recomputes the same stats from the payload's true UTF-8 bytes
+    (hex-sliced; frame f of doc = bytes [64f, 64f+64), zero-padded), so a
+    hash match proves the video container round-trips bit-exactly."""
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 300)
+    from datafusion_ballista_spark.multimodal import attach_avi, video_keyframe_stats
+
+    return video_keyframe_stats(attach_avi(d)).orderBy("doc_id", "frame_idx")
+
+
+# Frame f covers 0-based source bytes [64f, 64f+64); padding pixels are 0
+# so the per-frame byte SUM equals the decoded fr_px_sum and the mean's
+# denominator is the full 8x8 grid. Empty docs encode a zero-frame AVI ->
+# no rows on either engine. fr_mean_lum = exact int / 64 is one IEEE
+# divide (exact: /2^6), bit-identical across engines.
+MULTIMODAL_VIDEO_SQL = """
+WITH byte_vals AS (
+  SELECT doc_id,
+    ('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT AS a,
+    (i - 1) // 64 AS f
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents WHERE doc_id < 300
+  )
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+  8 AS width, 8 AS height,
+  CAST(SUM(a) AS BIGINT) AS fr_px_sum,
+  SUM(a) / 64 AS fr_mean_lum
+FROM byte_vals
+WHERE f % 4 = 0
+GROUP BY doc_id, f
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_featurize": QuerySpec(multimodal_featurize, MULTIMODAL_FEATURIZE_SQL),
     "multimodal_wav_roundtrip": QuerySpec(
@@ -247,5 +290,8 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_audio_stats": QuerySpec(
         multimodal_audio_stats, MULTIMODAL_AUDIO_SQL
+    ),
+    "multimodal_video_keyframes": QuerySpec(
+        multimodal_video_keyframes, MULTIMODAL_VIDEO_SQL
     ),
 }

@@ -16,11 +16,15 @@ IMAGE and AUDIO both have REAL codec paths built on the stdlib alone:
   viewer opens them. Dimensions and pixel statistics come from the
   DECODED container, and resize is a real decode -> subsample ->
   re-encode -> re-decode pipeline.
-In both, decoded header fields and pixel/sample statistics round-trip
-through an actual binary format and hash-match a SQL oracle computing the
-same stats from the source bytes. Only VIDEO remains stubbed
-(``decode_video``: no video library in this container); its frame-sample
-plumbing runs over raw payload chunks.
+VIDEO also has a REAL codec path (round 6): ``attach_avi``/``decode_avi``
+write and parse genuine uncompressed AVI containers (RIFF 'AVI ' with
+hdrl/strl headers, a movi LIST of raw 24-bpp '00db' DIB frames, and an
+idx1 keyframe index) with ``struct`` — any AVI-capable player opens them.
+In all three modalities, decoded header fields and pixel/sample statistics
+round-trip through an actual binary format and hash-match a SQL oracle
+computing the same stats from the source bytes. Nothing is stubbed; swap
+the stdlib codecs for ffmpeg/Pillow bindings in production for compressed
+formats — the operator plumbing is format-agnostic.
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches — no
 per-row Python calls, no driver collection; partition count controls
@@ -49,15 +53,161 @@ _FRAME_BYTES = 32
 _FRAME_STRIDE = 4  # sample every 4th frame
 
 
-def decode_video(data: bytes):  # pragma: no cover - stub by design
-    """Real video decode — requires a video library (ffmpeg/torchvision)
-    not present in this container. STUB: raises. The frame_sample
-    plumbing below runs over raw payload chunks instead; swap this in for
-    real keyframe extraction in production."""
-    raise NotImplementedError(
-        "video codecs are not available in this environment; "
-        "frame_sample chunks raw payload bytes instead"
+# ---------------------------------------------------------------------------
+# REAL video codec: uncompressed AVI (RIFF 'AVI ') with raw 24-bpp DIB
+# frames, via stdlib struct — the third RIFF-family container after WAV.
+# Reference parity note: the reference engine has no media operators at
+# all; this tier is the driver's beyond-reference training-data ask.
+
+VIDEO_FRAME_W = 8  # stride 8*3 = 24 is 4-byte aligned -> no row padding
+VIDEO_FRAME_H = 8  # 64 gray pixels per frame
+VIDEO_FPS = 10
+
+
+def encode_avi_gray(
+    frames: list[bytes],
+    width: int = VIDEO_FRAME_W,
+    height: int = VIDEO_FRAME_H,
+    fps: int = VIDEO_FPS,
+) -> bytes:
+    """Genuine AVI container from a list of top-down row-major grayscale
+    frames (each ``width*height`` bytes; byte v -> BGR pixel (v,v,v)).
+    Real RIFF structure: LIST('hdrl'){avih, LIST('strl'){strh 'vids'/
+    'DIB ', strf BITMAPINFOHEADER}} + LIST('movi'){'00db' raw bottom-up
+    DIB frames} + an 'idx1' keyframe index — the standard uncompressed
+    ('full frames') AVI form; any AVI-capable player opens these.
+    ``width*3`` must be 4-byte aligned so DIB rows need no padding."""
+    import struct
+
+    if width <= 0 or height <= 0 or (width * 3) % 4:
+        raise ValueError("need positive dims with width*3 4-byte aligned")
+    stride = width * 3
+    frame_size = stride * height
+    dibs = []
+    for g in frames:
+        if len(g) != width * height:
+            raise ValueError("frame length must be width*height")
+        dibs.append(
+            b"".join(
+                bytes(v for px in g[r * width : (r + 1) * width] for v in (px, px, px))
+                for r in range(height - 1, -1, -1)  # bottom-up row order
+            )
+        )
+    n = len(dibs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags = AVIF_HASINDEX
+        n, 0, 1, frame_size,  # totalFrames, initialFrames, streams, bufSize
+        width, height, 0, 0, 0, 0,  # dims + 4 reserved
     )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n,  # dwScale=1, dwRate=fps, dwStart, dwLength (frames)
+        frame_size, -1, 0,  # bufSize, dwQuality=-1 (default), dwSampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00db", d) for d in dibs)
+    movi = lst(b"movi", movi_payload)
+    # idx1 offsets point at each chunk's fourcc, relative to the start of
+    # the movi list's data (the conventional base used by most muxers).
+    idx_entries = []
+    off = 4  # skip the 'movi' list-type fourcc
+    for d in dibs:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(d)))
+        off += 8 + len(d)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return chunk(b"RIFF", riff_payload)
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL video decode: walk the RIFF chunk tree of an AVI container —
+    magic, stream headers and frame chunks all come from actual parsing —
+    and return (width, height, fps, list of top-down grayscale frames).
+    Accepts the uncompressed 24-bpp 'DIB ' form ``encode_avi_gray``
+    writes (gray = blue channel; our pixels are achromatic). Raises
+    ValueError on anything that is not such an AVI."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    def walk(buf: bytes, pos: int, end: int):
+        """Yield (fourcc, payload_start, payload_len) honoring word
+        alignment — a genuine RIFF walker, not offset arithmetic."""
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            if pos + 8 + size > end:
+                raise ValueError("truncated RIFF chunk")
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    width = height = fps = None
+    frames: list[bytes] = []
+    for fourcc, start, size in walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0]):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[start : start + 4]
+        if list_type == b"hdrl":
+            for f2, s2, z2 in walk(data, start + 4, start + size):
+                if f2 == b"avih" and z2 >= 40:
+                    vals = struct.unpack("<10I", data[s2 : s2 + 40])
+                    if vals[0]:
+                        fps = round(1_000_000 / vals[0])
+                    width, height = vals[8], vals[9]
+                elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    for f3, s3, z3 in walk(data, s2 + 4, s2 + z2):
+                        if f3 == b"strf" and z3 >= 40:
+                            (_, bw, bh, planes, bpp, comp) = struct.unpack(
+                                "<IiiHHI", data[s3 : s3 + 20]
+                            )
+                            if planes != 1 or bpp != 24 or comp != 0:
+                                raise ValueError(
+                                    "unsupported AVI stream (need uncompressed 24bpp DIB)"
+                                )
+        elif list_type == b"movi":
+            for f2, s2, z2 in walk(data, start + 4, start + size):
+                if f2 in (b"00db", b"00dc"):
+                    frames.append(data[s2 : s2 + z2])
+    if width is None or not width or not height:
+        raise ValueError("missing avih header")
+    stride = width * 3
+    if stride % 4:
+        stride = ((stride + 3) // 4) * 4
+    out: list[bytes] = []
+    for dib in frames:
+        if len(dib) < stride * height:
+            raise ValueError("truncated DIB frame")
+        g = bytearray(width * height)
+        for r in range(height):
+            src = (height - 1 - r) * stride  # stored bottom-up
+            row = dib[src : src + width * 3]
+            g[r * width : (r + 1) * width] = row[0::3]  # blue channel
+        out.append(bytes(g))
+    return width, height, fps or 0, out
+
+
+def decode_video(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Real video decode (no longer a stub): parses uncompressed-DIB AVI
+    containers via ``decode_avi``. Swap in ffmpeg/torchvision bindings in
+    production for compressed codecs; the operator plumbing is unchanged."""
+    return decode_avi(data)
 
 
 # ---------------------------------------------------------------------------
@@ -371,9 +521,82 @@ def decode_wav_stats(df: DataFrame, data_col: str = "wav") -> DataFrame:
     )
 
 
+def attach_avi(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL video blobs: each doc's UTF-8 bytes become grayscale pixels,
+    chunked into 8x8 frames (zero-padded last frame) of a genuine
+    uncompressed AVI container written by ``encode_avi_gray`` — any
+    AVI-capable player opens these. Empty text yields a valid zero-frame
+    AVI. Arrow-batched mapInPandas, one encode per row, no driver
+    involvement."""
+    fsz = VIDEO_FRAME_W * VIDEO_FRAME_H
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = text.encode("utf-8") if isinstance(text, str) else b""
+                pad = (-len(b)) % fsz
+                b += b"\x00" * pad
+                frames = [b[i : i + fsz] for i in range(0, len(b), fsz)]
+                out.append((doc_id, encode_avi_gray(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "avi"])
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _mk, schema="doc_id bigint, avi binary"
+    )
+
+
+VIDEO_KEYFRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "fr_px_sum bigint, fr_mean_lum double"
+)
+
+
+def video_keyframe_stats(
+    df: DataFrame, data_col: str = "avi", stride: int = _FRAME_STRIDE
+) -> DataFrame:
+    """REAL video keyframe extraction: parse the AVI container — frame
+    dimensions come from the DECODED avih header, frame pixels from the
+    decoded movi '00db' DIB chunks — keep every ``stride``-th frame (all
+    frames are keyframes in the uncompressed form; the sampling policy
+    mirrors production I-frame sampling), and emit exact integer luminance
+    sums per sampled frame. Corrupt/foreign containers degrade to a single
+    NULL-stats row, never a task abort (docs/SCALE.md contract)."""
+    import numpy as np
+
+    def _kf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                try:
+                    w, h, _fps, frames = decode_avi(
+                        bytes(data) if data is not None else b""
+                    )
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                for i in range(0, len(frames), stride):
+                    x = np.frombuffer(frames[i], dtype=np.uint8).astype(np.int64)
+                    s = int(x.sum())
+                    rows.append((doc_id, i, w, h, s, s / (w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "fr_px_sum", "fr_mean_lum",
+                ],
+            )
+
+    return df.select("doc_id", data_col).mapInPandas(
+        _kf, schema=VIDEO_KEYFRAME_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, data_col: str = "media") -> DataFrame:
-    """'Video' frame sampling: chunk the payload into fixed-size frames,
-    keep every k-th, emit one row per sampled frame."""
+    """Raw-chunk frame sampling (codec-free plumbing variant, kept for the
+    driver-queued inventory row): chunk the payload into fixed-size
+    frames, keep every k-th, emit one row per sampled frame. The REAL
+    codec path is ``attach_avi`` -> ``video_keyframe_stats``."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
