@@ -89,7 +89,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # Round-7 head starts at position 50 so next round's rotation is a
     # one-line window swap (VERDICT r5 Next #2): every beyond-reference
     # tier that has never had a driver CORRECTNESS row — train(6) +
-    # multimodal(5) + win_global(4) + h2o-window(2) + salted/q21/
+    # multimodal(6, incl. the round-6 video codec) + pii_scrub (round-6)
+    # + win_global(4) + h2o-window(2) + salted/q21/
     # dedup_incremental + the 2 round-5 stream rows — then the remaining
     # verbatim tpcds_real texts, then the leftover shape analogues.
     # Each future swap advances the window over never-checked rows
@@ -107,6 +108,8 @@ def all_queries() -> dict[str, QuerySpec]:
             "multimodal_resize",
             "multimodal_audio_stats",
             "multimodal_wav_roundtrip",
+            "multimodal_video_keyframes",
+            "pii_scrub",
             "dedup_incremental",
             "stream_static_enrich",
             "stream_checkpoint_resume",

@@ -39,7 +39,7 @@ def test_driver_window_rotation():
     assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head queued immediately after the window (VERDICT r5 Next
     # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:72] == [
+    assert list(_ALL)[50:74] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
@@ -51,6 +51,8 @@ def test_driver_window_rotation():
         "multimodal_resize",
         "multimodal_audio_stats",
         "multimodal_wav_roundtrip",
+        "multimodal_video_keyframes",
+        "pii_scrub",
         "dedup_incremental",
         "stream_static_enrich",
         "stream_checkpoint_resume",
@@ -64,5 +66,5 @@ def test_driver_window_rotation():
         "tpch_q21_waiting_suppliers",
     ]
     # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[72:74] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[126:128] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[74:76] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[128:130] == ["tpcds_q44_shape", "tpcds_q45_shape"]
