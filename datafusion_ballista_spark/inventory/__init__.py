@@ -88,7 +88,8 @@ def all_queries() -> dict[str, QuerySpec]:
     ] + [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head starts at position 50 so next round's rotation is a
     # one-line window swap (VERDICT r5 Next #2): every beyond-reference
-    # tier that has never had a driver CORRECTNESS row — train(6) +
+    # tier that has never had a driver CORRECTNESS row — train(7, incl.
+    # the round-6 doc-chunking row) +
     # multimodal(6, incl. the round-6 video codec) + pii_scrub (round-6)
     # + win_global(4) + h2o-window(2) + salted/q21/
     # dedup_incremental + the 2 round-5 stream rows — then the remaining
@@ -103,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "train_contamination_ngram",
             "train_mix_weights",
             "train_split_leakage",
+            "train_doc_chunking",
             "multimodal_featurize",
             "multimodal_frame_sample",
             "multimodal_resize",

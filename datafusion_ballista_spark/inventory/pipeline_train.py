@@ -409,6 +409,80 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. context-window chunking
+
+_CHUNK_TOKENS = 128  # context-window size in tokens
+_CHUNK_STRIDE = 96  # 32-token overlap between consecutive windows
+
+
+def train_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each document into overlapping context windows for training:
+    chunk k covers whitespace tokens [96k, 96k+128) — the standard
+    sliding-window-with-overlap discipline so no span longer than the
+    overlap is lost at a boundary. Everything is JVM-side codegen:
+    ``sequence`` builds the start offsets, ``explode`` fans out one row
+    per window, ``slice``+``concat_ws``+``md5`` fingerprint the chunk
+    text — a pure map-side plan with ZERO shuffles (the orderBy exists
+    only for the deterministic gate compare), so at 100 TB it scales
+    embarrassingly with input splits; windows never cross documents.
+
+    Beyond-reference (no pipeline layer in the reference engine;
+    cf. /root/reference/ballista/docs for scope)."""
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 400)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("t")
+    ).withColumn("n", F.size(F.col("t")))
+    chunks = toks.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("tok_start"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            (F.col("tok_start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            "tok_start",
+            F.least(
+                F.col("n") - F.col("tok_start"), F.lit(_CHUNK_TOKENS)
+            ).alias("n_chunk_tok"),
+            _h48(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("tok_start") + 1, _CHUNK_TOKENS)
+                )
+            ).alias("chunk_h48"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# range(0, n, 96) yields the same start set as Spark's
+# sequence(0, n-1, 96); list_slice clamps at the list end exactly like
+# Spark's slice, so the joined chunk strings — and their folded md5
+# fingerprints — are byte-identical across engines.
+TRAIN_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+  CAST(s // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+  CAST(s AS INTEGER) AS tok_start,
+  CAST(LEAST(n - s, {_CHUNK_TOKENS}) AS INTEGER) AS n_chunk_tok,
+  ('0x' || substr(md5(array_to_string(
+      list_slice(t, s + 1, s + {_CHUNK_TOKENS}), ' ')), 1, 12))::BIGINT
+    AS chunk_h48
+FROM toks, unnest(range(0, n, {_CHUNK_STRIDE})) AS u(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
     "train_sample_stratified": QuerySpec(
@@ -420,4 +494,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "train_mix_weights": QuerySpec(train_mix_weights, TRAIN_MIX_SQL),
     "train_split_leakage": QuerySpec(train_split_leakage, _train_leakage_sql()),
+    "train_doc_chunking": QuerySpec(train_doc_chunking, TRAIN_CHUNK_SQL),
 }

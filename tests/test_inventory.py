@@ -39,13 +39,14 @@ def test_driver_window_rotation():
     assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head queued immediately after the window (VERDICT r5 Next
     # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:74] == [
+    assert list(_ALL)[50:75] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
         "train_contamination_ngram",
         "train_mix_weights",
         "train_split_leakage",
+        "train_doc_chunking",
         "multimodal_featurize",
         "multimodal_frame_sample",
         "multimodal_resize",
@@ -66,5 +67,5 @@ def test_driver_window_rotation():
         "tpch_q21_waiting_suppliers",
     ]
     # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[74:76] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[128:130] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[75:77] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[129:131] == ["tpcds_q44_shape", "tpcds_q45_shape"]
