@@ -112,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "multimodal_wav_roundtrip",
             "multimodal_video_keyframes",
             "pii_scrub",
+            "quality_unigram_logprob",
             "dedup_incremental",
             "stream_static_enrich",
             "stream_checkpoint_resume",

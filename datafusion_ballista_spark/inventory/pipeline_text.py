@@ -1117,9 +1117,78 @@ ORDER BY doc_id
 """
 
 
+def quality_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram LM quality scoring (the CCNet/Gopher-style perplexity
+    filter, degree 1): build corpus unigram frequencies, then score each
+    document by its mean token log-probability — low scores flag
+    gibberish/boilerplate for the curation pipeline.
+
+    Determinism discipline: per-token log-probs are quantized to integer
+    micro-nats (round(ln(c/N)*1e6)) BEFORE the per-doc sum, so the
+    aggregate is an exact integer sum — order-independent across Spark
+    partitionings and engines — with one IEEE divide at the end; a raw
+    double SUM(ln(...)) would be partition-order-dependent.
+
+    Scale (100 TB): explode -> groupBy(token) rides partial aggregation
+    (hot Zipf tokens combine map-side); the token-probability join is
+    shuffle-on-token with AQE skew split handling the hot head, and the
+    grand total is a 1-row broadcast. No global sort except the gate's
+    orderBy; no Python anywhere."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n_total"))
+    micro = (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("n_total")) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    return (
+        micro.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("m").alias("sm"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("sm") / F.col("n_tok") / 1_000_000, 6).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+uni AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_total FROM uni),
+micro AS (
+  SELECT doc_id,
+    CAST(ROUND(ln(CAST(c AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS m
+  FROM t2 JOIN uni USING (tok) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tok,
+  ROUND(SUM(m) / COUNT(*) / 1000000, 6) AS avg_logp
+FROM micro GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
+    "quality_unigram_logprob": QuerySpec(
+        quality_unigram_logprob, QUALITY_UNIGRAM_SQL
+    ),
     "dedup_incremental": QuerySpec(dedup_incremental, _incremental_oracle_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle_sql()),
