@@ -64,6 +64,7 @@ _NESTED_LOOP_OK = {
     "emb_knn_classify",  # broadcast of a bounded (20-row) query set
     "ann_ivf_topk",  # N x L centroid assignment: L bounded, centroids broadcast
     "tfidf_topk_terms",  # 1-row corpus-size scalar crossJoin
+    "quality_unigram_logprob",  # 1-row corpus-token-total scalar crossJoin
     "train_mix_weights",  # 1-row total-chars scalar crossJoin
     "rel_salted_skew_join",  # 5-row dim x 8 salts: bounded salting fan-out
 }
