@@ -149,7 +149,11 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
 
     def walk(buf: bytes, pos: int, end: int):
         """Yield (fourcc, payload_start, payload_len) honoring word
-        alignment — a genuine RIFF walker, not offset arithmetic."""
+        alignment — a genuine RIFF walker, not offset arithmetic. The
+        declared end is clamped to the actual buffer so a truncated
+        container (half-uploaded blob) degrades to ValueError or a
+        shorter chunk list, never struct.error/IndexError."""
+        end = min(end, len(buf))
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])

@@ -142,3 +142,56 @@ def test_bmp_decode_never_crashes_unstructured(junk):
         assert w >= 0 and h >= 0 and len(gray) == w * h
     except ValueError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=400),
+)
+def test_avi_roundtrip_bit_exact(payload):
+    """AVI encode->decode returns the exact frame list for any payload
+    chunking (the video analogue of the BMP/WAV round-trip properties)."""
+    from datafusion_ballista_spark.multimodal import (
+        VIDEO_FRAME_H,
+        VIDEO_FRAME_W,
+        decode_avi,
+        encode_avi_gray,
+    )
+
+    fsz = VIDEO_FRAME_W * VIDEO_FRAME_H
+    pad = (-len(payload)) % fsz
+    b = payload + b"\x00" * pad
+    frames = [b[i : i + fsz] for i in range(0, len(b), fsz)]
+    w, h, fps, back = decode_avi(encode_avi_gray(frames))
+    assert (w, h, fps) == (VIDEO_FRAME_W, VIDEO_FRAME_H, 10)
+    assert back == frames
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_avi_decode_never_crashes_unstructured(junk):
+    """decode_avi on arbitrary bytes either decodes (only for genuine
+    AVIs) or raises ValueError — never IndexError/struct.error."""
+    from datafusion_ballista_spark.multimodal import decode_avi
+
+    try:
+        w, h, fps, frames = decode_avi(junk)
+        assert w > 0 and h > 0
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=1000))
+def test_avi_decode_never_crashes_truncated(cut):
+    """Truncating a VALID container at any byte offset must yield either
+    a successful partial-header-independent decode or ValueError — the
+    corrupt-payload degradation contract depends on this (a task must
+    never die on a half-uploaded media blob)."""
+    from datafusion_ballista_spark.multimodal import decode_avi, encode_avi_gray
+
+    blob = encode_avi_gray([bytes(range(64)), bytes(64)])
+    try:
+        decode_avi(blob[: min(cut, len(blob))])
+    except ValueError:
+        pass
