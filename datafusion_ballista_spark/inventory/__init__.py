@@ -113,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "multimodal_video_keyframes",
             "pii_scrub",
             "quality_unigram_logprob",
+            "ev_range_join_bucketed",
             "dedup_incremental",
             "stream_static_enrich",
             "stream_checkpoint_resume",

@@ -276,6 +276,76 @@ ORDER BY hr
 """
 
 
+_RANGE_W_US = 600_000_000  # 10-min incident windows, in epoch micros
+
+
+def ev_range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval/range join, the scale-safe way: 'incident' events open a
+    10-minute window [ts, ts+10min); count every event (any user) whose
+    timestamp falls inside each window.
+
+    A naive range join (the oracle's formulation — pure inequality
+    predicates) plans as a nested-loop/IEJoin: O(events x incidents),
+    a scale-killer when both sides grow. The rewrite here is the standard
+    interval-bucketing technique: pick bucket width W = max interval
+    length, land each interval in the <=2 buckets it can overlap
+    (exactly-equal-W windows span 1 or 2), land each event in its single
+    bucket, equi-join on the bucket id, then apply the residual time
+    predicate. The join becomes one hash shuffle with <=2x duplication of
+    the (small) interval side and no pair can match twice because an
+    event's bucket is unique — same semantics, shuffle-join scaling.
+    All arithmetic is integer epoch-micros (div, not double /), so
+    bucket ids are exact and engine-identical."""
+    e = _events(spark, sf)
+    ev = e.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("be")
+    )
+    inc = e.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.unix_micros(F.col("ts")).alias("bs"),
+    )
+    inc_b = inc.select(
+        "incident_id",
+        "bs",
+        F.explode(
+            F.sequence(
+                F.expr(f"bs div {_RANGE_W_US}"),
+                F.expr(f"(bs + {_RANGE_W_US} - 1) div {_RANGE_W_US}"),
+            )
+        ).alias("bkt"),
+    )
+    ev_b = ev.withColumn("bkt", F.expr(f"be div {_RANGE_W_US}"))
+    joined = ev_b.join(inc_b, "bkt").where(
+        (F.col("be") >= F.col("bs"))
+        & (F.col("be") < F.col("bs") + _RANGE_W_US)
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+# The oracle states the SPEC — a plain inequality range join (DuckDB
+# plans its own IEJoin); matching it proves the bucketed rewrite is
+# semantics-preserving, bucket-boundary cases included.
+EV_RANGE_JOIN_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS be FROM events),
+inc AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS bs FROM events
+  WHERE event_type = 'error' AND event_id % 97 = 0)
+SELECT incident_id, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS users
+FROM inc JOIN ev ON ev.be >= inc.bs AND ev.be < inc.bs + {_RANGE_W_US}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ev_hourly_rollup": QuerySpec(ev_hourly_rollup, EV_HOURLY_SQL),
     "ev_gap_fill": QuerySpec(ev_gap_fill, EV_GAP_FILL_SQL),
@@ -283,4 +353,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ev_sessionize": QuerySpec(ev_sessionize, EV_SESSIONIZE_SQL),
     "ev_type_transitions": QuerySpec(ev_type_transitions, EV_TRANSITIONS_SQL),
     "ev_daily_retention": QuerySpec(ev_daily_retention, EV_RETENTION_SQL),
+    "ev_range_join_bucketed": QuerySpec(
+        ev_range_join_bucketed, EV_RANGE_JOIN_SQL
+    ),
 }

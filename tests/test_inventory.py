@@ -39,7 +39,7 @@ def test_driver_window_rotation():
     assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head queued immediately after the window (VERDICT r5 Next
     # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:76] == [
+    assert list(_ALL)[50:77] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
@@ -55,6 +55,7 @@ def test_driver_window_rotation():
         "multimodal_video_keyframes",
         "pii_scrub",
         "quality_unigram_logprob",
+        "ev_range_join_bucketed",
         "dedup_incremental",
         "stream_static_enrich",
         "stream_checkpoint_resume",
@@ -68,5 +69,5 @@ def test_driver_window_rotation():
         "tpch_q21_waiting_suppliers",
     ]
     # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[76:78] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[130:132] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[77:79] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[131:133] == ["tpcds_q44_shape", "tpcds_q45_shape"]
