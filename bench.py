@@ -84,6 +84,11 @@ def main() -> None:
         # round-5 addition: verbatim TPC-DS over the real star fixture
         # (own committed scale point — ignores sf_dir; tracking starts r05)
         "tpcds_real_q98",
+        # round-6 additions (tracking starts r06): the unigram-LM quality
+        # scorer (token-explode + Zipf-skewed join) and the bucketed
+        # interval join (the range-join scale rewrite)
+        "quality_unigram_logprob",
+        "ev_range_join_bucketed",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
