@@ -125,6 +125,10 @@ def all_queries() -> dict[str, QuerySpec]:
             "h2o_w_sorted_rownum",
             "rel_salted_skew_join",
             "tpch_q21_waiting_suppliers",
+            # round-6 additions to the beyond-reference tier
+            "quality_repetition_gopher",
+            "ev_funnel_steps",
+            "train_token_budget_sample",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -346,8 +346,89 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_FUNNEL_WINDOW_H = 24  # max hours between consecutive funnel stages
+
+
+def ev_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered, time-boxed funnel analysis (view -> click -> purchase):
+    for each user, the earliest view, the earliest click strictly AFTER
+    that view within 24 h, and the earliest purchase strictly after that
+    click within 24 h; report per-stage user counts and conversion
+    rates. The ordering + window constraints are what distinguish a
+    funnel from three independent filters — a purchase before the first
+    view, or a week later, does not convert.
+
+    Scale (100 TB): every stage is a filter + min-aggregate keyed on
+    user_id, and every join is user_id = user_id — one shuffle key end
+    to end, so AQE reuses the exchange across stages instead of
+    re-partitioning; stage outputs are one row per converting user
+    (monotonically shrinking). The final count is a single-row global
+    aggregate. No window over the raw event stream, no Python."""
+    ev = _events(spark, sf)
+    step = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_click_after_view"),
+            F.count("p_ts").alias("n_purchase_after_click"),
+            F.round(F.count("c_ts") / F.count("v_ts"), 6).alias(
+                "conv_view_click"
+            ),
+            F.round(F.count("p_ts") / F.count("c_ts"), 6).alias(
+                "conv_click_purchase"
+            ),
+        )
+    )
+
+
+EV_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY 1)
+SELECT COUNT(v_ts) AS n_view,
+  COUNT(c_ts) AS n_click_after_view,
+  COUNT(p_ts) AS n_purchase_after_click,
+  ROUND(CAST(COUNT(c_ts) AS DOUBLE) / COUNT(v_ts), 6) AS conv_view_click,
+  ROUND(CAST(COUNT(p_ts) AS DOUBLE) / COUNT(c_ts), 6)
+    AS conv_click_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ev_hourly_rollup": QuerySpec(ev_hourly_rollup, EV_HOURLY_SQL),
+    "ev_funnel_steps": QuerySpec(ev_funnel_steps, EV_FUNNEL_SQL),
     "ev_gap_fill": QuerySpec(ev_gap_fill, EV_GAP_FILL_SQL),
     "ev_window_bucketing": QuerySpec(ev_window_bucketing, EV_WINDOW_SQL),
     "ev_sessionize": QuerySpec(ev_sessionize, EV_SESSIONIZE_SQL),

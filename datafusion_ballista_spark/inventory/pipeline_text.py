@@ -1183,8 +1183,100 @@ FROM micro GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def quality_repetition_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): flag
+    documents whose most-frequent unigram dominates the text or whose
+    bigrams are mostly repeats — boilerplate/spam signals the curation
+    pipeline drops before training.
+
+    Per doc: ``top_uni_frac`` = occurrences of the modal token / total
+    tokens; ``dup_bi_frac`` = fraction of bigram slots occupied by a
+    repeated bigram (1 - distinct/total). Thresholds (modal token > 12%
+    or duplicate bigrams > 5%) are compared in exact integer
+    cross-multiplication on both engines, so the flag never depends on
+    float rounding.
+
+    Scale (100 TB): the unigram mode rides explode -> partial-aggregated
+    groupBy((doc_id, tok)) -> groupBy(doc_id) — two shuffles, both keyed
+    by doc_id(+tok), no hot keys beyond single-doc size. The bigram
+    stats never shuffle at all: the bigram list, its length, and its
+    distinct count are per-row codegen expressions (transform/sequence/
+    array_distinct), linear in doc length. Final join is doc_id-keyed on
+    an already-shuffled side. No Python anywhere."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    us = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    base = d.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= 2)
+    bg = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+    )
+    bs = base.select(
+        "doc_id",
+        F.size(bg).alias("n_bi"),
+        F.size(F.array_distinct(bg)).alias("n_bi_d"),
+    )
+    return (
+        us.join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("top_c") / F.col("n_tok"), 6).alias("top_uni_frac"),
+            F.round(1 - F.col("n_bi_d") / F.col("n_bi"), 6).alias(
+                "dup_bi_frac"
+            ),
+            (
+                (F.col("top_c") * 100 > F.col("n_tok") * 12)
+                | ((F.col("n_bi") - F.col("n_bi_d")) * 100 > F.col("n_bi") * 5)
+            )
+            .cast("int")
+            .alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+  FROM base WHERE len(t) >= 2),
+uni AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+us AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM uni GROUP BY 1),
+bi AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+  FROM toks QUALIFY bg IS NOT NULL),
+bs AS (SELECT doc_id, COUNT(*) AS n_bi, COUNT(DISTINCT bg) AS n_bi_d
+       FROM bi GROUP BY 1)
+SELECT us.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_uni_frac,
+  ROUND(1 - CAST(n_bi_d AS DOUBLE) / n_bi, 6) AS dup_bi_frac,
+  CAST(CASE WHEN top_c * 100 > n_tok * 12
+              OR (n_bi - n_bi_d) * 100 > n_bi * 5
+       THEN 1 ELSE 0 END AS INT) AS flag_repetitive
+FROM us JOIN bs ON us.doc_id = bs.doc_id
+ORDER BY us.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "quality_repetition_gopher": QuerySpec(
+        quality_repetition_gopher, QUALITY_REPETITION_SQL
+    ),
     "pii_scrub": QuerySpec(pii_scrub, PII_SCRUB_SQL),
     "quality_unigram_logprob": QuerySpec(
         quality_unigram_logprob, QUALITY_UNIGRAM_SQL

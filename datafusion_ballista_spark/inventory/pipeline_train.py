@@ -483,8 +483,119 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. per-language token-budget sampling (UniMax-style capped allocation)
+
+_BUDGET_PCT = 70  # corpus-wide token budget as % of total tokens
+
+
+def train_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sampling with per-language caps (the UniMax
+    allocation, Chung et al. 2023): a corpus-wide budget (70% of total
+    tokens) is split EQUALLY across languages; each language keeps docs
+    until its budget is met, capped at its actual size. Dominant
+    languages (en at ~43% share) get hard-capped; small ones keep
+    everything — exactly the head-flattening a multilingual pretraining
+    mix wants.
+
+    Doc selection is a pure function of doc_id: keep iff
+    u * tokens_lang < 1e6 * min(budget_lang, tokens_lang) where u is the
+    md5-derived uniform bucket in [0, 1e6) — exact integer
+    cross-multiplication, engine-identical, no RNG, stable under re-runs
+    and data appends. (Overflow bound: u * tokens_lang needs
+    tokens_lang < 9.2e12 per language for int64 — beyond that, scale u
+    down or use a 128-bit decimal; the sandbox is ~7 orders below it.)
+
+    Scale (100 TB): one explode-free pass computes per-doc token counts
+    as a codegen expression; per-language totals are a partial-aggregated
+    5-row groupBy; budgets broadcast back (5 rows); the keep decision is
+    map-side. Exactly 2 shuffles (the two groupBys on lang), both tiny
+    post-aggregation. Per-language budget enforcement is threshold-based
+    (expected-value exact), NOT a per-language ordered scan — a window
+    cumsum per language would serialize each language onto one task at
+    100 TB; the threshold form is embarrassingly parallel."""
+    d = tables(spark, sf, "documents").documents
+    n_tok = F.size(F.filter(_tokens(F.col("text")), lambda x: x != ""))
+    docs = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        _hash_bucket(F.col("doc_id"), 1_000_000).alias("u"),
+    )
+    per_lang = docs.groupBy("lang").agg(F.sum("n_tok").alias("t_lang"))
+    tot = per_lang.agg(
+        F.sum("t_lang").alias("t_total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    budgets = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "t_lang",
+        F.floor(
+            F.col("t_total") * _BUDGET_PCT / (100 * F.col("n_langs"))
+        )
+        .cast("bigint")
+        .alias("budget"),
+    )
+    keep = (
+        F.col("u") * F.col("t_lang")
+        < F.lit(1_000_000) * F.least(F.col("budget"), F.col("t_lang"))
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(budgets), "lang")
+        .withColumn("keep", keep)
+        .groupBy("lang", "t_lang", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("n_tok") * F.col("keep")).alias("tokens_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("t_lang").alias("tokens_total"),
+            "budget",
+            F.round(
+                F.least(F.lit(1.0), F.col("budget") / F.col("t_lang")), 6
+            ).alias("theta"),
+            "n_kept",
+            "tokens_kept",
+        )
+        .orderBy("lang")
+    )
+
+
+TRAIN_BUDGET_SQL = f"""
+WITH docs AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))
+      AS n_tok,
+    {_hash_bucket_sql('doc_id', 1_000_000)} AS u
+  FROM documents),
+per_lang AS (SELECT lang, SUM(n_tok) AS t_lang FROM docs GROUP BY 1),
+tot AS (SELECT SUM(t_lang) AS t_total, COUNT(*) AS n_langs FROM per_lang),
+budgets AS (
+  SELECT lang, t_lang,
+    CAST(FLOOR(t_total * {_BUDGET_PCT} / (100.0 * n_langs)) AS BIGINT)
+      AS budget
+  FROM per_lang CROSS JOIN tot),
+kept AS (
+  SELECT d.lang, d.n_tok, b.t_lang, b.budget,
+    CASE WHEN d.u * b.t_lang < 1000000 * LEAST(b.budget, b.t_lang)
+         THEN 1 ELSE 0 END AS keep
+  FROM docs d JOIN budgets b ON d.lang = b.lang)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(t_lang AS BIGINT) AS tokens_total, budget,
+  ROUND(LEAST(1.0, CAST(budget AS DOUBLE) / t_lang), 6) AS theta,
+  CAST(SUM(keep) AS BIGINT) AS n_kept,
+  CAST(SUM(n_tok * keep) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY lang, t_lang, budget
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
+    "train_token_budget_sample": QuerySpec(
+        train_token_budget_sample, TRAIN_BUDGET_SQL
+    ),
     "train_sample_stratified": QuerySpec(
         train_sample_stratified, TRAIN_SAMPLE_SQL
     ),

@@ -1,0 +1,109 @@
+"""Semantic checks for the round-6 curation/analytics additions — the
+hash-match gate proves engine agreement; these prove the SEMANTICS are
+the advertised ones (funnel ordering, budget capping, repetition flags).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datafusion_ballista_spark.inventory.events import (
+    _FUNNEL_WINDOW_H,
+    ev_funnel_steps,
+)
+from datafusion_ballista_spark.inventory.pipeline_text import (
+    quality_repetition_gopher,
+)
+from datafusion_ballista_spark.inventory.pipeline_train import (
+    _BUDGET_PCT,
+    train_token_budget_sample,
+)
+from datafusion_ballista_spark.inventory.util import tables
+from tests.conftest import SF_DIR
+
+
+def test_funnel_is_monotone_and_stricter_than_unordered(spark):
+    """Stage counts must shrink monotonically, and the ordered funnel
+    must be at most the unordered has-all-three-types count (strictly
+    fewer unless every user's events happen to arrive in funnel order).
+    """
+    row = ev_funnel_steps(spark, SF_DIR).collect()[0]
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert row.n_purchase_after_click > 0, "fixture should convert someone"
+    ev = tables(spark, SF_DIR, "events").events
+    unordered = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .where(F.col("k") == 3)
+        .count()
+    )
+    assert row.n_purchase_after_click <= unordered
+
+
+def test_funnel_click_strictly_after_view(spark):
+    """Spot-check the ordering + time-box constraints: recompute stage 2
+    by hand for every user and compare the count."""
+    import datetime
+
+    window = datetime.timedelta(hours=_FUNNEL_WINDOW_H)
+    ev = tables(spark, SF_DIR, "events").events.collect()
+    first_view: dict[int, object] = {}
+    for r in ev:
+        if r.event_type == "view":
+            if r.user_id not in first_view or r.ts < first_view[r.user_id]:
+                first_view[r.user_id] = r.ts
+    clickers = set()
+    for r in ev:
+        if (
+            r.event_type == "click"
+            and r.user_id in first_view
+            and first_view[r.user_id] < r.ts <= first_view[r.user_id] + window
+        ):
+            clickers.add(r.user_id)
+    row = ev_funnel_steps(spark, SF_DIR).collect()[0]
+    assert row.n_click_after_view == len(clickers)
+    # the time box must actually bite on this fixture
+    assert row.n_click_after_view < row.n_view
+
+
+def test_token_budget_caps_dominant_language(spark):
+    rows = {r.lang: r for r in train_token_budget_sample(spark, SF_DIR).collect()}
+    # en is ~43% of corpus tokens; an equal per-language split of a
+    # 70% budget (14% each) must cap it hard.
+    assert rows["en"].theta < 0.5
+    assert rows["en"].tokens_kept < rows["en"].tokens_total
+    # at least one minority language is uncapped (theta == 1 keeps all)
+    uncapped = [r for r in rows.values() if r.theta == 1.0]
+    assert uncapped, "equal split should leave some language uncapped"
+    for r in uncapped:
+        assert r.n_kept == r.n_docs and r.tokens_kept == r.tokens_total
+    # capped languages land near their budget (threshold sampling is
+    # exact in expectation; allow 30% relative slack at fixture size)
+    for r in rows.values():
+        if r.theta < 1.0:
+            assert abs(r.tokens_kept - r.budget) < 0.3 * r.budget
+    # global budget respected in aggregate within the same slack
+    total = sum(r.tokens_total for r in rows.values())
+    kept = sum(r.tokens_kept for r in rows.values())
+    assert kept < total
+    assert kept < (_BUDGET_PCT / 100) * total * 1.3
+
+
+def test_repetition_flags_planted_doc(spark):
+    """A maximally repetitive doc (one token repeated) must flag; the
+    fractions must be exact on a hand-checkable case."""
+    df = quality_repetition_gopher(spark, SF_DIR)
+    rows = df.collect()
+    flagged = [r for r in rows if r.flag_repetitive == 1]
+    clean = [r for r in rows if r.flag_repetitive == 0]
+    assert flagged and clean, "thresholds should split the fixture"
+    for r in rows:
+        assert 0 < r.top_uni_frac <= 1
+        assert 0 <= r.dup_bi_frac < 1
+        # flag definition is exactly the advertised thresholds
+        expect = r.top_uni_frac > 0.12 or r.dup_bi_frac > 0.05
+        # fractions are rounded to 1e-6; re-derive only away from the
+        # threshold boundary to avoid rounding flips
+        if abs(r.top_uni_frac - 0.12) > 1e-5 and abs(r.dup_bi_frac - 0.05) > 1e-5:
+            assert bool(r.flag_repetitive) == expect

@@ -66,6 +66,7 @@ _NESTED_LOOP_OK = {
     "tfidf_topk_terms",  # 1-row corpus-size scalar crossJoin
     "quality_unigram_logprob",  # 1-row corpus-token-total scalar crossJoin
     "train_mix_weights",  # 1-row total-chars scalar crossJoin
+    "train_token_budget_sample",  # 1-row total-tokens scalar crossJoin
     "rel_salted_skew_join",  # 5-row dim x 8 salts: bounded salting fan-out
 }
 
