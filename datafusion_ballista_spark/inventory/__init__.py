@@ -129,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "quality_repetition_gopher",
             "ev_funnel_steps",
             "train_token_budget_sample",
+            "emb_kmeans_lloyd",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -587,8 +587,165 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means clustering (SemDeDup-style curation primitive)
+
+_KM_K = 8  # clusters
+_KM_ITERS = 2  # Lloyd update rounds; the report assigns against the last
+_KM_SCALE = 1_000_000  # micro-unit quantization for exact integer math
+
+
+def _km_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings quantized to integer micro-units: floor(x*1e6 + 0.5)
+    per component. Every distance, comparison, and centroid mean
+    downstream is EXACT int64 arithmetic — bit-identical across engines,
+    partition orders, and re-runs, which is what makes an ITERATIVE
+    algorithm oracle-checkable (a 1-ulp float divergence in round 1
+    would cascade into different assignments by round 3)."""
+    return _emb(spark, sf).select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * _KM_SCALE + F.lit(0.5)).cast("bigint"),
+        ).alias("q"),
+    )
+
+
+def _km_sqdist(qcol: Column, cvals: list[int]) -> Column:
+    lit = F.array(*[F.lit(int(x)).cast("bigint") for x in cvals])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-side assignment: distances to all centroids as one codegen
+    array expression; argmin = array_position of the min (first match =
+    lowest cluster id on exact-integer ties)."""
+    dists = F.array(*[_km_sqdist(F.col("q"), c) for c in cents])
+    return pts.withColumn("dist_arr", dists).select(
+        "vec_id",
+        "q",
+        (F.array_position(F.col("dist_arr"), F.array_min("dist_arr")) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.array_min("dist_arr").alias("dist"),
+    )
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 2 update rounds,
+    deterministic init = the k lowest vec_ids) — the clustering step
+    SemDeDup-style semantic dedup and diversity-balanced sampling build
+    on. Reports per-cluster sizes and inertia against the final
+    centroids.
+
+    Everything runs in exact integer micro-units (see _km_quantized):
+    assignments, means (floor of an exact-int division), and inertia are
+    reproducible bit-for-bit on any cluster AND in the DuckDB oracle,
+    which replays the identical two rounds as chained CTEs.
+
+    Scale (100 TB): assignment is MAP-SIDE ONLY — centroids travel to
+    executors as literal arrays (k x dim ints, ~4 KB), the MLlib
+    broadcast pattern, so each update round costs ONE shuffle (the
+    (cid, pos) partial-aggregated mean groupBy, k*dim output rows). The
+    driver holds k*dim integers per round — centroid metadata, never
+    data rows. Quantized points are materialized once via a GC-cleaned
+    lazy localCheckpoint and reused by all 3 passes."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    cents = [
+        [int(x) for x in r.q]
+        for r in pts.orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(_KM_ITERS):
+        upd = (
+            _km_assign(pts, cents)
+            .select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("xm")
+            )
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in upd:
+            new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.xm)
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        cents = [new.get(cid, cents[cid]) for cid in range(_KM_K)]
+    return (
+        _km_assign(pts, cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("dist").cast("double") / F.lit(float(_KM_SCALE) ** 2),
+                6,
+            ).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _km_dist_sql(e: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({e}.q) + 1), "
+        f"i -> ({e}.q[i] - {c}.c[i]) * ({e}.q[i] - {c}.c[i])))"
+    )
+
+
+def _km_round_sql(prev: str, nxt: str) -> str:
+    """One Lloyd round: assign against {prev}, rebuild means as {nxt}."""
+    return f"""
+a_{nxt} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {_km_dist_sql('e', 'c')} AS dist,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+m_{nxt} AS (
+  SELECT a.cid, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS x
+  FROM a_{nxt} a JOIN emb e USING (vec_id)),
+g_{nxt} AS (
+  SELECT cid, pos, CAST(floor(SUM(x) / COUNT(*)) AS BIGINT) AS xm
+  FROM m_{nxt} GROUP BY 1, 2),
+{nxt} AS (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(xm ORDER BY pos) AS c FROM g_{nxt} GROUP BY 1) u
+  USING (cid))"""
+
+
+EMB_KMEANS_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM emb ORDER BY vec_id LIMIT {_KM_K}),{_km_round_sql('c0', 'c1')},{_km_round_sql('c1', 'c2')},
+final AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {_km_dist_sql('e', 'c')} AS dist,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN c2 c) WHERE rn = 1)
+SELECT cid, COUNT(*) AS n_vecs,
+  ROUND(SUM(dist)::DOUBLE / {float(_KM_SCALE) ** 2}, 6) AS inertia
+FROM final GROUP BY cid ORDER BY cid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
     "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "emb_knn_classify": QuerySpec(emb_knn_classify, EMB_KNN_SQL),

@@ -107,3 +107,53 @@ def test_repetition_flags_planted_doc(spark):
         # threshold boundary to avoid rounding flips
         if abs(r.top_uni_frac - 0.12) > 1e-5 and abs(r.dup_bi_frac - 0.05) > 1e-5:
             assert bool(r.flag_repetitive) == expect
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Replicate the exact-integer Lloyd's rounds in numpy and require
+    bit-identical cluster sizes and inertia — proves the Spark/DuckDB
+    agreement isn't two engines sharing a bug."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_ITERS,
+        _KM_K,
+        _KM_SCALE,
+        emb_kmeans_lloyd,
+    )
+
+    emb = tables(spark, SF_DIR, "embeddings").embeddings.collect()
+    emb.sort(key=lambda r: r.vec_id)
+    q = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * _KM_SCALE
+        + 0.5
+    ).astype(np.int64)
+    cents = q[:_KM_K].copy()
+
+    def assign(c):
+        # (n, k) exact integer squared distances
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)  # argmin: first/lowest cid
+
+    for _ in range(_KM_ITERS):
+        cid, _ = assign(cents)
+        nxt = cents.copy()
+        for k in range(_KM_K):
+            pts = q[cid == k]
+            if len(pts):
+                nxt[k] = np.floor(pts.sum(axis=0) / len(pts)).astype(np.int64)
+        cents = nxt
+    cid, dist = assign(cents)
+    expect = {
+        k: (
+            int((cid == k).sum()),
+            round(float(dist[cid == k].sum()) / _KM_SCALE**2, 6),
+        )
+        for k in range(_KM_K)
+        if (cid == k).sum()
+    }
+    got = {
+        r.cid: (r.n_vecs, r.inertia)
+        for r in emb_kmeans_lloyd(spark, SF_DIR).collect()
+    }
+    assert got == expect
