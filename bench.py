@@ -89,6 +89,12 @@ def main() -> None:
         # interval join (the range-join scale rewrite)
         "quality_unigram_logprob",
         "ev_range_join_bucketed",
+        # late round-6 additions (tracking starts r06): the Gopher
+        # repetition filters (two doc_id-keyed shuffles + per-row bigram
+        # codegen) and iterative exact-integer k-means (3 full passes
+        # over the corpus: the multi-job pipeline shape)
+        "quality_repetition_gopher",
+        "emb_kmeans_lloyd",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
