@@ -130,6 +130,8 @@ def all_queries() -> dict[str, QuerySpec]:
             "ev_funnel_steps",
             "train_token_budget_sample",
             "emb_kmeans_lloyd",
+            "train_dsir_select",
+            "dedup_semdedup",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -591,6 +591,108 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# 10. DSIR data selection (importance resampling toward a target domain)
+
+_DSIR_B = 1024  # hashed n-gram feature buckets (the paper uses 10k)
+_DSIR_TOPK = 200  # selection budget
+
+
+def train_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document in the raw pool by how target-domain-like its
+    hashed-unigram distribution is, and keep the top-k. The target here
+    is the English slice (``lang = 'en'``) standing in for the paper's
+    "formal text" target; the raw distribution is the whole corpus.
+
+    Features are md5-hashed token buckets (engine-identical 48-bit fold,
+    B=1024). Per-bucket importance weight = ln of the Laplace-smoothed
+    probability ratio, quantized to integer micro-nats BEFORE the
+    per-doc sum (the quality_unigram_logprob determinism discipline:
+    the doc score is an exact integer sum — partition-order-independent
+    — with one IEEE divide at the end). The ratio's numerator/denominator
+    products are computed in double (count*total can exceed int64 at
+    ~1e13 tokens; double keeps the expression scale-safe and stays
+    correctly-rounded-from-exact-ints, hence engine-identical).
+
+    Scale (100 TB): explode -> groupBy(bucket) rides partial
+    aggregation into a <=B-row weight table (Zipf-hot buckets combine
+    map-side); the weight table BROADCASTS back onto the token stream
+    (never a shuffle on the Zipf-skewed bucket key); the per-doc sum is
+    the one real shuffle (doc_id, uniform); selection is
+    TakeOrderedAndProject, never a global sort. No Python anywhere."""
+    d = _spread_for_explode(
+        spark, tables(spark, sf, "documents").documents
+    )
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("tgt"),
+        F.explode(_tokens(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucketed = toks.select(
+        "doc_id", "tgt", _hash_bucket(F.col("tok"), _DSIR_B).alias("b")
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.sum("tgt").alias("ct"), F.count(F.lit(1)).alias("call")
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("call").alias("nr")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * (F.col("nr") + _DSIR_B))
+                / ((F.col("nt") + _DSIR_B).cast("double") * (F.col("call") + 1))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("w").alias("sw"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("sw") / F.col("n_tok") / 1_000_000, 6).alias(
+                "dsir_score"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("dsir_score"), "doc_id"
+    ).limit(_DSIR_TOPK)
+
+
+TRAIN_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+    unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents),
+bucketed AS (
+  SELECT doc_id, tgt, {_hash_bucket_sql('tok', _DSIR_B)} AS b
+  FROM toks WHERE tok <> ''),
+counts AS (
+  SELECT b, SUM(tgt) AS ct, COUNT(*) AS call FROM bucketed GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt, SUM(call) AS nr FROM counts),
+weights AS (
+  SELECT b,
+    CAST(ROUND(ln(
+      ((ct + 1)::DOUBLE * (nr + {_DSIR_B}))
+      / ((nt + {_DSIR_B})::DOUBLE * (call + 1))) * 1000000) AS BIGINT) AS w
+  FROM counts CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+    ROUND(SUM(w) / COUNT(*) / 1000000, 6) AS dsir_score
+  FROM bucketed JOIN weights USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tok, dsir_score
+FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
     "train_token_budget_sample": QuerySpec(
@@ -606,4 +708,5 @@ QUERIES: dict[str, QuerySpec] = {
     "train_mix_weights": QuerySpec(train_mix_weights, TRAIN_MIX_SQL),
     "train_split_leakage": QuerySpec(train_split_leakage, _train_leakage_sql()),
     "train_doc_chunking": QuerySpec(train_doc_chunking, TRAIN_CHUNK_SQL),
+    "train_dsir_select": QuerySpec(train_dsir_select, TRAIN_DSIR_SQL),
 }

@@ -635,26 +635,11 @@ def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus (k=8, 2 update rounds,
-    deterministic init = the k lowest vec_ids) — the clustering step
-    SemDeDup-style semantic dedup and diversity-balanced sampling build
-    on. Reports per-cluster sizes and inertia against the final
-    centroids.
-
-    Everything runs in exact integer micro-units (see _km_quantized):
-    assignments, means (floor of an exact-int division), and inertia are
-    reproducible bit-for-bit on any cluster AND in the DuckDB oracle,
-    which replays the identical two rounds as chained CTEs.
-
-    Scale (100 TB): assignment is MAP-SIDE ONLY — centroids travel to
-    executors as literal arrays (k x dim ints, ~4 KB), the MLlib
-    broadcast pattern, so each update round costs ONE shuffle (the
-    (cid, pos) partial-aggregated mean groupBy, k*dim output rows). The
-    driver holds k*dim integers per round — centroid metadata, never
-    data rows. Quantized points are materialized once via a GC-cleaned
-    lazy localCheckpoint and reused by all 3 passes."""
-    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+def _km_final_cents(pts: DataFrame) -> list[list[int]]:
+    """The Lloyd loop (k lowest vec_ids init, _KM_ITERS exact-integer
+    update rounds), shared by emb_kmeans_lloyd and dedup_semdedup so
+    both report against the SAME reproducible centroids. Per round the
+    driver receives k*dim integers (centroid metadata), never rows."""
     cents = [
         [int(x) for x in r.q]
         for r in pts.orderBy("vec_id").limit(_KM_K).collect()
@@ -677,6 +662,30 @@ def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
             new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.xm)
         # empty clusters keep their previous centroid (standard Lloyd's)
         cents = [new.get(cid, cents[cid]) for cid in range(_KM_K)]
+    return cents
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 2 update rounds,
+    deterministic init = the k lowest vec_ids) — the clustering step
+    SemDeDup-style semantic dedup and diversity-balanced sampling build
+    on. Reports per-cluster sizes and inertia against the final
+    centroids.
+
+    Everything runs in exact integer micro-units (see _km_quantized):
+    assignments, means (floor of an exact-int division), and inertia are
+    reproducible bit-for-bit on any cluster AND in the DuckDB oracle,
+    which replays the identical two rounds as chained CTEs.
+
+    Scale (100 TB): assignment is MAP-SIDE ONLY — centroids travel to
+    executors as literal arrays (k x dim ints, ~4 KB), the MLlib
+    broadcast pattern, so each update round costs ONE shuffle (the
+    (cid, pos) partial-aggregated mean groupBy, k*dim output rows). The
+    driver holds k*dim integers per round — centroid metadata, never
+    data rows. Quantized points are materialized once via a GC-cleaned
+    lazy localCheckpoint and reused by all 3 passes."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    cents = _km_final_cents(pts)
     return (
         _km_assign(pts, cents)
         .groupBy("cid")
@@ -743,9 +752,155 @@ FROM final GROUP BY cid ORDER BY cid
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clustering + within-cluster cosine
+
+_SD_CAP = 500  # per-cluster examination cap (deterministic: lowest vec_ids)
+_SD_TAU2_NUM = 16  # cosine threshold tau = 0.4 (fixture-matched, as
+_SD_TAU2_DEN = 100  # emb_neardup_cosine: tau^2 = 16/100 exact rational)
+
+
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then drop semantic near-duplicates WITHIN each cluster —
+    pairwise cosine > tau keeps the lowest vec_id (the greedy rule the
+    paper's keep-one-per-group reduces to under a deterministic order;
+    tau = 0.4 matches emb_neardup_cosine's fixture-calibrated theta —
+    the paper's epsilon is likewise data-dependent).
+    Output: per-cluster corpus size, examined size, dropped and kept
+    counts — the dedup summary a curation run logs.
+
+    Exactness: clustering reuses the emb_kmeans_lloyd integer
+    micro-unit centroids (bit-reproducible, oracle-replayable); the
+    cosine test never touches floating point — ``cos > tau`` is decided
+    as ``dot > 0 AND dot^2 * 100 > 16 * |a|^2 * |b|^2`` in exact
+    decimal(38,0) / HUGEINT integer arithmetic (32 digits max, no
+    overflow), so Spark and DuckDB agree bit-for-bit.
+
+    Scale (100 TB): the whole point of SemDeDup is that clustering
+    bounds the pair space — candidates are cluster-local, never
+    corpus-global. Production k grows with the corpus (the paper uses
+    ~10^5 clusters, keeping clusters ~10^3 vectors), which makes the
+    cid self-join a uniform high-cardinality shuffle; this demo's k=8
+    keys are skew-prone, so the per-cluster examination cap (lowest
+    _SD_CAP vec_ids, mirroring the hot-shingle df-cap discipline in
+    dedup_minhash_lsh) hard-bounds the worst cluster at k*CAP^2/2
+    pairs regardless of corpus size. Norms are computed once per vector
+    BEFORE the self-join, not per pair; dot products are in-JVM codegen
+    folds (the A/B-verified 64-d kernel choice from ann_lsh)."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    cents = _km_final_cents(pts)
+    assign = _km_assign(pts, cents).select("vec_id", "q", "cid")
+    n2 = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    ex = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SD_CAP)
+        .select("cid", "vec_id", "q", n2.alias("n2"))
+    )
+    a = ex.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = ex.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, "cid").where(F.col("va") < F.col("vb")).withColumn(
+        "dot", dot
+    )
+    dd = F.col("dot").cast("decimal(19,0)")
+    lhs = dd * dd * F.lit(_SD_TAU2_DEN).cast("decimal(5,0)")
+    rhs = (
+        F.lit(_SD_TAU2_NUM).cast("decimal(5,0)")
+        * F.col("na2").cast("decimal(19,0)")
+        * F.col("nb2").cast("decimal(19,0)")
+    )
+    dropped = (
+        pairs.where((F.col("dot") > 0) & (lhs > rhs))
+        .select("cid", "vb")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    exn = ex.groupBy("cid").agg(F.count(F.lit(1)).alias("n_examined"))
+    return (
+        sizes.join(exn, "cid")
+        .join(dropped, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            "n_examined",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM emb ORDER BY vec_id LIMIT {_KM_K}),{_km_round_sql('c0', 'c1')},{_km_round_sql('c1', 'c2')},
+finalq AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT e.vec_id, e.q, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+ex AS (
+  SELECT cid, vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM finalq) WHERE rn <= {_SD_CAP}),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      i -> a.q[i] * b.q[i])) AS HUGEINT) AS dot,
+    a.n2 AS na2, b.n2 AS nb2
+  FROM ex a JOIN ex b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+dropped AS (
+  SELECT DISTINCT cid, vb FROM pairs
+  WHERE dot > 0
+    AND dot * dot * {_SD_TAU2_DEN} > {_SD_TAU2_NUM} * na2 * nb2),
+sizes AS (SELECT cid, COUNT(*) AS n_vecs FROM finalq GROUP BY 1),
+exn AS (SELECT cid, COUNT(*) AS n_examined FROM ex GROUP BY 1),
+dn AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY 1)
+SELECT s.cid, s.n_vecs, exn.n_examined,
+  COALESCE(dn.n_dropped, 0) AS n_dropped,
+  s.n_vecs - COALESCE(dn.n_dropped, 0) AS n_kept
+FROM sizes s JOIN exn USING (cid) LEFT JOIN dn USING (cid)
+ORDER BY s.cid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
+    "dedup_semdedup": QuerySpec(dedup_semdedup, SEMDEDUP_SQL),
     "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "emb_knn_classify": QuerySpec(emb_knn_classify, EMB_KNN_SQL),

@@ -157,3 +157,89 @@ def test_kmeans_matches_numpy_lloyd(spark):
         for r in emb_kmeans_lloyd(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_semdedup_matches_numpy(spark):
+    """Replicate SemDeDup end-to-end in numpy/python-int arithmetic
+    (exact-integer Lloyd's -> within-cluster exact-rational cosine
+    threshold -> greedy lowest-id keep) and require identical per-cluster
+    drop counts — a third witness alongside the DuckDB oracle. Also
+    requires the fixture to make the operator non-vacuous (>0 drops)."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_ITERS,
+        _KM_K,
+        _KM_SCALE,
+        _SD_CAP,
+        _SD_TAU2_DEN,
+        _SD_TAU2_NUM,
+        dedup_semdedup,
+    )
+
+    emb = tables(spark, SF_DIR, "embeddings").embeddings.collect()
+    emb.sort(key=lambda r: r.vec_id)
+    q = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * _KM_SCALE
+        + 0.5
+    ).astype(np.int64)
+
+    def assign(c):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    cents = q[:_KM_K].copy()
+    for _ in range(_KM_ITERS):
+        cid = assign(cents)
+        nxt = cents.copy()
+        for k in range(_KM_K):
+            pts = q[cid == k]
+            if len(pts):
+                nxt[k] = np.floor(pts.sum(axis=0) / len(pts)).astype(np.int64)
+        cents = nxt
+    cid = assign(cents)
+
+    qi = q.astype(object)  # python ints: dot^2 products exceed int64
+    n2 = (qi * qi).sum(axis=1)
+    expect = {}
+    for k in range(_KM_K):
+        idx = np.where(cid == k)[0][:_SD_CAP]
+        dropped = set()
+        for i, a in enumerate(idx):
+            for b in idx[i + 1 :]:
+                dot = int((qi[a] * qi[b]).sum())
+                if (
+                    dot > 0
+                    and dot * dot * _SD_TAU2_DEN
+                    > _SD_TAU2_NUM * int(n2[a]) * int(n2[b])
+                ):
+                    dropped.add(int(b))
+        n = int((cid == k).sum())
+        expect[k] = (n, len(idx), len(dropped), n - len(dropped))
+    got = {
+        r.cid: (r.n_vecs, r.n_examined, r.n_dropped, r.n_kept)
+        for r in dedup_semdedup(spark, SF_DIR).collect()
+    }
+    assert got == {k: v for k, v in expect.items() if v[0]}
+    assert sum(v[2] for v in expect.values()) > 0, "vacuous fixture"
+
+
+def test_dsir_selects_target_language(spark):
+    """DSIR's whole point: the selected subset should over-represent the
+    target domain (lang='en') relative to its corpus share."""
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        train_dsir_select,
+    )
+
+    sel = train_dsir_select(spark, SF_DIR)
+    docs = tables(spark, SF_DIR, "documents").documents
+    joined = sel.join(docs.select("doc_id", "lang"), "doc_id")
+    n_sel = joined.count()
+    en_sel = joined.where(F.col("lang") == "en").count()
+    n_all = docs.count()
+    en_all = docs.where(F.col("lang") == "en").count()
+    assert n_sel > 0 and en_all > 0
+    assert en_sel / n_sel > en_all / n_all, (
+        f"selected en share {en_sel}/{n_sel} should beat corpus share "
+        f"{en_all}/{n_all}"
+    )
