@@ -68,6 +68,7 @@ _NESTED_LOOP_OK = {
     "quality_unigram_logprob",  # 1-row corpus-token-total scalar crossJoin
     "train_mix_weights",  # 1-row total-chars scalar crossJoin
     "train_token_budget_sample",  # 1-row total-tokens scalar crossJoin
+    "train_dsir_select",  # 1-row corpus/target token-total scalar crossJoin
     "rel_salted_skew_join",  # 5-row dim x 8 salts: bounded salting fan-out
 }
 
