@@ -95,6 +95,10 @@ def main() -> None:
         # over the corpus: the multi-job pipeline shape)
         "quality_repetition_gopher",
         "emb_kmeans_lloyd",
+        # latest round-6 addition (tracking starts r06): SemDeDup —
+        # the cluster-then-within-cluster-self-join pipeline shape
+        # (k-means passes + capped pair join + exact-decimal threshold)
+        "dedup_semdedup",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]

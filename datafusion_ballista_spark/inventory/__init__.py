@@ -132,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "emb_kmeans_lloyd",
             "train_dsir_select",
             "dedup_semdedup",
+            "quality_c4_filters",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

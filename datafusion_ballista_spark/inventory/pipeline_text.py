@@ -1272,8 +1272,143 @@ ORDER BY us.doc_id
 """
 
 
+_C4_L = 7  # seeded pseudo-line length (words)
+
+
+def quality_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cleaning battery (Raffel et al. 2020 §2.2): line-level
+    keep rules (terminal punctuation AND >=5 words) plus page-level drop
+    rules (contains "lorem ipsum", contains '{', fewer than 3 kept
+    lines) — the other half of the Gopher/CCNet curation gauntlet.
+
+    The fixture text is single-line word salad with no punctuation, so —
+    the pii_scrub seeding precedent — each doc is first given
+    DETERMINISTIC line structure both engines replay identically: tokens
+    chunked into 7-word pseudo-lines, line i of doc d ends in '.' unless
+    (d*31+i) % 5 == 0 (so ~20% of lines fail the punctuation rule), a
+    "lorem ipsum ..." line is injected when doc_id % 41 == 0 and a
+    '{'-bearing code line when doc_id % 53 == 0. Every rule is provably
+    non-vacuous at sf0.01 (pinned in tests/test_curation_ops.py).
+
+    Scale (100 TB): a map-ONLY pass — chunking, per-line predicates,
+    page flags, and the cleaned-text digest are all whole-stage-codegen
+    array expressions (sequence/transform/slice/filter); zero shuffles,
+    zero Python, parallelism = input splits. The C4 paper's third page
+    rule (3-sentence span dedup) is the dedup_* family's job here."""
+    d = tables(spark, sf, "documents").documents
+    base = d.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
+    ).where(F.size("t") > 0)
+    lines = F.expr(f"""
+        transform(
+          sequence(0, cast(ceil(size(t) / {_C4_L}.0) as int) - 1),
+          i -> concat(
+            concat_ws(' ', slice(t, i * {_C4_L} + 1, {_C4_L})),
+            CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN '' ELSE '.' END))
+    """)
+    seeded = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(
+                lines,
+                F.array(
+                    F.lit(
+                        "lorem ipsum dolor sit amet consectetur adipiscing."
+                    )
+                ),
+            ),
+        )
+        .otherwise(lines)
+        .alias("l0"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 53 == 0,
+            F.concat(
+                F.col("l0"), F.array(F.lit("var config = { debug: true"))
+            ),
+        )
+        .otherwise(F.col("l0"))
+        .alias("lines"),
+    )
+    kept = F.expr(
+        "filter(lines, x -> right(x, 1) IN ('.', '!', '?')"
+        " AND size(split(x, ' ')) >= 5)"
+    )
+    page = F.concat_ws("\n", F.col("lines"))
+    return (
+        seeded.select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.contains(page, F.lit("lorem ipsum")).cast("int").alias(
+                "flag_lorem"
+            ),
+            F.contains(page, F.lit("{")).cast("int").alias("flag_brace"),
+            F.md5(F.concat_ws("\n", kept)).alias("clean_md5"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_kept") >= 3)
+                & (F.col("flag_lorem") == 0)
+                & (F.col("flag_brace") == 0)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_C4_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+chunked AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, CAST(ceil(len(t) / {_C4_L}.0) AS BIGINT)),
+      i -> array_to_string(list_slice(t, i * {_C4_L} + 1, i * {_C4_L} + {_C4_L}), ' ')
+           || (CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN '' ELSE '.' END)) AS l0
+  FROM base WHERE len(t) > 0),
+seeded AS (
+  SELECT doc_id,
+    list_concat(
+      list_concat(l0,
+        CASE WHEN doc_id % 41 = 0
+             THEN ['lorem ipsum dolor sit amet consectetur adipiscing.']
+             ELSE [] END),
+      CASE WHEN doc_id % 53 = 0
+           THEN ['var config = {{ debug: true'] ELSE [] END) AS lines
+  FROM chunked),
+scored AS (
+  SELECT doc_id,
+    CAST(len(lines) AS INTEGER) AS n_lines,
+    CAST(len(list_filter(lines,
+      x -> right(x, 1) IN ('.', '!', '?')
+           AND len(string_split(x, ' ')) >= 5)) AS INTEGER) AS n_kept,
+    CAST(contains(array_to_string(lines, chr(10)), 'lorem ipsum')
+         AS INTEGER) AS flag_lorem,
+    CAST(contains(array_to_string(lines, chr(10)), '{{') AS INTEGER)
+         AS flag_brace,
+    -- COALESCE: DuckDB's array_to_string of an empty list is NULL,
+    -- Spark's concat_ws is '' — pin the md5('') convention
+    md5(COALESCE(array_to_string(list_filter(lines,
+      x -> right(x, 1) IN ('.', '!', '?')
+           AND len(string_split(x, ' ')) >= 5), chr(10)), '')) AS clean_md5
+  FROM seeded)
+SELECT doc_id, n_lines, n_kept, flag_lorem, flag_brace, clean_md5,
+  CAST(CASE WHEN n_kept >= 3 AND flag_lorem = 0 AND flag_brace = 0
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "quality_repetition_gopher": QuerySpec(
         quality_repetition_gopher, QUALITY_REPETITION_SQL
     ),

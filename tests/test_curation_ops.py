@@ -243,3 +243,28 @@ def test_dsir_selects_target_language(spark):
         f"selected en share {en_sel}/{n_sel} should beat corpus share "
         f"{en_all}/{n_all}"
     )
+
+
+def test_c4_filters_each_rule_nonvacuous(spark):
+    """Every C4 rule must actually fire on the fixture: the punctuation
+    line-drop (n_kept < n_lines somewhere), the lorem-ipsum page flag,
+    the brace page flag, and the <3-kept-lines page drop — and the keep
+    decision must be exactly their conjunction."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        quality_c4_filters,
+    )
+
+    rows = quality_c4_filters(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert any(r.n_kept < r.n_lines for r in rows), "line filter vacuous"
+    assert any(r.flag_lorem == 1 for r in rows), "lorem rule vacuous"
+    assert any(r.flag_brace == 1 for r in rows), "brace rule vacuous"
+    assert any(
+        r.n_kept < 3 and r.flag_lorem == 0 and r.flag_brace == 0
+        for r in rows
+    ), "min-kept-lines rule vacuous"
+    for r in rows:
+        assert r.keep == int(
+            r.n_kept >= 3 and r.flag_lorem == 0 and r.flag_brace == 0
+        )
+    assert 0 < sum(r.keep for r in rows) < len(rows)

@@ -39,7 +39,7 @@ def test_driver_window_rotation():
     assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head queued immediately after the window (VERDICT r5 Next
     # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:83] == [
+    assert list(_ALL)[50:84] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
@@ -73,7 +73,8 @@ def test_driver_window_rotation():
         "emb_kmeans_lloyd",
         "train_dsir_select",
         "dedup_semdedup",
+        "quality_c4_filters",
     ]
     # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[83:85] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[137:139] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[84:86] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[138:140] == ["tpcds_q44_shape", "tpcds_q45_shape"]
