@@ -133,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "train_dsir_select",
             "dedup_semdedup",
             "quality_c4_filters",
+            "dedup_substring_exact",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

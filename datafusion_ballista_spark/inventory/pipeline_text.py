@@ -1406,9 +1406,165 @@ FROM scored ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact repeated-substring dedup (Lee et al. 2022; C4 §2.2 third page rule)
+
+_SUBSTR_K = 8  # tokens per span (Lee et al. use 50 BPE tokens; scaled to fixture)
+_SUBSTR_BOILER = (
+    "subscribe to our newsletter for updates terms of service apply"
+)
+
+
+def dedup_substring_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring detection: per-doc fraction of tokens
+    covered by a token k-gram (k=8) that also appears in ANOTHER
+    document — "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022) re-expressed relationally, and the C4
+    paper's corpus-level span rule the per-page `quality_c4_filters`
+    battery delegates here. Output per doc: span count, exact covered
+    token count (union of overlapping spans via the islands trick:
+    sum of least(k, next_start - start)), coverage fraction, and a
+    keep flag (drop when >=20% of tokens sit in cross-doc spans).
+
+    The fixture corpus's only repeats are whole near-dup docs, which
+    would make keep one-sided — so, per the pii_scrub/C4 seeding
+    precedent, every 13th doc gets a deterministic 10-token boilerplate
+    footer both engines replay identically. Boilerplate stripping is
+    exactly this operator's production job (nav bars, license headers),
+    and it makes both keep outcomes and partial coverage real at
+    sf0.01 (pinned in tests/test_curation_ops.py).
+
+    Scale (100 TB): LINEAR, unlike the pairwise dedup family — no
+    candidate pairs are ever materialized. Plan: explode to (doc, pos,
+    48-bit gram hash) [map], groupBy(gh) countDistinct(doc) with
+    partial aggregation [shuffle 1], semi-shaped join back on gh
+    [reuses shuffle 1's partitioning], per-doc window + groupBy(doc)
+    [shuffle 2], left join to doc lengths [shuffle 3, AQE-broadcast
+    when small]. A boilerplate gram repeated across millions of docs
+    adds one row to `rep` and joins 1:1 per occurrence — fan-out is
+    bounded by corpus token count, never quadratic. Hot-gram skew hits
+    only the countDistinct groupBy, where map-side partial aggregation
+    and AQE skew-split absorb it. Suffix arrays find variable-length
+    repeats; fixed-k with union-of-overlaps is the standard
+    shuffle-friendly approximation (long repeats appear as runs of
+    overlapping k-grams and are counted exactly once)."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.trim(F.col("text")), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.trim(F.col("text")))
+        .alias("text"),
+    )
+    base = seeded.select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    ).select("doc_id", F.size("t").alias("nt"), "t")
+    g = (
+        base.where(F.col("nt") >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, nt - {_SUBSTR_K} + 1),"
+                    f" i -> struct(i as pos,"
+                    f" concat_ws(' ', slice(t, i, {_SUBSTR_K})) as s))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            _h48(F.col("g.s")).alias("gh"),
+        )
+    )
+    rep = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup = g.join(rep, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.least(
+                F.lit(_SUBSTR_K),
+                F.coalesce(
+                    F.lead("pos").over(w) - F.col("pos"), F.lit(_SUBSTR_K)
+                ),
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("c").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", F.col("nt").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.when(F.coalesce("dup_tokens", F.lit(0)) * 5 < F.col("n_tokens"), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SUBSTR_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN trim(text) || ' {_SUBSTR_BOILER}'
+         ELSE trim(text) END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS nt, t
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM seeded)),
+gh AS (
+  SELECT doc_id, pos,
+    ('0x' || substr(md5(array_to_string(
+        list_slice(t, pos, pos + {_SUBSTR_K} - 1), ' ')), 1, 12))::BIGINT AS gh
+  FROM (SELECT doc_id, t, unnest(range(1, nt - {_SUBSTR_K} + 2)) AS pos
+        FROM base WHERE nt >= {_SUBSTR_K})),
+rep AS (SELECT gh FROM gh GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT g.doc_id, g.pos FROM gh g JOIN rep USING (gh)),
+cov0 AS (
+  SELECT doc_id,
+    LEAST({_SUBSTR_K},
+          COALESCE(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                   {_SUBSTR_K})) AS c
+  FROM dup),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans,
+         CAST(SUM(c) AS BIGINT) AS dup_tokens
+  FROM cov0 GROUP BY doc_id)
+SELECT b.doc_id, b.nt AS n_tokens,
+  COALESCE(cov.n_dup_spans, 0) AS n_dup_spans,
+  COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+  round(COALESCE(cov.dup_tokens, 0) / CAST(b.nt AS DOUBLE), 6) AS dup_frac,
+  CAST(CASE WHEN COALESCE(cov.dup_tokens, 0) * 5 < b.nt
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM base b LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
+    "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),
     "quality_repetition_gopher": QuerySpec(
         quality_repetition_gopher, QUALITY_REPETITION_SQL
     ),

@@ -268,3 +268,36 @@ def test_c4_filters_each_rule_nonvacuous(spark):
             r.n_kept >= 3 and r.flag_lorem == 0 and r.flag_brace == 0
         )
     assert 0 < sum(r.keep for r in rows) < len(rows)
+
+
+def test_substring_dedup_semantics(spark):
+    """dedup_substring_exact must (a) flag the seeded boilerplate docs
+    without dropping the long ones — partial coverage below the 20%
+    threshold — (b) drop near-whole-duplicate docs, (c) never report
+    more covered tokens than spans could cover (union of overlaps is a
+    real union), and (d) keep exactly the docs under the threshold."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _SUBSTR_K,
+        dedup_substring_exact,
+    )
+
+    rows = dedup_substring_exact(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    flagged = [r for r in rows if r.n_dup_spans > 0]
+    assert flagged, "no repeated spans found — operator vacuous"
+    # seeded boilerplate: doc_id % 13 == 0 docs with enough tokens must
+    # all carry spans (the footer repeats corpus-wide)
+    seeded = [r for r in rows if r.doc_id % 13 == 0 and r.n_tokens >= 30]
+    assert seeded and all(r.n_dup_spans > 0 for r in seeded)
+    # both keep outcomes must be real, including kept-but-flagged docs
+    assert any(r.keep == 0 for r in rows)
+    assert any(r.keep == 1 and r.n_dup_spans > 0 for r in rows)
+    # partial coverage band exists (boilerplate-only overlap)
+    assert any(0 < r.dup_frac < 0.5 for r in rows)
+    for r in rows:
+        # union-of-overlaps bounds: spans <= covered <= spans * K and
+        # covered never exceeds the doc
+        if r.n_dup_spans > 0:
+            assert r.n_dup_spans <= r.dup_tokens <= r.n_dup_spans * _SUBSTR_K
+        assert r.dup_tokens <= r.n_tokens
+        assert r.keep == int(r.dup_tokens * 5 < r.n_tokens)
