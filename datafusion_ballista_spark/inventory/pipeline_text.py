@@ -1561,10 +1561,161 @@ FROM base b LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric overlap: quotes / subset copies)
+
+_QUOTE_LEN = 15  # tokens of quoted prefix seeded into every 17th doc
+
+
+def _seeded_quote_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents with a deterministic quote injection both engines replay:
+    every 17th doc appends the first 15 tokens of doc (id*7+3) mod N.
+    Built scale-safe: the 1/17 seeded slice is FILTERED FIRST, then
+    equi-joined to the prefix table on qid, then unioned with the
+    untouched 16/17 — no null-keyed join rows (a left join keyed on a
+    mostly-NULL qid would funnel 16/17 of the corpus into one hash
+    partition), and the only cross join is the 1-row max(doc_id) scalar."""
+    d = tables(spark, sf, "documents").documents
+    nd = d.agg((F.max("doc_id") + F.lit(1)).alias("n_docs"))
+    quotes = d.select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(
+            " ", F.slice(_tokens(F.col("text")), 1, _QUOTE_LEN)
+        ).alias("q"),
+    )
+    with_q = (
+        d.crossJoin(nd)
+        .withColumn("qid", (F.col("doc_id") * 7 + 3) % F.col("n_docs"))
+    )
+    seeded = (
+        with_q.where((F.col("doc_id") % 17 == 0) & (F.col("qid") != F.col("doc_id")))
+        .join(quotes, "qid")
+        .select(
+            "doc_id",
+            F.concat(F.trim("text"), F.lit(" "), F.col("q")).alias("text"),
+        )
+    )
+    rest = with_q.where(
+        ~((F.col("doc_id") % 17 == 0) & (F.col("qid") != F.col("doc_id")))
+    ).select("doc_id", F.trim("text").alias("text"))
+    return seeded.unionByName(rest)
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup: word-3-gram CONTAINMENT |A∩B| / min(|A|,|B|)
+    at threshold 0.5 — catches a short doc quoted or wholly embedded in a
+    long one, which symmetric Jaccard misses (a 10-shingle doc inside a
+    100-shingle doc has J≈0.1 but containment 1.0). The production
+    "quote/subset detection" pass of a dedup pipeline (Broder's
+    containment measure).
+
+    The raw fixture's only repeats are symmetric near-dups, so — the
+    seeding precedent — every 17th doc gets a deterministic 15-token
+    quote from another doc via `_seeded_quote_docs`, making the
+    asymmetric band (containment >= 0.5, jaccard < 0.4) real at sf0.01
+    (pinned in tests/test_curation_ops.py).
+
+    Scale (100 TB): candidate pairs from the shingle-bucketed self-join
+    under the hot-shingle df-cap (never all-pairs); denominators from
+    PRE-CAP set sizes (the sf1 cap-vs-denominator lesson,
+    dedup_ngram_jaccard). The quote seeding adds one bounded equi-join
+    over 1/17 of the corpus. Same shuffle budget as the Jaccard op."""
+    docs = _seeded_quote_docs(spark, sf)
+    arr = _tokens(F.col("text"))
+    base = _spread_for_explode(spark, docs).where(F.size(arr) >= 3)
+    ex = base.select("doc_id", F.explode(_shingles(arr)).alias("s"))
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _MAX_SHINGLE_DF)
+    )
+    ex = ex.join(hot, "s", "left_anti")
+    sizes = docs.where(F.size(arr) >= 3).select(
+        "doc_id", F.size(_shingles(arr)).alias("n")
+    )
+    a = ex.select(F.col("doc_id").alias("da"), "s")
+    b = ex.select(F.col("doc_id").alias("db"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "da")
+        .join(sb, "db")
+        .where(F.col("inter") * 2 >= F.least("na", "nb"))
+        .select(
+            "da",
+            "db",
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.when(F.col("na") <= F.col("nb"), F.col("da"))
+            .otherwise(F.col("db"))
+            .alias("contained_id"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+quotes AS (
+  SELECT doc_id AS qid,
+    array_to_string(list_slice(
+      string_split(lower(trim(text)), ' '), 1, {_QUOTE_LEN}), ' ') AS q
+  FROM documents),
+seeded AS (
+  SELECT d.doc_id, trim(d.text) || ' ' || q.q AS text
+  FROM documents d, nd
+  JOIN quotes q ON q.qid = (d.doc_id * 7 + 3) % nd.n_docs
+  WHERE d.doc_id % 17 = 0 AND q.qid <> d.doc_id
+  UNION ALL
+  SELECT doc_id, trim(text) FROM documents d, nd
+  WHERE NOT (doc_id % 17 = 0 AND (doc_id * 7 + 3) % nd.n_docs <> doc_id)),
+toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM seeded),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(arr)-1),
+      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks WHERE len(arr) >= 3),
+ex_all AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM ex_all
+  WHERE s IN (SELECT s FROM ex_all GROUP BY s
+              HAVING COUNT(*) <= {_MAX_SHINGLE_DF})),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+  round(inter / LEAST(sa.n, sb.n)::DOUBLE, 6) AS containment,
+  round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard,
+  CASE WHEN sa.n <= sb.n THEN da ELSE db END AS contained_id
+FROM pairs
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE inter * 2 >= LEAST(sa.n, sb.n)
+ORDER BY da, db
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),
+    "dedup_containment": QuerySpec(dedup_containment, DEDUP_CONTAINMENT_SQL),
     "quality_repetition_gopher": QuerySpec(
         quality_repetition_gopher, QUALITY_REPETITION_SQL
     ),

@@ -301,3 +301,32 @@ def test_substring_dedup_semantics(spark):
             assert r.n_dup_spans <= r.dup_tokens <= r.n_dup_spans * _SUBSTR_K
         assert r.dup_tokens <= r.n_tokens
         assert r.keep == int(r.dup_tokens * 5 < r.n_tokens)
+
+
+def test_containment_finds_asymmetric_quotes(spark):
+    """dedup_containment must surface pairs symmetric Jaccard misses:
+    the seeded quote injections produce (containment >= 0.5, jaccard <
+    0.4) pairs, the contained_id must be the smaller shingle set, and
+    every symmetric near-dup pair (jaccard >= 0.5) must also appear."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_containment(spark, SF_DIR).collect()
+    assert rows
+    asym = [r for r in rows if r.containment >= 0.5 and r.jaccard < 0.4]
+    assert asym, "quote seeding produced no asymmetric pair — vacuous"
+    for r in rows:
+        assert r.contained_id == (r.da if r.na <= r.nb else r.db)
+        assert r.inter <= min(r.na, r.nb)
+        assert r.containment >= r.jaccard
+    # superset check: seeding only ADDS shingles to 1/17 of docs, and a
+    # symmetric pair at J>=0.5 keeps containment >= J >= 0.5, so every
+    # Jaccard-op pair must reappear here.
+    jpairs = {(r.da, r.db) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    cpairs = {(r.da, r.db) for r in rows}
+    missing = jpairs - cpairs
+    # the seeded quote can push a borderline pair's min-size up; allow
+    # only exact equality when no seeded doc is involved
+    assert not {p for p in missing if p[0] % 17 and p[1] % 17}

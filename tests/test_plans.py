@@ -58,6 +58,7 @@ _NESTED_LOOP_OK = {
     "tpcds_q61_shape",  # ds q61 shape: two 1-row scalar revenue crossJoins
     "tpcds_q24_shape",  # ds q24 shape: 1-row spine-average threshold crossJoin
     "h2o_w_basic_global_sum",  # OVER () rewrite: 1-row total crossJoin
+    "dedup_containment",  # quote seeding: 1-row max(doc_id) scalar crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
