@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "quality_c4_filters",
             "dedup_substring_exact",
             "dedup_containment",
+            "emb_pq_encode",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -635,17 +635,20 @@ def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def _km_final_cents(pts: DataFrame) -> list[list[int]]:
-    """The Lloyd loop (k lowest vec_ids init, _KM_ITERS exact-integer
-    update rounds), shared by emb_kmeans_lloyd and dedup_semdedup so
-    both report against the SAME reproducible centroids. Per round the
-    driver receives k*dim integers (centroid metadata), never rows."""
+def _km_final_cents(
+    pts: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> list[list[int]]:
+    """The Lloyd loop (k lowest vec_ids init, `iters` exact-integer
+    update rounds), shared by emb_kmeans_lloyd, dedup_semdedup, and the
+    per-subspace codebooks of emb_pq_encode so all report against the
+    SAME reproducible centroids. Per round the driver receives k*dim
+    integers (centroid metadata), never rows."""
     cents = [
         [int(x) for x in r.q]
-        for r in pts.orderBy("vec_id").limit(_KM_K).collect()
+        for r in pts.orderBy("vec_id").limit(k).collect()
     ]
     dim = len(cents[0])
-    for _ in range(_KM_ITERS):
+    for _ in range(iters):
         upd = (
             _km_assign(pts, cents)
             .select("cid", F.posexplode("q").alias("pos", "x"))
@@ -661,7 +664,7 @@ def _km_final_cents(pts: DataFrame) -> list[list[int]]:
         for r in upd:
             new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.xm)
         # empty clusters keep their previous centroid (standard Lloyd's)
-        cents = [new.get(cid, cents[cid]) for cid in range(_KM_K)]
+        cents = [new.get(cid, cents[cid]) for cid in range(k)]
     return cents
 
 
@@ -707,7 +710,7 @@ def _km_dist_sql(e: str, c: str) -> str:
     )
 
 
-def _km_round_sql(prev: str, nxt: str) -> str:
+def _km_round_sql(prev: str, nxt: str, src: str = "emb") -> str:
     """One Lloyd round: assign against {prev}, rebuild means as {nxt}."""
     return f"""
 a_{nxt} AS (
@@ -716,10 +719,10 @@ a_{nxt} AS (
       row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
-    FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+    FROM {src} e CROSS JOIN {prev} c) WHERE rn = 1),
 m_{nxt} AS (
   SELECT a.cid, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS x
-  FROM a_{nxt} a JOIN emb e USING (vec_id)),
+  FROM a_{nxt} a JOIN {src} e USING (vec_id)),
 g_{nxt} AS (
   SELECT cid, pos, CAST(floor(SUM(x) / COUNT(*)) AS BIGINT) AS xm
   FROM m_{nxt} GROUP BY 1, 2),
@@ -897,9 +900,106 @@ ORDER BY s.cid
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — billion-scale ANN compression
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (64 / 4)
+_PQ_K = 8  # codebook size per subspace (production: 256 → 1 byte/code)
+
+
+def emb_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization: split each 64-d embedding into 4 subspaces
+    of 16 dims, train an independent k=8 codebook per subspace (the
+    exact-integer Lloyd recipe shared with emb_kmeans_lloyd), and encode
+    every vector as 4 small codes + its exact quantization error — the
+    compression layer under billion-scale ANN (Jégou et al. 2011,
+    FAISS's IndexPQ): 64 floats become M log2(k) bits, and asymmetric
+    distance queries need only M table lookups per candidate.
+
+    All training and encoding arithmetic is exact int64 micro-units
+    (see _km_quantized), so the ITERATIVE codebooks are bit-reproducible
+    and the DuckDB oracle replays all four Lloyd chains identically.
+
+    Scale (100 TB): codebook TRAINING on the full corpus costs
+    _PQ_M x 2-round partial-aggregated (cid,pos) shuffles with k*dim-row
+    outputs (production trains on a bounded sample — FAISS defaults to
+    ~256 vectors/centroid — making training corpus-size-independent; the
+    full-corpus run here keeps the oracle exact). ENCODING — the pass
+    that actually touches 100 TB — is MAP-ONLY: all 4 codebooks travel
+    as ~4 KB of literal arrays, every code and error is one codegen
+    expression, zero shuffles, zero Python, parallelism = input splits.
+    The driver holds 4*k*16 integers, never rows."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    books = []
+    for m in range(_PQ_M):
+        sub = pts.select(
+            "vec_id",
+            F.slice("q", m * _PQ_SUB + 1, _PQ_SUB).alias("q"),
+        )
+        books.append(_km_final_cents(sub, k=_PQ_K))
+    code_cols, err_terms = [], []
+    for m, cents in enumerate(books):
+        subq = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
+        dists = F.array(*[_km_sqdist(subq, c) for c in cents])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{m}")
+        )
+        err_terms.append(F.array_min(dists))
+    total_err = err_terms[0]
+    for t in err_terms[1:]:
+        total_err = total_err + t
+    return (
+        pts.select(
+            "vec_id",
+            *code_cols,
+            F.round(
+                total_err.cast("double") / F.lit(float(_KM_SCALE) ** 2), 6
+            ).alias("pq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_subspace_sql(m: int) -> str:
+    """Quantized subspace view + 2-round Lloyd chain + final assignment
+    for subspace m, mirroring EMB_KMEANS_SQL's structure."""
+    lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+    s = f"s{m}"
+    return f"""
+emb_{s} AS (SELECT vec_id, list_slice(q, {lo}, {hi}) AS q FROM emb),
+c0_{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM emb_{s} ORDER BY vec_id LIMIT {_PQ_K}),{_km_round_sql(f'c0_{s}', f'c1_{s}', f'emb_{s}')},{_km_round_sql(f'c1_{s}', f'c2_{s}', f'emb_{s}')},
+f_{s} AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS code{m}, dist AS d{m} FROM (
+    SELECT e.vec_id, c.cid, {_km_dist_sql('e', 'c')} AS dist,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb_{s} e CROSS JOIN c2_{s} c) WHERE rn = 1)"""
+
+
+EMB_PQ_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),{",".join(_pq_subspace_sql(m) for m in range(_PQ_M))}
+SELECT f_s0.vec_id, code0, code1, code2, code3,
+  ROUND((d0 + d1 + d2 + d3)::DOUBLE / {float(_KM_SCALE) ** 2}, 6) AS pq_err
+FROM f_s0
+JOIN f_s1 USING (vec_id) JOIN f_s2 USING (vec_id) JOIN f_s3 USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
+    "emb_pq_encode": QuerySpec(emb_pq_encode, EMB_PQ_SQL),
     "dedup_semdedup": QuerySpec(dedup_semdedup, SEMDEDUP_SQL),
     "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),

@@ -330,3 +330,68 @@ def test_containment_finds_asymmetric_quotes(spark):
     # the seeded quote can push a borderline pair's min-size up; allow
     # only exact equality when no seeded doc is involved
     assert not {p for p in missing if p[0] % 17 and p[1] % 17}
+
+
+def test_pq_matches_numpy(spark):
+    """Replicate all four exact-integer subspace Lloyd chains in numpy
+    and require bit-identical codes and quantization error for every
+    vector — proves the Spark/DuckDB agreement isn't a shared bug, and
+    that subspaces train independently."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_ITERS,
+        _KM_SCALE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        emb_pq_encode,
+    )
+
+    emb = tables(spark, SF_DIR, "embeddings").embeddings.collect()
+    emb.sort(key=lambda r: r.vec_id)
+    vec_ids = [r.vec_id for r in emb]
+    q = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * _KM_SCALE
+        + 0.5
+    ).astype(np.int64)
+
+    def train_assign(sub):
+        cents = sub[:_PQ_K].copy()
+
+        def assign(c):
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return d.argmin(axis=1), d.min(axis=1)
+
+        for _ in range(_KM_ITERS):
+            cid, _ = assign(cents)
+            nxt = cents.copy()
+            for k in range(_PQ_K):
+                pts = sub[cid == k]
+                if len(pts):
+                    nxt[k] = np.floor(
+                        pts.sum(axis=0) / len(pts)
+                    ).astype(np.int64)
+            cents = nxt
+        return assign(cents)
+
+    codes, errs = [], np.zeros(len(q), dtype=np.int64)
+    for m in range(_PQ_M):
+        cid, dist = train_assign(q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB])
+        codes.append(cid)
+        errs += dist
+    expect = {
+        vid: (
+            *[int(codes[m][i]) for m in range(_PQ_M)],
+            round(float(errs[i]) / _KM_SCALE**2, 6),
+        )
+        for i, vid in enumerate(vec_ids)
+    }
+    got = {
+        r.vec_id: (r.code0, r.code1, r.code2, r.code3, r.pq_err)
+        for r in emb_pq_encode(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # codes must actually vary (codebooks are non-degenerate)
+    for m in range(_PQ_M):
+        assert len({v[m] for v in got.values()}) > 1
