@@ -996,10 +996,141 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ADC search over PQ codes — the query path of FAISS IndexPQ
+
+_ADC_NQ = 5  # query vectors (vec_id < 5), as ann_bruteforce_topk
+_ADC_TOPK = 3
+
+
+def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ-compressed corpus:
+    each query's EXACT subvectors are compared against the CODE-selected
+    centroids of every corpus vector (Jégou et al. 2011 §III-B — the
+    asymmetric variant halves the quantization noise vs code-vs-code),
+    top-3 neighbors per query. Completes the PQ story: emb_pq_encode is
+    the compression pass, this is the search pass.
+
+    All arithmetic is exact int64 micro-units, so ranking ties are
+    bit-reproducible (tiebreak: lowest nid) and the DuckDB oracle
+    replays the identical codebooks, codes, and distances.
+
+    Scale (100 TB): the corpus side carries only its M small codes (the
+    entire point of PQ — 100 TB of vectors becomes ~100 GB of codes);
+    the bounded query side broadcasts. Per candidate the distance is M
+    literal-array lookups + subvector folds in codegen — zero shuffles
+    on the corpus scan, one TakeOrderedAndProject-shaped top-k per
+    query. Production replaces the bounded broadcast with an IVF
+    routing stage (ann_ivf_topk) so each query scans one cell's codes,
+    not the full corpus."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    books = []
+    for m in range(_PQ_M):
+        sub = pts.select(
+            "vec_id", F.slice("q", m * _PQ_SUB + 1, _PQ_SUB).alias("q")
+        )
+        books.append(_km_final_cents(sub, k=_PQ_K))
+    # corpus → codes (map-only, as emb_pq_encode)
+    code_cols = []
+    for m, cents in enumerate(books):
+        subq = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
+        dists = F.array(*[_km_sqdist(subq, c) for c in cents])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{m}")
+        )
+    codes = pts.select(F.col("vec_id").alias("nid"), *code_cols)
+    queries = pts.where(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    # ADC distance: per subspace, the code picks a centroid out of a
+    # literal array-of-arrays; the exact query subvector folds against it.
+    terms = []
+    for m, cents in enumerate(books):
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+                for c in cents
+            ]
+        )
+        qsub = F.slice("qv", m * _PQ_SUB + 1, _PQ_SUB)
+        picked = F.element_at(cent_lit, F.col(f"code{m}") + 1)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qsub, picked, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    sims = (
+        codes.join(F.broadcast(queries), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", adc.alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ADC_TOPK)
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.col("adist").cast("double") / F.lit(float(_KM_SCALE) ** 2),
+                6,
+            ).alias("adc_dist"),
+            "rk",
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def _adc_term_sql(m: int) -> str:
+    lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> (q.qv[{lo} - 1 + i] - b{m}.c[i]) "
+        f"* (q.qv[{lo} - 1 + i] - b{m}.c[i])))"
+    )
+
+
+ANN_PQ_ADC_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),{",".join(_pq_subspace_sql(m) for m in range(_PQ_M))},
+codes AS (
+  SELECT f_s0.vec_id AS nid, code0, code1, code2, code3
+  FROM f_s0 JOIN f_s1 USING (vec_id) JOIN f_s2 USING (vec_id)
+  JOIN f_s3 USING (vec_id)),
+q AS (SELECT vec_id AS qid, q AS qv FROM emb WHERE vec_id < {_ADC_NQ}),
+sims AS (
+  SELECT q.qid, n.nid,
+    {" + ".join(_adc_term_sql(m) for m in range(_PQ_M))} AS adist
+  FROM q JOIN codes n ON n.nid <> q.qid
+  JOIN c2_s0 b0 ON b0.cid = n.code0
+  JOIN c2_s1 b1 ON b1.cid = n.code1
+  JOIN c2_s2 b2 ON b2.cid = n.code2
+  JOIN c2_s3 b3 ON b3.cid = n.code3),
+ranked AS (
+  SELECT qid, nid, adist,
+    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+  FROM sims)
+SELECT qid, nid,
+  round(adist::DOUBLE / {float(_KM_SCALE) ** 2}, 6) AS adc_dist, rk
+FROM ranked WHERE rk <= {_ADC_TOPK}
+ORDER BY qid, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
     "emb_pq_encode": QuerySpec(emb_pq_encode, EMB_PQ_SQL),
+    "ann_pq_adc": QuerySpec(ann_pq_adc, ANN_PQ_ADC_SQL),
     "dedup_semdedup": QuerySpec(dedup_semdedup, SEMDEDUP_SQL),
     "ann_lsh_bucketed": QuerySpec(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),

@@ -395,3 +395,82 @@ def test_pq_matches_numpy(spark):
     # codes must actually vary (codebooks are non-degenerate)
     for m in range(_PQ_M):
         assert len({v[m] for v in got.values()}) > 1
+
+
+def test_adc_matches_numpy(spark):
+    """Replicate the full ADC pipeline (4 subspace codebooks, corpus
+    codes, lookup-table distances, top-3) in numpy and require
+    bit-identical neighbors and distances per query. (A looser
+    recall-vs-exact check is NOT possible here: with k=8 codebooks and
+    concentrated random 64-d vectors the quantization error ~0.5
+    dominates inter-neighbor gaps ~0.05, so ADC ranking legitimately
+    diverges from exact ranking — replication is the right oracle.)"""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _ADC_NQ,
+        _ADC_TOPK,
+        _KM_ITERS,
+        _KM_SCALE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        ann_pq_adc,
+    )
+
+    emb = tables(spark, SF_DIR, "embeddings").embeddings.collect()
+    emb.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in emb])
+    q = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * _KM_SCALE
+        + 0.5
+    ).astype(np.int64)
+
+    def train(sub):
+        cents = sub[:_PQ_K].copy()
+
+        def assign(c):
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return d.argmin(axis=1), d.min(axis=1)
+
+        for _ in range(_KM_ITERS):
+            cid, _ = assign(cents)
+            nxt = cents.copy()
+            for k in range(_PQ_K):
+                pts = sub[cid == k]
+                if len(pts):
+                    nxt[k] = np.floor(
+                        pts.sum(axis=0) / len(pts)
+                    ).astype(np.int64)
+            cents = nxt
+        return cents, assign(cents)[0]
+
+    books, codes = [], []
+    for m in range(_PQ_M):
+        c, cid = train(q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB])
+        books.append(c)
+        codes.append(cid)
+
+    expect = {}
+    for qid in range(_ADC_NQ):
+        qi = int(np.where(ids == qid)[0][0])
+        ad = np.zeros(len(q), dtype=np.int64)
+        for m in range(_PQ_M):
+            qsub = q[qi, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            tab = ((books[m] - qsub) ** 2).sum(axis=1)
+            ad += tab[codes[m]]
+        ad[qi] = np.iinfo(np.int64).max  # exclude self
+        order = np.lexsort((ids, ad))[:_ADC_TOPK]
+        expect[qid] = [
+            (int(ids[i]), round(float(ad[i]) / _KM_SCALE**2, 6))
+            for i in order
+        ]
+
+    rows = ann_pq_adc(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rk, r.nid, r.adc_dist))
+    assert set(got) == set(range(_ADC_NQ))
+    for qid, rs in got.items():
+        rs.sort()
+        assert [(nid, d) for _, nid, d in rs] == expect[qid], f"q{qid}"

@@ -27,6 +27,7 @@ _EAGER_QUERIES = {
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
     "emb_kmeans_lloyd",  # iterative Lloyd rounds: update jobs at construction
     "emb_pq_encode",  # 4 subspace codebooks train (collect) at construction
+    "ann_pq_adc",  # same codebook training collects at construction
     "win_global_rownumber_dist",  # offset cumulation collects per-part counts
     "win_global_rank_dist",  # same operator family
     "win_global_dense_rank_dist",  # same operator family
