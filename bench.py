@@ -99,6 +99,12 @@ def main() -> None:
         # the cluster-then-within-cluster-self-join pipeline shape
         # (k-means passes + capped pair join + exact-decimal threshold)
         "dedup_semdedup",
+        # final round-6 additions (tracking starts r06): exact substring
+        # dedup (the LINEAR repeated-span pass: explode + countDistinct
+        # groupBy + window union) and PQ encoding (4 codebook trainings +
+        # the map-only encode pass)
+        "dedup_substring_exact",
+        "emb_pq_encode",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
