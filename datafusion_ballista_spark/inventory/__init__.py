@@ -137,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "dedup_containment",
             "emb_pq_encode",
             "ann_pq_adc",
+            "dedup_keep_best",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -449,6 +449,20 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     Scale: state is one (doc_id, label) row per *graph* doc (docs with any
     near-dup edge — far smaller than the corpus); each round shuffles on
     doc_id only. Driver involvement is one scalar count per round."""
+    labels = _dedup_labels(spark, sf)
+    return (
+        labels.groupBy(F.col("lab").alias("cluster_root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc").alias("max_doc"),
+        )
+        .orderBy("cluster_root")
+    )
+
+
+def _dedup_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc, lab) per graph doc: the min-label-propagation fixpoint shared
+    by dedup_clusters and dedup_keep_best (see dedup_clusters docstring)."""
     pairs = (
         dedup_ngram_jaccard(spark, sf).select("da", "db").cache()
     )
@@ -488,14 +502,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # as the round-6 dedup_incremental ADVICE).
     pairs.unpersist()
     edges.unpersist()
-    return (
-        labels.groupBy(F.col("lab").alias("cluster_root"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max("doc").alias("max_doc"),
-        )
-        .orderBy("cluster_root")
-    )
+    return labels
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -788,22 +795,28 @@ ORDER BY lang, pred_lang
 # 7. quality scoring
 
 
-def quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Composite quality score: length, alpha ratio, stopword presence,
-    mean word length — the standard cheap pre-LLM quality gate."""
-    d = tables(spark, sf, "documents").documents
+def _quality_expr() -> Column:
+    """The composite quality score column (rounded 6 dp), shared by
+    quality_score and dedup_keep_best so both rank on identical values."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     alpha_ratio = F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")) / F.length("text")
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS))) / n_tok
     mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok
-    score = F.round(
+    return F.round(
         0.35 * F.least(n_tok / F.lit(200.0), F.lit(1.0))
         + 0.25 * alpha_ratio
         + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * F.least(mean_wlen / 8, F.lit(1.0)),
         6,
     )
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score: length, alpha ratio, stopword presence,
+    mean word length — the standard cheap pre-LLM quality gate."""
+    d = tables(spark, sf, "documents").documents
+    score = _quality_expr()
     return (
         d.select("doc_id", "lang", score.alias("quality"))
         .where(F.col("quality") >= 0.4)
@@ -811,17 +824,20 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-QUALITY_SQL = rf"""
-SELECT doc_id, lang, quality FROM (
-  SELECT doc_id, lang,
-    round(0.35 * least(len(string_split(lower(trim(text)), ' ')) / 200.0, 1.0)
+# The quality formula as a DuckDB expression over `text`, shared by
+# QUALITY_SQL and DEDUP_KEEP_BEST_SQL (must match _quality_expr exactly).
+_QUALITY_EXPR_SQL = rf"""round(
+      0.35 * least(len(string_split(lower(trim(text)), ' ')) / 200.0, 1.0)
       + 0.25 * (len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / length(text))
       + 0.2 * least((len(list_filter(string_split(lower(trim(text)), ' '),
             t -> t IN ({_STOP_SQL_LIST}))) * 1.0
           / len(string_split(lower(trim(text)), ' '))) * 5, 1.0)
       + 0.2 * least(((length(text) - (len(string_split(lower(trim(text)), ' ')) - 1))
-          * 1.0 / len(string_split(lower(trim(text)), ' '))) / 8, 1.0), 6)
-      AS quality
+          * 1.0 / len(string_split(lower(trim(text)), ' '))) / 8, 1.0), 6)"""
+
+QUALITY_SQL = rf"""
+SELECT doc_id, lang, quality FROM (
+  SELECT doc_id, lang, {_QUALITY_EXPR_SQL} AS quality
   FROM documents)
 WHERE quality >= 0.4
 ORDER BY doc_id
@@ -1711,11 +1727,102 @@ ORDER BY da, db
 """
 
 
+# ---------------------------------------------------------------------------
+# Cluster representative selection: keep the best doc per dup cluster
+
+
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Representative selection: within each near-dup cluster (the
+    dedup_clusters label-propagation fixpoint), KEEP the member with the
+    highest composite quality score (tie: lowest doc_id) and drop the
+    rest — the step that turns dedup output into a curated corpus.
+    Keeping min-doc_id (what dedup_exact does for byte-identical dups)
+    is wrong for NEAR-dups: the cluster often mixes a clean original
+    with truncated/mangled variants, and quality should pick, not
+    arrival order. Output per cluster: root, size, kept doc + its
+    quality, dropped count.
+
+    Scale (100 TB): the label fixpoint is dedup_clusters' (state = one
+    row per graph doc, one doc_id-keyed shuffle per round); the quality
+    join touches only graph docs (an equi-join the optimizer can
+    broadcast when the dup graph is small); the per-cluster argmax is
+    one window over lab — clusters are tiny by construction so no
+    partition skew. Quality values are the SAME rounded-6dp doubles the
+    quality_score gate hash-matches, so the cross-engine ranking is
+    deterministic."""
+    labels = _dedup_labels(spark, sf)
+    d = tables(spark, sf, "documents").documents
+    q = d.select(F.col("doc_id").alias("doc"), _quality_expr().alias("quality"))
+    lq = labels.join(q, "doc")
+    w = Window.partitionBy("lab").orderBy(F.desc("quality"), F.asc("doc"))
+    best = (
+        lq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("lab").alias("cluster_root"),
+            F.col("doc").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )
+    sizes = labels.groupBy(F.col("lab").alias("cluster_root")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.join(best, "cluster_root")
+        .select(
+            "cluster_root",
+            "n_members",
+            "keep_id",
+            "keep_quality",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_root")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH {_SHINGLE_CTE_SQL},
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT da, db FROM pairs
+  JOIN sizes sa ON da = sa.doc_id
+  JOIN sizes sb ON db = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
+sym AS (
+  SELECT da AS src, db AS dst FROM edges
+  UNION ALL
+  SELECT db AS src, da AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS doc FROM sym),
+reach AS (
+  WITH RECURSIVE r(doc, lab) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN sym e ON e.src = r.doc)
+  SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+q AS (SELECT doc_id AS doc, {_QUALITY_EXPR_SQL} AS quality FROM documents),
+ranked AS (
+  SELECT lab, doc, quality,
+    row_number() OVER (
+      PARTITION BY lab ORDER BY quality DESC, doc) AS rk
+  FROM reach JOIN q USING (doc)),
+sizes_c AS (SELECT lab, COUNT(*) AS n_members FROM reach GROUP BY lab)
+SELECT s.lab AS cluster_root, s.n_members,
+  r.doc AS keep_id, r.quality AS keep_quality,
+  s.n_members - 1 AS n_dropped
+FROM sizes_c s JOIN ranked r ON r.lab = s.lab AND r.rk = 1
+ORDER BY cluster_root
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),
     "dedup_containment": QuerySpec(dedup_containment, DEDUP_CONTAINMENT_SQL),
+    "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "quality_repetition_gopher": QuerySpec(
         quality_repetition_gopher, QUALITY_REPETITION_SQL
     ),

@@ -25,6 +25,7 @@ _EAGER_MODULES = {"io_ops", "streaming_cov"}
 _EAGER_QUERIES = {
     "ctas_insert_sql",
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
+    "dedup_keep_best",  # same label-propagation fixpoint at construction
     "emb_kmeans_lloyd",  # iterative Lloyd rounds: update jobs at construction
     "emb_pq_encode",  # 4 subspace codebooks train (collect) at construction
     "ann_pq_adc",  # same codebook training collects at construction
