@@ -138,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "emb_pq_encode",
             "ann_pq_adc",
             "dedup_keep_best",
+            "train_sample_weighted",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -693,8 +693,88 @@ FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+
+_WS_TOPK = 50  # sample size
+
+
+def train_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-proportional sampling WITHOUT replacement: the
+    Efraimidis–Spirakis A-ES one-pass scheme — per doc draw a
+    deterministic uniform u from a salted md5 (engine-identical), rank
+    by priority u^(1/w) with w = the composite quality score, keep the
+    top 50. Inclusion probability is proportional to weight, the sample
+    never repeats a doc, and — unlike sequential weighted draws — the
+    whole selection is embarrassingly parallel.
+
+    Cross-engine determinism: u is an exact rational (48-bit md5 prefix
+    + 1)/2^48; the priority is rounded at 9 dp before ranking with
+    doc_id as tiebreak (the cosine-ranking discipline), so a final-ulp
+    pow() divergence cannot reorder the sample.
+
+    Scale (100 TB): the priority is a MAP-ONLY codegen expression; the
+    selection is a global top-k = TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge) — no shuffle, no sort of the corpus,
+    the canonical distributed weighted sampler. Weights here come from
+    _quality_expr; any per-doc weight column drops in."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _quality_expr,
+    )
+
+    d = tables(spark, sf, "documents").documents
+    # w in (0, 1]: quality clamped away from 0 so priorities stay finite
+    w = F.greatest(_quality_expr(), F.lit(0.000001))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(float(1 << 48))
+    priority = F.round(F.pow(u, 1.0 / w), 9)
+    return (
+        d.select(
+            "doc_id",
+            w.alias("weight"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_WS_TOPK)
+    )
+
+
+TRAIN_WEIGHTED_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+    greatest({{QUALITY}}, 0.000001) AS weight,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 12))::BIGINT
+      + 1) / {float(1 << 48)} AS u
+  FROM documents)
+SELECT doc_id, weight, round(pow(u, 1.0 / weight), 9) AS priority
+FROM q
+ORDER BY priority DESC, doc_id LIMIT {_WS_TOPK}
+"""
+
+
+def _train_weighted_sql() -> str:
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _QUALITY_EXPR_SQL,
+    )
+
+    return TRAIN_WEIGHTED_SQL.replace("{QUALITY}", _QUALITY_EXPR_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
+    "train_sample_weighted": QuerySpec(
+        train_sample_weighted, _train_weighted_sql()
+    ),
     "train_token_budget_sample": QuerySpec(
         train_token_budget_sample, TRAIN_BUDGET_SQL
     ),

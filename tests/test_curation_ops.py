@@ -508,3 +508,42 @@ def test_keep_best_picks_highest_quality_member(spark):
     assert all(
         q[big.keep_id] >= q[r.keep_id] or True for r in best.values()
     )  # sanity no-crash; the real check is the gate hash-match
+
+
+def test_weighted_sample_favors_quality(spark):
+    """A-ES sampling must be weight-sensitive: the mean quality of the
+    50 sampled docs must exceed the corpus mean (inclusion probability
+    is proportional to weight), the sample must have no repeats, and the
+    priority ranking must replicate exactly in python floats."""
+    import hashlib
+    import math
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _quality_expr,
+    )
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        _WS_TOPK,
+        train_sample_weighted,
+    )
+
+    rows = train_sample_weighted(spark, SF_DIR).collect()
+    assert len(rows) == _WS_TOPK
+    assert len({r.doc_id for r in rows}) == _WS_TOPK
+    d = tables(spark, SF_DIR, "documents").documents
+    q = {
+        r.doc_id: max(r.q, 0.000001)
+        for r in d.select("doc_id", _quality_expr().alias("q")).collect()
+    }
+    corpus_mean = sum(q.values()) / len(q)
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, "sample not quality-tilted"
+    # python replication of the priority ranking
+    pri = {}
+    for doc_id, w in q.items():
+        h = int(hashlib.md5(f"{doc_id}#ws".encode()).hexdigest()[:12], 16)
+        u = (h + 1) / float(1 << 48)
+        pri[doc_id] = round(math.pow(u, 1.0 / w), 9)
+    expect = sorted(pri, key=lambda k: (-pri[k], k))[:_WS_TOPK]
+    assert [r.doc_id for r in rows] == expect
+    for r in rows:
+        assert r.priority == pri[r.doc_id]
