@@ -620,10 +620,18 @@ def _km_sqdist(qcol: Column, cvals: list[int]) -> Column:
     )
 
 
-def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Map-side assignment: distances to all centroids as one codegen
+def _km_assign_expr(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Expression-fold assignment: distances to all centroids as one
     array expression; argmin = array_position of the min (first match =
-    lowest cluster id on exact-integer ties)."""
+    lowest cluster id on exact-integer ties). Kept as the zero-Python
+    alternative; the default is the Arrow-vectorized kernel below —
+    the OPPOSITE call from the pair kernels (_cos_vec), because
+    assignment is per-ROW: ~512 B of operand transfer buys k x dim
+    distance ops, and a same-session sf1 A/B (min-of-2, two alternating
+    passes) measured emb_kmeans_lloyd 4.4-4.7 s (expr) vs 2.0-2.2 s
+    (vec) with bit-identical output. Spark's higher-order-function
+    folds run interpreted per element, so at 8x64 ops/row the fold
+    dominates; the numpy matmul amortizes it across an Arrow batch."""
     dists = F.array(*[_km_sqdist(F.col("q"), c) for c in cents])
     return pts.withColumn("dist_arr", dists).select(
         "vec_id",
@@ -632,6 +640,44 @@ def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
         .cast("int")
         .alias("cid"),
         F.array_min("dist_arr").alias("dist"),
+    )
+
+
+def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Arrow-vectorized map-side assignment (the default; see
+    _km_assign_expr for the measured rationale): one numpy broadcast
+    computes all k exact-int64 squared distances per batch. argmin takes
+    the first (lowest) cid on ties and dist stays int64 throughout —
+    bit-identical to the expression fold (cross-checked in the A/B and
+    by tests/test_curation_ops.py numpy replications). Micro-unit
+    magnitudes bound the math: |q|,|c| <= 1e6, so per-component squares
+    <= 4e12 and 64-dim sums <= 2.6e14 — far inside int64."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.array(cents, dtype=np.int64)
+
+    # NOTE: no type hints — `from __future__ import annotations` makes
+    # them strings the typehint resolver can't eval with pandas imported
+    # locally; the DDL return type alone selects the scalar eval mode.
+    @pandas_udf("cid int, dist bigint")
+    def _assign(qs):
+        if len(qs) == 0:
+            return pd.DataFrame(
+                {"cid": pd.array([], dtype="int32"),
+                 "dist": pd.array([], dtype="int64")}
+            )
+        m = np.vstack(qs.to_numpy()).astype(np.int64)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"cid": d.argmin(axis=1).astype(np.int32), "dist": d.min(axis=1)}
+        )
+
+    return pts.withColumn("a", _assign(F.col("q"))).select(
+        "vec_id",
+        "q",
+        F.col("a.cid").alias("cid"),
+        F.col("a.dist").alias("dist"),
     )
 
 
@@ -908,6 +954,42 @@ _PQ_SUB = 16  # dims per subspace (64 / 4)
 _PQ_K = 8  # codebook size per subspace (production: 256 → 1 byte/code)
 
 
+def _pq_enc_udf(books: list[list[list[int]]]):
+    """Arrow-vectorized PQ kernel: one numpy pass per batch computes all
+    _PQ_M subspace argmin codes and the total exact-int64 quantization
+    error. Default for the same measured reason as _km_assign (per-row
+    compute >> per-row transfer; interpreted HOF folds dominate the
+    expression form): a same-session sf1 A/B (min-of-2, alternating)
+    measured emb_pq_encode 6.7-9.1 s (expr) vs 5.6-5.7 s (vec),
+    bit-identical output. Shared by encode, ADC corpus coding, and the
+    training rounds."""
+    import numpy as np
+    import pandas as pd
+
+    bk = [np.array(b, dtype=np.int64) for b in books]
+
+    @pandas_udf("code0 int, code1 int, code2 int, code3 int, err bigint")
+    def _enc(qs):
+        if len(qs) == 0:
+            cols = {
+                f"code{m}": pd.array([], dtype="int32")
+                for m in range(_PQ_M)
+            }
+            cols["err"] = pd.array([], dtype="int64")
+            return pd.DataFrame(cols)
+        mm = np.vstack(qs.to_numpy()).astype(np.int64)
+        out, err = {}, np.zeros(len(mm), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub = mm[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            d = ((sub[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            out[f"code{m}"] = d.argmin(axis=1).astype(np.int32)
+            err += d.min(axis=1)
+        out["err"] = err
+        return pd.DataFrame(out)
+
+    return _enc
+
+
 def _pq_codebooks(pts: DataFrame) -> list[list[list[int]]]:
     """All _PQ_M subspace codebooks trained TOGETHER: one init collect,
     then per Lloyd round ONE combined (m, cid, pos) partial-aggregated
@@ -926,20 +1008,18 @@ def _pq_codebooks(pts: DataFrame) -> list[list[list[int]]]:
         for m in range(_PQ_M)
     ]
     for _ in range(_KM_ITERS):
-        structs = []
-        for m, cents in enumerate(books):
-            subq = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
-            dists = F.array(*[_km_sqdist(subq, c) for c in cents])
-            cid = (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int")
-            structs.append(
-                F.struct(
-                    F.lit(m).alias("m"), cid.alias("cid"), subq.alias("sq")
-                )
+        enc = _pq_enc_udf(books)
+        structs = [
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"e.code{m}").alias("cid"),
+                F.slice("q", m * _PQ_SUB + 1, _PQ_SUB).alias("sq"),
             )
+            for m in range(_PQ_M)
+        ]
         upd = (
-            pts.select(F.explode(F.array(*structs)).alias("s"))
+            pts.withColumn("e", enc(F.col("q")))
+            .select(F.explode(F.array(*structs)).alias("s"))
             .select(
                 F.col("s.m").alias("m"),
                 F.col("s.cid").alias("cid"),
@@ -982,31 +1062,20 @@ def emb_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     bounded sample — FAISS defaults to ~256 vectors/centroid — making
     training corpus-size-independent; the full-corpus run here keeps
     the oracle exact). ENCODING — the pass that actually touches
-    100 TB — is MAP-ONLY: all 4 codebooks travel as ~4 KB of literal
-    arrays, every code and error is one codegen expression, zero
-    shuffles, zero Python, parallelism = input splits. The driver
-    holds 4*k*16 integers, never rows."""
+    100 TB — is MAP-ONLY: all 4 codebooks travel to executors inside
+    the Arrow-vectorized kernel (~4 KB; see _pq_enc_udf for the
+    measured expr-vs-vec call), zero shuffles, parallelism = input
+    splits. The driver holds 4*k*16 integers, never rows."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    books = _pq_codebooks(pts)
-    code_cols, err_terms = [], []
-    for m, cents in enumerate(books):
-        subq = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
-        dists = F.array(*[_km_sqdist(subq, c) for c in cents])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"code{m}")
-        )
-        err_terms.append(F.array_min(dists))
-    total_err = err_terms[0]
-    for t in err_terms[1:]:
-        total_err = total_err + t
+    enc = _pq_enc_udf(_pq_codebooks(pts))
     return (
-        pts.select(
+        pts.withColumn("e", enc(F.col("q")))
+        .select(
             "vec_id",
-            *code_cols,
+            *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
             F.round(
-                total_err.cast("double") / F.lit(float(_KM_SCALE) ** 2), 6
+                F.col("e.err").cast("double") / F.lit(float(_KM_SCALE) ** 2),
+                6,
             ).alias("pq_err"),
         )
         .orderBy("vec_id")
@@ -1075,17 +1144,12 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     not the full corpus."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
     books = _pq_codebooks(pts)
-    # corpus → codes (map-only, as emb_pq_encode)
-    code_cols = []
-    for m, cents in enumerate(books):
-        subq = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
-        dists = F.array(*[_km_sqdist(subq, c) for c in cents])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"code{m}")
-        )
-    codes = pts.select(F.col("vec_id").alias("nid"), *code_cols)
+    # corpus → codes (map-only, the shared vectorized kernel)
+    enc = _pq_enc_udf(books)
+    codes = pts.withColumn("e", enc(F.col("q"))).select(
+        F.col("vec_id").alias("nid"),
+        *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
+    )
     queries = pts.where(F.col("vec_id") < _ADC_NQ).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qv")
     )

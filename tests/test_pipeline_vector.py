@@ -74,3 +74,28 @@ def test_vectorized_kernels_match(spark):
         (_bucket(F.col("v")) != _bucket_vec(F.col("v"))).alias("d")
     ).where(F.col("d"))
     assert bdiff.count() == 0
+
+
+def test_km_assign_kernels_agree(spark):
+    """The Arrow-vectorized default assignment and the expression-fold
+    alternative must produce identical (cid, dist) for every vector
+    against the shared final centroids."""
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _km_assign,
+        _km_assign_expr,
+        _km_final_cents,
+        _km_quantized,
+    )
+    from tests.conftest import SF_DIR
+
+    pts = _km_quantized(spark, SF_DIR).localCheckpoint(eager=False)
+    cents = _km_final_cents(pts)
+    a = {
+        r.vec_id: (r.cid, r.dist)
+        for r in _km_assign(pts, cents).collect()
+    }
+    b = {
+        r.vec_id: (r.cid, r.dist)
+        for r in _km_assign_expr(pts, cents).collect()
+    }
+    assert a == b and len(a) > 0
