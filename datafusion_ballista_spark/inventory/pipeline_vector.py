@@ -1153,12 +1153,16 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale (100 TB): the corpus side carries only its M small codes (the
     entire point of PQ — 100 TB of vectors becomes ~100 GB of codes);
-    the bounded query side broadcasts. Per candidate the distance is M
-    literal-array lookups + subvector folds in codegen — zero shuffles
-    on the corpus scan, one TakeOrderedAndProject-shaped top-k per
-    query. Production replaces the bounded broadcast with an IVF
-    routing stage (ann_ivf_topk) so each query scans one cell's codes,
-    not the full corpus."""
+    the bounded query side broadcasts. The distance tables — the "A"
+    in ADC — are PRECOMPUTED once per query on the driver (Q x M x k
+    exact ints from the collected bounded query rows, the same
+    driver-metadata class as the global-window offsets) and shipped as
+    flat literal arrays, so the per-candidate cost is M array LOOKUPS
+    plus adds in codegen — no per-row distance folds at all, zero
+    shuffles on the corpus scan, one TakeOrderedAndProject-shaped
+    top-k per query. Production replaces the bounded broadcast with an
+    IVF routing stage (ann_ivf_topk) so each query scans one cell's
+    codes, not the full corpus."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
     books = _pq_codebooks(pts)
     # corpus → codes (map-only, the shared vectorized kernel)
@@ -1167,31 +1171,36 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("nid"),
         *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
     )
-    queries = pts.where(F.col("vec_id") < _ADC_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
-    )
-    # ADC distance: per subspace, the code picks a centroid out of a
-    # literal array-of-arrays; the exact query subvector folds against it.
-    terms = []
+    qrows = sorted(
+        pts.where(F.col("vec_id") < _ADC_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )  # bounded: _ADC_NQ rows of driver metadata
+    qids = [int(r.vec_id) for r in qrows]
+    # tabs[m]: flat qid-major table, tabs[m][qi*k + code] = exact sqdist
+    # from query qi's m-th subvector to centroid `code`.
+    tabs = []
     for m, cents in enumerate(books):
-        cent_lit = F.array(
-            *[
-                F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-                for c in cents
-            ]
+        flat = []
+        for r in qrows:
+            qsub = [int(x) for x in r.q[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            for c in cents:
+                flat.append(
+                    sum((a - b) * (a - b) for a, b in zip(qsub, c))
+                )
+        tabs.append(
+            F.array(*[F.lit(v).cast("bigint") for v in flat])
         )
-        qsub = F.slice("qv", m * _PQ_SUB + 1, _PQ_SUB)
-        picked = F.element_at(cent_lit, F.col(f"code{m}") + 1)
-        terms.append(
-            F.aggregate(
-                F.zip_with(qsub, picked, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
+    queries = (
+        pts.sparkSession.createDataFrame(
+            [(q, i) for i, q in enumerate(qids)], "qid bigint, qi int"
         )
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
+    )
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(
+            tabs[m], F.col("qi") * _PQ_K + F.col(f"code{m}") + 1
+        )
+        adc = term if adc is None else adc + term
     sims = (
         codes.join(F.broadcast(queries), F.col("qid") != F.col("nid"))
         .select("qid", "nid", adc.alias("adist"))
