@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "ann_pq_adc",
             "dedup_keep_best",
             "train_sample_weighted",
+            "text_ngram_topk",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

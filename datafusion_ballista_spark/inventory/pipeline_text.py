@@ -1817,12 +1817,99 @@ ORDER BY cluster_root
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus n-gram mining (boilerplate / contamination analysis)
+
+_NGRAM_TOPK = 5
+
+
+def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level n-gram frequency mining: for n in {1,2,3}, the top-5
+    grams by total occurrence count (tie: lexicographic) with their
+    document frequency — the table a curation run consults to spot
+    boilerplate candidates for dedup_substring_exact and benchmark
+    contamination shingles for train_contamination_ngram.
+
+    Scale (100 TB): one explode + ONE partial-aggregated groupBy(n, gram)
+    per n; each per-n top-5 is `orderBy().limit()` =
+    TakeOrderedAndProject (per-partition heaps, k-row merge) — NOT a
+    window partitioned by n, which would funnel the entire gram
+    vocabulary of each n onto one task. The 15-row union then ranks
+    with a trivially-bounded window."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    arr = _tokens(F.col("text"))
+    base = d.select("doc_id", F.filter(arr, lambda x: x != "").alias("t"))
+    parts = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = F.col("t")
+        else:
+            ln = F.size("t") - (n - 1)
+            shifted = [F.slice("t", F.lit(i + 1), ln) for i in range(n)]
+            g = shifted[-1]
+            for s in reversed(shifted[:-1]):
+                g = F.zip_with(s, g, lambda x, y: F.concat_ws(" ", x, y))
+            grams = g
+        ex = (
+            base.where(F.size("t") >= n)
+            .select("doc_id", F.explode(grams).alias("g"))
+        )
+        agg = ex.groupBy("g").agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        parts.append(
+            agg.orderBy(F.desc("total"), F.asc("g"))
+            .limit(_NGRAM_TOPK)
+            .select(F.lit(n).alias("n"), "g", "total", "docs")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("n").orderBy(F.desc("total"), F.asc("g"))
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .select("n", F.col("g").alias("gram"), "total", "docs", "rk")
+        .orderBy("n", "rk")
+    )
+
+
+TEXT_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT 1 AS n, doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT 2, doc_id,
+    array_to_string(list_slice(t, pos, pos + 1), ' ')
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+        FROM toks WHERE len(t) >= 2)
+  UNION ALL
+  SELECT 3, doc_id,
+    array_to_string(list_slice(t, pos, pos + 2), ' ')
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS pos
+        FROM toks WHERE len(t) >= 3)),
+agg AS (
+  SELECT n, g, COUNT(*) AS total, COUNT(DISTINCT doc_id) AS docs
+  FROM grams GROUP BY 1, 2),
+ranked AS (
+  SELECT n, g AS gram, total, docs,
+    row_number() OVER (PARTITION BY n ORDER BY total DESC, g) AS rk
+  FROM agg)
+SELECT n, gram, total, docs, rk FROM ranked
+WHERE rk <= {_NGRAM_TOPK} ORDER BY n, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),
     "dedup_containment": QuerySpec(dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "text_ngram_topk": QuerySpec(text_ngram_topk, TEXT_NGRAM_SQL),
     "quality_repetition_gopher": QuerySpec(
         quality_repetition_gopher, QUALITY_REPETITION_SQL
     ),
