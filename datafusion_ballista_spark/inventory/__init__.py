@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "dedup_keep_best",
             "train_sample_weighted",
             "text_ngram_topk",
+            "train_bpe_merges",
         ]
         + [f"tpcds_real_q{i}" for i in range(46, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]

@@ -770,8 +770,151 @@ def _train_weighted_sql() -> str:
     return TRAIN_WEIGHTED_SQL.replace("{QUALITY}", _QUALITY_EXPR_SQL)
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016)
+
+_BPE_V = 200  # word types in the training table (top-V by count)
+_BPE_R = 8  # merge rounds
+
+
+def train_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016): the
+    tokenizer-training primitive of every modern LLM data pipeline.
+    Seeds from the corpus word-frequency table (top-200 [a-z]+ word
+    types by count, tie lexicographic), then runs 8 merge rounds: count
+    adjacent symbol pairs weighted by word frequency, pick the argmax
+    pair (tie: lexicographic), apply it greedily left-to-right
+    non-overlapping to every word. Output: the learned merge table
+    (rank, pair, merged symbol, weighted count at selection) — merges
+    compose across rounds (e.g. round 6 merges 'm'+'er' built from
+    round 1's 'e'+'r'), which is what makes the op genuinely iterative.
+
+    Merge application is a PURE EXPRESSION fold (F.aggregate over the
+    symbol array): append x, or replace the accumulator tail with a||b
+    when (tail, x) == (a, b) — exactly the greedy non-overlap scan
+    (the tail can never spuriously equal `a` post-merge since a||b
+    != a for nonempty b). The DuckDB oracle replays the same 8 rounds
+    with MATERIALIZED CTEs, selecting merge positions via the islands
+    trick (runs of consecutive candidate positions keep even offsets);
+    a python replication in tests is the third witness.
+
+    Scale (100 TB): classic BPE trains on the WORD-FREQUENCY table,
+    not the raw corpus — the corpus-wide work is ONE partial-aggregated
+    word count (the only full-data shuffle); the top-V selection is
+    TakeOrderedAndProject, and every round after touches only V rows
+    (per-round cost independent of corpus size; V is the scale knob,
+    production ~1e6). The driver holds one 3-tuple per round."""
+    d = tables(spark, sf, "documents").documents
+    words = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_BPE_V)
+    )
+    v = words.select(
+        "word",
+        "cnt",
+        F.expr("regexp_extract_all(word, '[a-z]', 0)").alias("s"),
+    ).localCheckpoint(eager=False)
+    merges = []
+    for r in range(_BPE_R):
+        ln = F.size("s") - 1
+        pairs = v.where(F.size("s") >= 2).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("s", F.lit(1), ln),
+                    F.slice("s", F.lit(2), ln),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, wgt = top.a, top.b, int(top.w)
+        merges.append((r + 1, a, b, a + b, wgt))
+        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
+        fold = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == al)
+                & (x == bl),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ml)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        v = v.select("word", "cnt", fold.alias("s")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, merged string, w bigint"
+    ).orderBy("rank")
+
+
+def _bpe_round_sql(r: int) -> str:
+    p, n = f"v{r}", f"v{r+1}"
+    return f"""
+sy{r} AS MATERIALIZED (
+  SELECT word, cnt, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+  FROM {p}),
+pr{r} AS MATERIALIZED (
+  SELECT word, cnt, pos, sym,
+    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM sy{r}),
+mr{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS w
+  FROM pr{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY w DESC, a, b LIMIT 1),
+sl{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+      pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM (SELECT word, pos,
+            pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM (SELECT p.word, p.pos FROM pr{r} p, mr{r} m
+                WHERE p.sym = m.a AND p.nxt = m.b)))
+  WHERE off % 2 = 0),
+{n} AS MATERIALIZED (
+  SELECT sy.word, ANY_VALUE(sy.cnt) AS cnt,
+    list(CASE WHEN m.pos IS NOT NULL THEN sy.sym || mr.b ELSE sy.sym END
+         ORDER BY sy.pos) AS s
+  FROM sy{r} sy
+  CROSS JOIN mr{r} mr
+  LEFT JOIN sl{r} m ON m.word = sy.word AND m.pos = sy.pos
+  LEFT JOIN sl{r} m2 ON m2.word = sy.word AND m2.pos = sy.pos - 1
+  WHERE m2.pos IS NULL
+  GROUP BY sy.word)"""
+
+
+TRAIN_BPE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+words AS MATERIALIZED (
+  SELECT w AS word, COUNT(*) AS cnt FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1
+  ORDER BY cnt DESC, word LIMIT {_BPE_V}),
+v0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS s FROM words),
+{",".join(_bpe_round_sql(r) for r in range(_BPE_R))}
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT {r + 1} AS rank, a, b, a || b AS merged, w FROM mr{r}" for r in range(_BPE_R))}
+) ORDER BY rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
+    "train_bpe_merges": QuerySpec(train_bpe_merges, TRAIN_BPE_SQL),
     "train_sample_weighted": QuerySpec(
         train_sample_weighted, _train_weighted_sql()
     ),

@@ -547,3 +547,54 @@ def test_weighted_sample_favors_quality(spark):
     assert [r.doc_id for r in rows] == expect
     for r in rows:
         assert r.priority == pri[r.doc_id]
+
+
+def test_bpe_matches_python(spark):
+    """Replicate the 8 BPE merge rounds (word-frequency seeding, greedy
+    left-to-right non-overlap application, lexicographic ties) in plain
+    python and require the identical merge table — the third witness
+    alongside the DuckDB oracle. Also requires a composed merge (some
+    round merges a multi-char symbol built by an earlier round)."""
+    import re
+    from collections import Counter
+
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        _BPE_R,
+        _BPE_V,
+        train_bpe_merges,
+    )
+
+    docs = tables(spark, SF_DIR, "documents").documents.collect()
+    wc = Counter()
+    for r in docs:
+        for w in (r.text or "").strip().lower().split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                wc[w] += 1
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_V]
+    vocab = {w: (cnt, list(w)) for w, cnt in top}
+    expect = []
+    for r in range(_BPE_R):
+        c = Counter()
+        for w, (cnt, s) in vocab.items():
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += cnt
+        (a, b), wgt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((r + 1, a, b, a + b, wgt))
+        for w, (cnt, s) in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = (cnt, out)
+    got = [
+        (r.rank, r.a, r.b, r.merged, r.w)
+        for r in train_bpe_merges(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _, _ in got), (
+        "no composed merge — rounds not actually iterating"
+    )

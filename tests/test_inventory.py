@@ -39,7 +39,7 @@ def test_driver_window_rotation():
     assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
     # Round-7 head queued immediately after the window (VERDICT r5 Next
     # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:91] == [
+    assert list(_ALL)[50:92] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
@@ -81,7 +81,8 @@ def test_driver_window_rotation():
         "dedup_keep_best",
         "train_sample_weighted",
         "text_ngram_topk",
+        "train_bpe_merges",
     ]
     # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[91:93] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[145:147] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[92:94] == ["tpcds_real_q46", "tpcds_real_q47"]
+    assert list(_ALL)[146:148] == ["tpcds_q44_shape", "tpcds_q45_shape"]
