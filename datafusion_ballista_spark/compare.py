@@ -61,10 +61,15 @@ def norm_cell(v):
     return v
 
 
-def normalize(cols, rows):
+def normalize(cols, rows, *, sort_rows: bool = True):
+    """Columns are always sorted by name; rows are sorted unless
+    ``sort_rows=False`` (the ordered second comparison mode — hash rows
+    in RETURNED order, closing the driver-vs-replica semantic unknown of
+    whether the driver's hash is order-sensitive)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    if sort_rows:
+        out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return [cols[i] for i in order], out
 
 
@@ -82,6 +87,34 @@ def hugeint_columns(arrow_table) -> list[str]:
         if pa.types.is_decimal(t) and t.precision == 38 and t.scale == 0:
             out.append(field.name)
     return out
+
+
+def decimal_output_columns(spark_df) -> list[str]:
+    """Names of Spark output columns whose type contains a DecimalType
+    (including nested array/map/struct elements).
+
+    Round-6 driver lesson: even when Spark and DuckDB return bit-identical
+    decimal VALUES, the driver's value hash diverges on decimal
+    *representation* (tpcds_real q12/q20/q37: rows+schema green, hash red;
+    exactly the three queries emitting a bare decimal(7,2) passthrough).
+    ``norm_cell``'s scale-stripping canonicalization is blind to this
+    class by construction, so the local gate instead refuses bare
+    DecimalType outputs entirely — pin them to DOUBLE (exact for the
+    2dp money columns) or BIGINT before they reach the output schema."""
+    from pyspark.sql import types as T
+
+    def has_decimal(dt) -> bool:
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in spark_df.schema.fields if has_decimal(f.dataType)]
 
 
 def fetch_oracle(rel):
@@ -107,6 +140,12 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
     }
     try:
         s_cols = list(spark_df.columns)
+        dec_cols = decimal_output_columns(spark_df)
+        if dec_cols:
+            # Treated as a failure, not a warning: the driver's hash is
+            # known to diverge on decimal representation even when values
+            # match (round-6 q12/q20/q37).
+            rec["decimal_output"] = dec_cols
         s_rows = [tuple(r) for r in spark_df.collect()]
         rec["spark_rows"] = len(s_rows)
         if oracle_sql is None:
@@ -121,7 +160,17 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
         rec["schema_match"] = sorted(s_cols) == sorted(o_cols)
         _, sn = normalize(s_cols, s_rows)
         _, on = normalize(o_cols, o_rows)
-        rec["hash_match"] = rec["rows_match"] and rec["schema_match"] and sn == on
+        rec["hash_match"] = (
+            rec["rows_match"] and rec["schema_match"] and sn == on and not dec_cols
+        )
+        # Second, stricter mode recorded alongside (never gates): rows
+        # hashed in RETURNED order. True for fully-ORDER-BY-determined
+        # outputs; False only flags order-underdetermined queries — the
+        # class that would diverge IF the driver's hash is row-order
+        # sensitive.
+        _, sn_o = normalize(s_cols, s_rows, sort_rows=False)
+        _, on_o = normalize(o_cols, o_rows, sort_rows=False)
+        rec["ordered_match"] = bool(rec["hash_match"]) and sn_o == on_o
     except Exception as ex:  # recorded, not raised: the artifact shows it
         rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
     return rec

@@ -34,7 +34,9 @@ of the strategy is hash-pinned against the DuckDB oracle either way
 Scope: top-level WITH only (nested WITH inside a CTE body stays inline);
 no RECURSIVE (callers' dialect layer handles that separately); no
 column-list CTEs (falls back to verbatim). The scanner respects
-single-quoted strings, double-quoted identifiers, and ``--`` comments.
+single-quoted strings, double-quoted identifiers, and ``--`` / ``/* */``
+comments; ANY shape the splitter cannot parse — including malformed
+text — falls back to verbatim ``spark.sql(sql)`` rather than erroring.
 """
 
 from __future__ import annotations
@@ -44,7 +46,6 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _WITH_RE = re.compile(r"^\s*with\s+", re.IGNORECASE)
-_NAME_RE = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*", re.DOTALL)
 
 
 def _skip_literal(sql: str, i: int) -> int:
@@ -63,7 +64,43 @@ def _skip_literal(sql: str, i: int) -> int:
     if sql.startswith("--", i):
         j = sql.find("\n", i)
         return len(sql) if j < 0 else j + 1
+    if sql.startswith("/*", i):
+        j = sql.find("*/", i + 2)
+        return len(sql) if j < 0 else j + 2
     raise AssertionError("not at a literal")
+
+
+def _at_literal(sql: str, i: int) -> bool:
+    return sql[i] in "'\"" or sql.startswith("--", i) or sql.startswith("/*", i)
+
+
+def _skip_insignificant(sql: str, i: int) -> int:
+    """Advance past whitespace and comments to the next significant char."""
+    while i < len(sql):
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i) or sql.startswith("/*", i):
+            i = _skip_literal(sql, i)
+        else:
+            break
+    return i
+
+
+def _strip_insignificant(sql: str) -> str:
+    """Copy of ``sql`` with string literals, quoted identifiers, and
+    comments blanked out (replaced by spaces), so identifier-reference
+    counting cannot match inside them."""
+    out = []
+    i = 0
+    while i < len(sql):
+        if _at_literal(sql, i):
+            j = _skip_literal(sql, i)
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
 
 
 def _match_paren(sql: str, i: int) -> int:
@@ -71,7 +108,7 @@ def _match_paren(sql: str, i: int) -> int:
     depth = 0
     while i < len(sql):
         c = sql[i]
-        if c in "'\"" or sql.startswith("--", i):
+        if _at_literal(sql, i):
             i = _skip_literal(sql, i)
             continue
         if c == "(":
@@ -94,42 +131,44 @@ def split_top_level_ctes(sql: str):
     m = _WITH_RE.match(sql)
     if not m:
         return None
-    i = m.end()
+    i = _skip_insignificant(sql, m.end())
     if re.match(r"recursive\b", sql[i:], re.IGNORECASE):
         return None
     ctes: list[tuple[str, str]] = []
     while True:
-        nm = _NAME_RE.match(sql, i)
+        nm = re.compile(r"[A-Za-z_][A-Za-z_0-9]*").match(sql, i)
         if not nm:
             return None
-        name = nm.group(1)
-        i = nm.end()
-        # optional column list: name (c1, c2) AS (...)
+        name = nm.group(0)
+        i = _skip_insignificant(sql, nm.end())
+        # optional column list: name (c1, c2) AS (...) — would need
+        # view-level renames; none of the supported texts use them, so
+        # bail out to plain execution
         if i < len(sql) and sql[i] == "(":
-            close = _match_paren(sql, i)
-            # only treat as a column list if AS follows; else malformed
-            after = re.match(r"\s*as\s*\(", sql[close + 1 :], re.IGNORECASE)
-            if not after:
-                return None
-            # column lists would need view-level renames; none of the
-            # supported texts use them — bail out to plain execution
             return None
-        am = re.match(r"as\s*", sql[i:], re.IGNORECASE)
-        if not am or i + am.end() >= len(sql) or sql[i + am.end()] != "(":
+        am = re.match(r"as\b", sql[i:], re.IGNORECASE)
+        if not am:
             return None
-        body_open = i + am.end()
-        body_close = _match_paren(sql, body_open)
-        ctes.append((name, sql[body_open + 1 : body_close]))
-        i = body_close + 1
-        comma = re.match(r"\s*,", sql[i:])
-        if comma:
-            i += comma.end()
+        i = _skip_insignificant(sql, i + am.end())
+        if i >= len(sql) or sql[i] != "(":
+            return None
+        body_close = _match_paren(sql, i)
+        ctes.append((name, sql[i + 1 : body_close]))
+        i = _skip_insignificant(sql, body_close + 1)
+        if i < len(sql) and sql[i] == ",":
+            i = _skip_insignificant(sql, i + 1)
             continue
         return ctes, sql[i:]
 
 
 def _ident_refs(name: str, text: str) -> int:
-    return len(re.findall(rf"\b{re.escape(name)}\b", text, re.IGNORECASE))
+    """Occurrences of ``name`` as an identifier in ``text`` — literals,
+    quoted identifiers, and comments are blanked first so a mention
+    inside a string or comment cannot inflate the count (it would only
+    misclassify materialize-vs-inline, but keep it honest)."""
+    return len(
+        re.findall(rf"\b{re.escape(name)}\b", _strip_insignificant(text), re.IGNORECASE)
+    )
 
 
 def run_with_materialized_ctes(
@@ -139,15 +178,22 @@ def run_with_materialized_ctes(
     downstream are materialized once (lazy localCheckpoint), the rest
     become plain temp views (equivalent to Catalyst's inlining). Falls
     back to ``spark.sql(sql)`` verbatim when the text has no top-level
-    WITH or a shape the splitter does not support."""
-    parsed = split_top_level_ctes(sql)
+    WITH or ANY shape the splitter does not support (including malformed
+    text — the splitter may raise on unbalanced parens)."""
+    try:
+        parsed = split_top_level_ctes(sql)
+    except Exception:
+        parsed = None
     if parsed is None:
         return spark.sql(sql)
     ctes, remainder = parsed
     registered: list[str] = []
     try:
         for idx, (name, body) in enumerate(ctes):
-            downstream = "\n".join(b for _, b in ctes[idx + 1 :]) + remainder
+            # '\n'-joined INCLUDING the remainder: concatenating without a
+            # separator could glue the last body's trailing token to the
+            # remainder's first and miss a \b-boundary reference
+            downstream = "\n".join([b for _, b in ctes[idx + 1 :]] + [remainder])
             df = spark.sql(body)
             if _ident_refs(name, downstream) >= min_refs:
                 df = df.localCheckpoint(eager=False)

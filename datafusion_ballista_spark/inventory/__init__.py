@@ -74,75 +74,70 @@ def all_queries() -> dict[str, QuerySpec]:
     # re-fixes + pipeline_text/vector + io_ops + events; round 5 proved
     # the first 43 TPC-DS shape analogues + all 7 streaming rows (50/50
     # green each round).
-    # Round-6 window (per VERDICT r5 Next #1): the 5 never-checked
-    # sql_surface rows, then the first 45 VERBATIM TPC-DS query texts on
-    # the real star fixture — the reference's own CI gate
-    # (reference: .github/workflows/tpcds.yml:55-74) and strictly
-    # stronger evidence than more shape analogues.
+    # Round-7 window (per VERDICT r6 Next #1): LEAD with the three
+    # round-6 driver-red queries (tpcds_real_q12/q20/q37 — the bare
+    # DecimalType passthrough outputs, now pinned to DOUBLE) so the fix
+    # is proven with driver evidence, then the 42 beyond-reference rows
+    # that have never had a driver CORRECTNESS row — train(10) +
+    # multimodal(6) + pii/quality/ev + win_global(4) + h2o-window(2) +
+    # salted/q21/dedup_incremental + 2 stream rows + the round-6
+    # dedup/ANN-PQ/BPE additions — then the next 5 verbatim TPC-DS
+    # texts (q46-q50) to keep advancing the verbatim tier.
     window = [
-        "sql_pivot",
-        "sql_lateral_topk",
-        "sql_parameterized",
-        "sql_qualify",
-        "sql_recursive_cte",
-    ] + [f"tpcds_real_q{i}" for i in range(1, 46)]
-    # Round-7 head starts at position 50 so next round's rotation is a
-    # one-line window swap (VERDICT r5 Next #2): every beyond-reference
-    # tier that has never had a driver CORRECTNESS row — train(7, incl.
-    # the round-6 doc-chunking row) +
-    # multimodal(6, incl. the round-6 video codec) + pii_scrub (round-6)
-    # + win_global(4) + h2o-window(2) + salted/q21/
-    # dedup_incremental + the 2 round-5 stream rows — then the remaining
-    # verbatim tpcds_real texts, then the leftover shape analogues.
-    # Each future swap advances the window over never-checked rows
-    # instead of re-verifying green ones.
+        "tpcds_real_q12",
+        "tpcds_real_q20",
+        "tpcds_real_q37",
+        "train_split_hash",
+        "train_sample_stratified",
+        "train_seq_packing",
+        "train_contamination_ngram",
+        "train_mix_weights",
+        "train_split_leakage",
+        "train_doc_chunking",
+        "multimodal_featurize",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_stats",
+        "multimodal_wav_roundtrip",
+        "multimodal_video_keyframes",
+        "pii_scrub",
+        "quality_unigram_logprob",
+        "ev_range_join_bucketed",
+        "dedup_incremental",
+        "stream_static_enrich",
+        "stream_checkpoint_resume",
+        "win_global_rownumber_dist",
+        "win_global_rank_dist",
+        "win_global_dense_rank_dist",
+        "win_global_cumsum_dist",
+        "h2o_w_basic_global_sum",
+        "h2o_w_sorted_rownum",
+        "rel_salted_skew_join",
+        "tpch_q21_waiting_suppliers",
+        "quality_repetition_gopher",
+        "ev_funnel_steps",
+        "train_token_budget_sample",
+        "emb_kmeans_lloyd",
+        "train_dsir_select",
+        "dedup_semdedup",
+        "quality_c4_filters",
+        "dedup_substring_exact",
+        "dedup_containment",
+        "emb_pq_encode",
+        "ann_pq_adc",
+        "dedup_keep_best",
+        "train_sample_weighted",
+        "text_ngram_topk",
+        "train_bpe_merges",
+    ] + [f"tpcds_real_q{i}" for i in range(46, 51)]
+    # Round-8 queue starts at position 50 so the next rotation is a
+    # one-line window swap (VERDICT r6 Next #3): the remaining verbatim
+    # tpcds_real texts q51-q99 (strictly stronger evidence than shape
+    # analogues), then the leftover shapes q44-q99. Each future swap
+    # advances the window over never-checked rows instead of
+    # re-verifying green ones.
     queue = (
-        [
-            "train_split_hash",
-            "train_sample_stratified",
-            "train_seq_packing",
-            "train_contamination_ngram",
-            "train_mix_weights",
-            "train_split_leakage",
-            "train_doc_chunking",
-            "multimodal_featurize",
-            "multimodal_frame_sample",
-            "multimodal_resize",
-            "multimodal_audio_stats",
-            "multimodal_wav_roundtrip",
-            "multimodal_video_keyframes",
-            "pii_scrub",
-            "quality_unigram_logprob",
-            "ev_range_join_bucketed",
-            "dedup_incremental",
-            "stream_static_enrich",
-            "stream_checkpoint_resume",
-            "win_global_rownumber_dist",
-            "win_global_rank_dist",
-            "win_global_dense_rank_dist",
-            "win_global_cumsum_dist",
-            "h2o_w_basic_global_sum",
-            "h2o_w_sorted_rownum",
-            "rel_salted_skew_join",
-            "tpch_q21_waiting_suppliers",
-            # round-6 additions to the beyond-reference tier
-            "quality_repetition_gopher",
-            "ev_funnel_steps",
-            "train_token_budget_sample",
-            "emb_kmeans_lloyd",
-            "train_dsir_select",
-            "dedup_semdedup",
-            "quality_c4_filters",
-            "dedup_substring_exact",
-            "dedup_containment",
-            "emb_pq_encode",
-            "ann_pq_adc",
-            "dedup_keep_best",
-            "train_sample_weighted",
-            "text_ngram_topk",
-            "train_bpe_merges",
-        ]
-        + [f"tpcds_real_q{i}" for i in range(46, 100)]
+        [f"tpcds_real_q{i}" for i in range(51, 100)]
         + [f"tpcds_q{i}_shape" for i in range(44, 100)]
     )
 

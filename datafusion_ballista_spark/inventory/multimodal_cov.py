@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.util import tables
 from datafusion_ballista_spark.multimodal import (
+    ahash64,
     attach_binary,
     attach_bmp,
     audio_stats,
@@ -279,7 +280,148 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup — the multimodal member of the dedup family
+
+_PHASH_MAX_HAM = 3  # Hamming radius; <= bands-1 so pigeonhole guarantees
+_PHASH_MAX_BUCKET = 50  # frequent-band cap (the _MAX_SHINGLE_DF discipline)
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-duplicate detection via perceptual average-hash over
+    the REAL decoded BMPs: encode each doc as a genuine image container,
+    decode it back, aHash the decoded pixels (multimodal.ahash64 — exact
+    integer mean-threshold bits), then find pairs within Hamming
+    distance 3 by 16-bit-band LSH: a pair at distance <= 3 must agree on
+    at least one of the 4 bands (pigeonhole), so candidates come from a
+    band-bucket join, NEVER an all-pairs compare. Completes the dedup
+    family across modalities (text: minhash/simhash; vectors: semdedup;
+    images: this).
+
+    Two-witness structure: Spark's hash goes through the real
+    encode->Arrow->decode container cycle, while the oracle recomputes
+    the identical bits straight from the payload's UTF-8 bytes — a hash
+    match proves both the codec round-trip and the banding algebra.
+
+    Scale (100 TB of images): the signature table is 4 small ints per
+    image; candidates are band-bucket joins with a frequent-band cap
+    (buckets > 50 sigs are dropped on BOTH engines — the hot-shingle
+    df-cap discipline), Hamming is 4 codegen bit_count(xor) ops, and the
+    signature feeds 4 band projections + 2 pair-join sides so it is
+    materialized once via GC-cleaned lazy localCheckpoint."""
+    d = tables(spark, sf, "documents").documents
+    sig = (
+        ahash64(attach_bmp(d))
+        .where(F.col("b0").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bands = None
+    for k in range(4):
+        part = sig.select(
+            "doc_id", F.lit(k).alias("k"), F.col(f"b{k}").alias("val")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    ok_buckets = (
+        bands.groupBy("k", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= _PHASH_MAX_BUCKET)
+        .select("k", "val")
+    )
+    capped = bands.join(ok_buckets, ["k", "val"])
+    cand = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(4)
+    ).alias("hamming")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham)
+        .where(F.col("hamming") <= _PHASH_MAX_HAM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, encode(text) AS e, octet_length(encode(text)) AS n,
+    16 * ((octet_length(encode(text)) + 15) // 16) AS L
+  FROM documents),
+bytes AS (
+  SELECT doc_id,
+    CASE WHEN j < n
+         THEN ('0x' || substring(hex(e), 2 * j + 1, 2))::BIGINT
+         ELSE 0 END AS v,
+    (j * 64) // L AS blk, L
+  FROM (SELECT doc_id, e, n, L, unnest(range(0, L)) AS j FROM dims)),
+blocks AS (
+  SELECT doc_id, blk, SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(L) AS L
+  FROM bytes GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(v) AS total FROM bytes GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, b.blk,
+    CASE WHEN b.s * b.L > t.total * b.c THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)),
+sig AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(SUM(CASE WHEN blk // 16 = 0
+      THEN bit * (1 << (15 - blk % 16)) END), 0) AS INT) AS b0,
+    CAST(COALESCE(SUM(CASE WHEN blk // 16 = 1
+      THEN bit * (1 << (15 - blk % 16)) END), 0) AS INT) AS b1,
+    CAST(COALESCE(SUM(CASE WHEN blk // 16 = 2
+      THEN bit * (1 << (15 - blk % 16)) END), 0) AS INT) AS b2,
+    CAST(COALESCE(SUM(CASE WHEN blk // 16 = 3
+      THEN bit * (1 << (15 - blk % 16)) END), 0) AS INT) AS b3
+  FROM dims d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+bandrows AS (
+  SELECT doc_id, 0 AS k, b0 AS val FROM sig
+  UNION ALL SELECT doc_id, 1, b1 FROM sig
+  UNION ALL SELECT doc_id, 2, b2 FROM sig
+  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+okb AS (
+  SELECT k, val FROM bandrows GROUP BY 1, 2
+  HAVING COUNT(*) <= {_PHASH_MAX_BUCKET}),
+capped AS (SELECT b.* FROM bandrows b JOIN okb USING (k, val)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM capped x JOIN capped y
+    ON x.k = y.k AND x.val = y.val AND x.doc_id < y.doc_id)
+SELECT c.doc_a, c.doc_b,
+  bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+  bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+      bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      <= {_PHASH_MAX_HAM}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_phash_neardup": QuerySpec(
+        multimodal_phash_neardup, MULTIMODAL_PHASH_SQL
+    ),
     "multimodal_featurize": QuerySpec(multimodal_featurize, MULTIMODAL_FEATURIZE_SQL),
     "multimodal_wav_roundtrip": QuerySpec(
         multimodal_wav_roundtrip, MULTIMODAL_WAV_SQL

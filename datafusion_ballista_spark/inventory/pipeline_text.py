@@ -340,9 +340,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Never an all-pairs join: candidates come from groupBy(band_id, band_key).
 
     Signature reuse (see _reusable_signatures): the sig DF feeds 4 band
-    projections + 2 score-join sides; above the corpus-size threshold it
-    is materialized once per execution via a GC-cleaned lazy
-    localCheckpoint, below it recompute is cheaper.
+    projections + 2 score-join sides and is UNCONDITIONALLY materialized
+    once per execution via a GC-cleaned lazy localCheckpoint — the
+    same-session A/B showed materialize-once winning at every measured
+    scale, so no recompute threshold exists.
     """
     sig = _reusable_signatures(spark, sf)
     band_frames = []
@@ -940,8 +941,9 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     with its best corpus match (highest signature agreement >= 0.5,
     ties to the lowest corpus id) or NULLs if the doc is clean.
 
-    Signature reuse via _reusable_signatures (cost-based: GC-cleaned lazy
-    localCheckpoint above the corpus threshold, plain recompute below),
+    Signature reuse via _reusable_signatures (UNCONDITIONAL GC-cleaned
+    lazy localCheckpoint — materialize-once won the same-session A/B at
+    every measured scale, so there is no recompute threshold),
     never ``.cache()`` — an inventory builder has no lifecycle hook to
     unpersist, so a cached sig would accumulate in storage memory across
     a 371-query gate/bench session (round-6 ADVICE)."""
@@ -1903,7 +1905,129 @@ WHERE rk <= {_NGRAM_TOPK} ORDER BY n, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocation mining — multi-word-expression discovery for tokenizers
+
+_PMI_MIN_COUNT = 5  # minimum bigram support (standard PMI noise floor)
+_PMI_TOPK = 25
+
+
+def text_collocation_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990):
+    the top adjacent word pairs whose co-occurrence beats the
+    independence assumption — the table a tokenizer-training run mines
+    to seed multi-word merge candidates (complements train_bpe_merges,
+    which learns character merges) and curation uses to spot templated
+    phrases.
+
+    pmi(a,b) = ln( P(a,b) / (P(a) P(b)) ) with P(a,b) over the bigram
+    total and P(·) over the unigram total — all counts exact integers,
+    so the single ln per OUTPUT row is the only float op; the ranking
+    key is integer micro-nats (round(ln*1e6)), making the top-k cut
+    bit-reproducible across engines (same discipline as
+    quality_unigram_logprob). Support floor of 5 kills hapax noise.
+
+    Scale (100 TB): bigram extraction is MAP-ONLY (zip of two shifted
+    token-array slices — no self-join on position); then exactly two
+    partial-aggregated groupBys (bigrams, unigrams), two broadcast
+    1-row totals, a bigram->unigram join that is shuffle-on-token with
+    AQE skew split for the Zipf head, and a TakeOrderedAndProject
+    top-k. No global sort of the full pair table, no Python."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
+    )
+    n = F.size(F.col("t")) - 1
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", F.lit(1), n).alias("a"),
+                    F.slice("t", F.lit(2), n).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    uni = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = big.agg(F.sum("cab").alias("n_big"))
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    scored = (
+        big.where(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "ca"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") * F.col("n_uni") * F.col("n_uni")).cast(
+                        "double"
+                    )
+                    / (F.col("n_big") * F.col("ca") * F.col("cb"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_micro"), F.asc("a"), F.asc("b"))
+        .limit(_PMI_TOPK)
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.round(F.col("pmi_micro") / 1_000_000, 6).alias("pmi"),
+        )
+    )
+
+
+TEXT_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT t[pos] AS a, t[pos + 1] AS b
+  FROM (SELECT t, unnest(range(1, len(t))) AS pos
+        FROM toks WHERE len(t) >= 2)),
+big AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+nb AS (SELECT SUM(cab) AS n_big FROM big),
+nu AS (SELECT SUM(c) AS n_uni FROM uni),
+scored AS (
+  SELECT big.a, big.b, cab,
+    CAST(ROUND(ln(CAST(cab * n_uni * n_uni AS DOUBLE)
+                  / (n_big * ua.c * ub.c)) * 1000000) AS BIGINT) AS pmi_micro
+  FROM big
+  JOIN uni ua ON ua.tok = big.a
+  JOIN uni ub ON ub.tok = big.b
+  CROSS JOIN nb CROSS JOIN nu
+  WHERE cab >= {_PMI_MIN_COUNT})
+SELECT a, b, cab, ROUND(pmi_micro / 1000000.0, 6) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, a, b
+LIMIT {_PMI_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_collocation_pmi": QuerySpec(text_collocation_pmi, TEXT_PMI_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),

@@ -912,7 +912,94 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 12. curriculum ordering — easy-to-hard schedule with in-tier shuffle
+
+
+def train_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning order (Bengio et al. 2009 re-expressed
+    relationally): score each doc's difficulty map-side, cut the corpus
+    into 10 exact difficulty deciles, and emit a global training order
+    that walks the deciles easy->hard with a deterministic md5 shuffle
+    INSIDE each decile (so a tier is not consumed in difficulty order —
+    the standard curriculum recipe of tiered phases + in-phase shuffle).
+
+    Difficulty = mean token length in exact integer micro-units
+    (chars*1e6 DIV tokens — no floating point, so decile boundaries are
+    bit-reproducible across engines and re-runs). Deciles are computed
+    from the global difficulty rank, not approximate quantiles, via the
+    distributed no-PARTITION-BY row_number (operators/global_window.py:
+    range-repartition + per-partition rank + broadcast offset stitch).
+
+    Scale (100 TB): two range-partitioned sorts (the decile rank and the
+    final order) + one map-only scoring pass; the driver holds one
+    per-partition count list per sort, never rows. No single-partition
+    window anywhere — this is exactly the workload class the
+    global-window family exists for (reference analogue:
+    ballista's partitioned window exec over unbounded partitions)."""
+    from datafusion_ballista_spark.operators.global_window import (
+        global_row_number,
+    )
+
+    d = tables(spark, sf, "documents").documents
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "CAST((length(replace(lower(trim(text)), ' ', '')) * 1000000)"
+            " DIV size(split(lower(trim(text)), ' ')) AS BIGINT)"
+        ).alias("difficulty"),
+    )
+    n = scored.count()  # one scalar of driver metadata (decile divisor)
+    ranked = global_row_number(
+        scored, [F.asc("difficulty"), F.asc("doc_id")], out_col="rn"
+    )
+    tiers = ranked.select(
+        "doc_id",
+        "difficulty",
+        F.expr(f"CAST(((rn - 1) * 10) DIV {n} AS INT)").alias("decile"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("shuf"),
+    )
+    return (
+        global_row_number(
+            tiers,
+            [F.asc("decile"), F.asc("shuf"), F.asc("doc_id")],
+            out_col="curriculum_pos",
+        )
+        .select("doc_id", "difficulty", "decile", "curriculum_pos")
+        .orderBy("curriculum_pos")
+    )
+
+
+TRAIN_CURRICULUM_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    CAST((length(replace(lower(trim(text)), ' ', '')) * 1000000)
+         // len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+      AS difficulty
+  FROM documents),
+r AS (
+  SELECT doc_id, difficulty,
+    row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM s),
+tiers AS (
+  SELECT doc_id, difficulty,
+    CAST(((rn - 1) * 10) // n AS INT) AS decile,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS shuf
+  FROM r)
+SELECT doc_id, difficulty, decile,
+  row_number() OVER (ORDER BY decile, shuf, doc_id) AS curriculum_pos
+FROM tiers
+ORDER BY curriculum_pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "train_curriculum_order": QuerySpec(
+        train_curriculum_order, TRAIN_CURRICULUM_SQL
+    ),
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
     "train_bpe_merges": QuerySpec(train_bpe_merges, TRAIN_BPE_SQL),
     "train_sample_weighted": QuerySpec(

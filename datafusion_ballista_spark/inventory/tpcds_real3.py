@@ -186,8 +186,8 @@ select
 	s_store_name,
 	i_item_desc,
 	cast(sc.revenue as double) revenue,
-	i_current_price,
-	i_wholesale_cost,
+	cast(i_current_price as double) as i_current_price,
+	cast(i_wholesale_cost as double) as i_wholesale_cost,
 	i_brand
  from store, item,
      (select ss_store_sk, avg(revenue) as ave

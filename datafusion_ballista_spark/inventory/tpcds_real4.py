@@ -423,7 +423,7 @@ select  i_item_id
       ,i_item_desc
       ,i_category
       ,i_class
-      ,i_current_price
+      ,cast(i_current_price as double) as i_current_price
       ,cast(sum(ws_ext_sales_price) as double) as itemrevenue
       ,round(cast(sum(ws_ext_sales_price) as double)*100/
           cast(sum(sum(ws_ext_sales_price)) over (partition by i_class) as double), 6)

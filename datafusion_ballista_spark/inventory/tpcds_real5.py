@@ -57,7 +57,7 @@ select  i_item_id
        ,i_item_desc
        ,i_category
        ,i_class
-       ,i_current_price
+       ,cast(i_current_price as double) as i_current_price
        ,cast(sum(cs_ext_sales_price) as double) as itemrevenue
        ,round(cast(sum(cs_ext_sales_price) as double)*100/
            cast(sum(sum(cs_ext_sales_price)) over (partition by i_class) as double), 6)

@@ -211,7 +211,7 @@ select
 Q37_BODY = """
 select  i_item_id
        ,i_item_desc
-       ,i_current_price
+       ,cast(i_current_price as double) as i_current_price
  from item, inventory, date_dim, catalog_sales
  where i_current_price between 22 and 22 + 30
  and inv_item_sk = i_item_sk

@@ -602,7 +602,7 @@ with customer_total_return as
 Q82_BODY = """
 select  i_item_id
        ,i_item_desc
-       ,i_current_price
+       ,cast(i_current_price as double) as i_current_price
  from item, inventory, date_dim, store_sales
  where i_current_price between 30 and 30+30
  and inv_item_sk = i_item_sk

@@ -305,7 +305,9 @@ def attach_bmp(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                b = str(text).encode("utf-8")
+                # NULL text -> empty payload, matching the wav/avi paths
+                # (str(None) would encode the 4-byte literal "None")
+                b = text.encode("utf-8") if isinstance(text, str) else b""
                 pad = (-len(b)) % BMP_WIDTH
                 out.append((doc_id, encode_bmp_gray(b + b"\x00" * pad)))
             yield pd.DataFrame(out, columns=["doc_id", "bmp"])
@@ -353,6 +355,58 @@ def featurize(df: DataFrame, data_col: str = "bmp") -> DataFrame:
             )
 
     return df.select("doc_id", data_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def ahash64(df: DataFrame, data_col: str = "bmp") -> DataFrame:
+    """Perceptual average-hash (aHash) of each REAL decoded image: the
+    64-bit signature whose Hamming distance is the standard cheap
+    image-near-dup metric (pHash family; aHash is the mean-threshold
+    member). The decoded padded pixel sequence (length L = w*h) is cut
+    into 64 blocks — pixel j belongs to block (j*64) DIV L — and bit i
+    is set iff block i's mean EXCEEDS the global mean, compared by exact
+    integer cross-multiplication (block_sum * L > total_sum * block_len;
+    no floating point, so the hash is bit-reproducible cross-engine).
+    Emitted as four 16-bit band integers b0..b3 (bit i lives in band
+    i DIV 16 at weight 15 - i%16): the bands double as the Hamming-LSH
+    bucket keys downstream, and 4 ints avoid int64 sign traps in either
+    engine. Corrupt containers yield NULL bands (never a task abort)."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    _w, _h, gray = decode_bmp(b)
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                x = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+                L = len(x)
+                total = int(x.sum())
+                blk = (np.arange(L, dtype=np.int64) * 64) // max(L, 1)
+                bsum = np.bincount(blk, weights=x, minlength=64).astype(np.int64)
+                blen = np.bincount(blk, minlength=64).astype(np.int64)
+                bits = (bsum * L) > (total * blen)
+                bands = [
+                    int(
+                        sum(
+                            int(bits[k * 16 + i]) << (15 - i)
+                            for i in range(16)
+                        )
+                    )
+                    for k in range(4)
+                ]
+                rows.append((doc_id, *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("doc_id", data_col).mapInPandas(_hash, schema=AHASH_SCHEMA)
 
 
 RESIZE_SCHEMA = (

@@ -40,12 +40,21 @@ def oracle():
     con.close()
 
 
+from datafusion_ballista_spark.compare import (
+    decimal_output_columns as _decimal_output_columns,
+)
 from datafusion_ballista_spark.compare import fetch_oracle as _fetch_oracle
 from datafusion_ballista_spark.compare import normalize as _normalize
 
 
 def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?"):
     s_cols = list(spark_df.columns)
+    dec_cols = _decimal_output_columns(spark_df)
+    assert not dec_cols, (
+        f"[{name}] bare DecimalType output column(s) {dec_cols}: the driver's "
+        f"hash diverges on decimal representation even when values match "
+        f"(round-6 q12/q20/q37) — pin to DOUBLE/BIGINT before output"
+    )
     s_rows = [tuple(r) for r in spark_df.collect()]
     o_cols, o_rows, hugeints = _fetch_oracle(oracle_con.sql(oracle_sql))
     assert not hugeints, (

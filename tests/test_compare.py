@@ -97,3 +97,37 @@ def test_every_registered_oracle_is_hugeint_free():
         f"oracles emitting HUGEINT columns (wrap in CAST(... AS BIGINT)): "
         f"{offenders}"
     )
+
+
+def test_decimal_output_columns_detects_bare_and_nested(spark):
+    """Round-6 driver lesson: a bare DecimalType OUTPUT column hashes
+    red on the driver even when both engines return bit-identical values
+    (tpcds_real q12/q20/q37 — pre-fix, each emitted i_current_price
+    decimal(7,2) verbatim). The local gate must flag the class."""
+    from datafusion_ballista_spark.compare import decimal_output_columns
+
+    df = spark.sql(
+        "SELECT CAST(62.49 AS DECIMAL(7,2)) AS p, "
+        "       ARRAY(CAST(1 AS DECIMAL(5,0))) AS arr, "
+        "       NAMED_STRUCT('x', CAST(2 AS DECIMAL(3,1))) AS st, "
+        "       CAST(62.49 AS DOUBLE) AS ok_d, "
+        "       CAST(1 AS BIGINT) AS ok_i"
+    )
+    assert decimal_output_columns(df) == ["p", "arr", "st"]
+
+
+def test_compare_query_goes_red_on_decimal_output(spark):
+    """The miniature pre-fix-q37 reproduction: values identical across
+    engines, yet the record must NOT be hash-green, because the driver's
+    decimal-representation hash is not reproducible locally."""
+    from datafusion_ballista_spark.compare import compare_query
+
+    con = duckdb.connect()
+    df = spark.sql("SELECT CAST(62.49 AS DECIMAL(7,2)) AS p")
+    rec = compare_query(df, con, "SELECT CAST(62.49 AS DECIMAL(7,2)) AS p")
+    assert rec["decimal_output"] == ["p"]
+    assert rec["hash_match"] is False
+    # and the pinned form is green
+    df2 = spark.sql("SELECT CAST(CAST(62.49 AS DECIMAL(7,2)) AS DOUBLE) AS p")
+    rec2 = compare_query(df2, con, "SELECT CAST(62.49 AS DOUBLE) AS p")
+    assert rec2["hash_match"] is True and "decimal_output" not in rec2

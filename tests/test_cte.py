@@ -139,3 +139,35 @@ def test_materialized_strategy_hash_matches_oracle(name, spark):
         assert_query_matches(df, con, spec.oracle, f"{name}-materialized")
     finally:
         con.close()
+
+
+def test_split_block_comments_and_inter_cte_comments():
+    # ADVICE r6: '-- note' after a body's close paren, and /* */ blocks,
+    # must not derail the top-level scan
+    sql = (
+        "with a as (select 1 as x) -- note\n"
+        ", /* between */ b as (select x from a /* inner */)\n"
+        "select * from b"
+    )
+    ctes, rem = split_top_level_ctes(sql)
+    assert [n for n, _ in ctes] == ["a", "b"]
+    assert rem.strip() == "select * from b"
+
+
+def test_malformed_text_falls_back_verbatim(spark):
+    # unbalanced paren after a valid-looking prefix: the splitter raises
+    # internally; run_with_materialized_ctes must fall back, not error
+    sql = "with a as (select 1 as x), b as (select x from a select * from b"
+    with pytest.raises(Exception):
+        spark.sql(sql).collect()  # genuinely invalid SQL either way
+    # and a VALID text whose split raises ValueError in the scanner is
+    # simulated by a half-comment shape the old scanner choked on:
+    ok = "with a as (select 1 as x) -- trailing\nselect x from a"
+    assert run_with_materialized_ctes(spark, ok).collect()[0][0] == 1
+
+
+def test_ident_refs_ignore_strings_and_comments():
+    from datafusion_ballista_spark.cte import _ident_refs
+
+    text = "select 'heavy' as s, x -- heavy heavy\n /* heavy */ from heavy"
+    assert _ident_refs("heavy", text) == 1

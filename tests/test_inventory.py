@@ -5,16 +5,32 @@ from __future__ import annotations
 
 import pytest
 
+from datafusion_ballista_spark.compare import decimal_output_columns
 from datafusion_ballista_spark.inventory import all_queries
 from tests.conftest import SF_DIR, assert_query_matches
 
 _ALL = all_queries()
+
+# No registry entry may emit a bare DecimalType output column — the
+# round-6 driver proved its value hash diverges on decimal
+# *representation* even when both engines return bit-identical values
+# (tpcds_real q12/q20/q37: rows+schema green, hash red; exactly the
+# three then-unpinned decimal(7,2) passthroughs). Empty whitelist on
+# purpose: pin to DOUBLE (exact for 2dp money) or BIGINT instead.
+_DECIMAL_OUTPUT_WHITELIST: frozenset[str] = frozenset()
 
 
 @pytest.mark.parametrize("name", sorted(_ALL))
 def test_inventory_query(name, spark, oracle):
     spec = _ALL[name]
     df = spec.spark(spark, SF_DIR)
+    if name not in _DECIMAL_OUTPUT_WHITELIST:
+        dec_cols = decimal_output_columns(df)
+        assert not dec_cols, (
+            f"[{name}] bare DecimalType output column(s) {dec_cols}: the "
+            f"driver's hash diverges on decimal representation even when "
+            f"values match (round-6 q12/q20/q37) — pin to DOUBLE/BIGINT"
+        )
     if spec.oracle is None:
         rows = df.limit(10001).collect()
         assert rows is not None  # rows-only check: executes and returns
@@ -23,23 +39,15 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-6
-    window (VERDICT r5 Next #1) = the 5 never-checked sql_surface rows +
-    the first 45 VERBATIM TPC-DS texts on the real star fixture (the
-    reference's own CI gate). Lock the composition so an accidental
-    reorder doesn't silently waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-7
+    window (VERDICT r6 Next #1) = the three round-6 driver-red decimal
+    queries (now pinned to DOUBLE, leading so the fix gets driver
+    evidence) + the 42 never-checked beyond-reference rows + the next 5
+    verbatim TPC-DS texts. Lock the composition so an accidental reorder
+    doesn't silently waste a round."""
     names = list(_ALL)[:50]
-    assert names[:5] == [
-        "sql_pivot",
-        "sql_lateral_topk",
-        "sql_parameterized",
-        "sql_qualify",
-        "sql_recursive_cte",
-    ]
-    assert names[5:50] == [f"tpcds_real_q{i}" for i in range(1, 46)]
-    # Round-7 head queued immediately after the window (VERDICT r5 Next
-    # #2): every beyond-reference tier that has never had a driver row.
-    assert list(_ALL)[50:92] == [
+    assert names[:3] == ["tpcds_real_q12", "tpcds_real_q20", "tpcds_real_q37"]
+    assert names[3:45] == [
         "train_split_hash",
         "train_sample_stratified",
         "train_seq_packing",
@@ -83,6 +91,10 @@ def test_driver_window_rotation():
         "text_ngram_topk",
         "train_bpe_merges",
     ]
-    # Remaining verbatim texts precede the leftover shape analogues.
-    assert list(_ALL)[92:94] == ["tpcds_real_q46", "tpcds_real_q47"]
-    assert list(_ALL)[146:148] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert names[45:50] == [f"tpcds_real_q{i}" for i in range(46, 51)]
+    # Round-8 queue committed now (VERDICT r6 Next #3): remaining
+    # verbatim texts q51-q99 ahead of the leftover shape analogues —
+    # verbatim texts are strictly stronger evidence.
+    assert list(_ALL)[50:99] == [f"tpcds_real_q{i}" for i in range(51, 100)]
+    assert list(_ALL)[99:101] == ["tpcds_q44_shape", "tpcds_q45_shape"]
+    assert list(_ALL)[154] == "tpcds_q99_shape"
