@@ -2026,8 +2026,121 @@ LIMIT {_PMI_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — the degree-2 perplexity quality filter
+
+_LM_LAMBDA = 0.7  # bigram weight; 1-lambda backs off to the unigram
+
+
+def quality_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM quality scoring with unigram interpolation — the
+    degree-2 upgrade of quality_unigram_logprob (CCNet's perplexity
+    filter uses a 5-gram KenLM; degree 2 captures the word-order signal
+    the unigram filter cannot, e.g. shuffled-word gibberish scores LOW
+    here but identically to clean text under the unigram model).
+
+    Per adjacent pair (a,b): p = L*P(b|a) + (1-L)*P(b), with
+    P(b|a) = c(a,b)/c(a), P(b) = c(b)/N — all counts exact corpus
+    integers, so p is one deterministic IEEE expression; each pair's
+    -ln(p) is quantized to integer micro-nats BEFORE the per-doc sum
+    (the quality_unigram_logprob discipline: order-independent exact
+    integer aggregation, one divide at the end). Docs need >= 2 tokens.
+
+    Scale (100 TB): bigram extraction is the same MAP-ONLY shifted-slice
+    zip as text_collocation_pmi; two partial-aggregated count tables;
+    scoring joins are shuffle-on-token(-pair) with AQE skew split for
+    the Zipf head; the grand total is a 1-row broadcast. No Python."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
+    )
+    n = F.size(F.col("t")) - 1
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", F.lit(1), n).alias("a"),
+                    F.slice("t", F.lit(2), n).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    uni = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    p = (
+        F.lit(_LM_LAMBDA) * F.col("cab") / F.col("ca")
+        + F.lit(1.0 - _LM_LAMBDA) * F.col("cb") / F.col("n_uni")
+    )
+    micro = (
+        pairs.join(big, ["a", "b"])
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "ca"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * 1_000_000).cast("bigint").alias("m"),
+        )
+    )
+    return (
+        micro.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("m").alias("sm"))
+        .select(
+            "doc_id",
+            "n_pairs",
+            F.round(F.col("sm") / F.col("n_pairs") / 1_000_000, 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, t[pos] AS a, t[pos + 1] AS b
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+        FROM toks WHERE len(t) >= 2)),
+big AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+nu AS (SELECT SUM(c) AS n_uni FROM uni),
+micro AS (
+  SELECT p.doc_id,
+    CAST(ROUND(-ln({_LM_LAMBDA} * cab / ua.c
+                   + {1.0 - _LM_LAMBDA} * ub.c / n_uni) * 1000000)
+         AS BIGINT) AS m
+  FROM pairs p
+  JOIN big USING (a, b)
+  JOIN uni ua ON ua.tok = p.a
+  JOIN uni ub ON ub.tok = p.b
+  CROSS JOIN nu)
+SELECT doc_id, COUNT(*) AS n_pairs,
+  ROUND(SUM(m) / COUNT(*) / 1000000.0, 6) AS avg_nll
+FROM micro GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_collocation_pmi": QuerySpec(text_collocation_pmi, TEXT_PMI_SQL),
+    "quality_bigram_logprob": QuerySpec(
+        quality_bigram_logprob, QUALITY_BIGRAM_SQL
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),

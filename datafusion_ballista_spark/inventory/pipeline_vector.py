@@ -1261,7 +1261,154 @@ ORDER BY qid, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production billion-scale ANN composition (FAISS IndexIVFPQ)
+
+_IVFPQ_NQ = 5  # bounded query set, as ann_pq_adc
+_IVFPQ_NPROBE = 2  # coarse cells probed per query
+_IVFPQ_TOPK = 3
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: the routing stage ann_pq_adc's docstring promises —
+    coarse k-means cells (the exact-integer Lloyd quantizer shared with
+    emb_kmeans_lloyd) prune the corpus to nprobe=2 cells per query, and
+    the survivors are ranked by PQ asymmetric distance (the driver-side
+    Q x M x k lookup tables of ann_pq_adc). This is FAISS IndexIVFPQ's
+    query path, non-residual variant (codes quantize the raw vectors,
+    not cell residuals — the residual refinement changes constants, not
+    the plan), composed from the repo's two proven stages.
+
+    All arithmetic exact int64 micro-units: the coarse probe order, the
+    PQ codes, and the ADC ranking are bit-reproducible, so the DuckDB
+    oracle replays the identical Lloyd chains (coarse + 4 subspace) and
+    lookup algebra.
+
+    Scale (100 TB): the corpus ships ONE coarse assignment pass
+    (map-side vectorized against ~4 KB of literal centroids) and ONE
+    map-only PQ encode; at query time each query touches only its 2
+    cells' codes — corpus scan cost drops by k/nprobe vs ann_pq_adc's
+    full scan — and the per-candidate cost is M array lookups in
+    codegen. The probe list (Q x nprobe rows) and distance tables are
+    bounded driver metadata, broadcast. Zero shuffles on the corpus
+    beyond the assignment groupBy-free map; one top-k window per query
+    cell set."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    cents = _km_final_cents(pts)
+    books = _pq_codebooks(pts)
+    enc = _pq_enc_udf(books)
+    corpus = (
+        _km_assign(pts, cents)
+        .withColumn("e", enc(F.col("q")))
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("cid").alias("cell"),
+            *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
+        )
+    )
+    qrows = sorted(
+        pts.where(F.col("vec_id") < _IVFPQ_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )  # bounded driver metadata, as ann_pq_adc
+    # probe list: nprobe nearest coarse centroids per query (exact int
+    # sqdist, ties to the lower cid) — Q x k tiny driver computation
+    probes = []
+    for qi, r in enumerate(qrows):
+        qv = [int(x) for x in r.q]
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), cid)
+            for cid, c in enumerate(cents)
+        )
+        for _, cid in ds[:_IVFPQ_NPROBE]:
+            probes.append((int(r.vec_id), qi, cid))
+    # ADC lookup tables, flat qid-major (exactly ann_pq_adc's layout)
+    tabs = []
+    for m, bcents in enumerate(books):
+        flat = []
+        for r in qrows:
+            qsub = [int(x) for x in r.q[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            for c in bcents:
+                flat.append(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
+        tabs.append(F.array(*[F.lit(v).cast("bigint") for v in flat]))
+    probe_df = spark.createDataFrame(probes, "qid bigint, qi int, cell int")
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(
+            tabs[m], F.col("qi") * _PQ_K + F.col(f"code{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    sims = corpus.join(
+        F.broadcast(probe_df),
+        (corpus["cell"] == probe_df["cell"]) & (F.col("qid") != F.col("nid")),
+    ).select("qid", "nid", adc.alias("adist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _IVFPQ_TOPK)
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.col("adist").cast("double") / F.lit(float(_KM_SCALE) ** 2),
+                6,
+            ).alias("adc_dist"),
+            "rk",
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM emb ORDER BY vec_id LIMIT {_KM_K}),{_km_round_sql('c0', 'c1')},{_km_round_sql('c1', 'c2')},
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN c2 c) WHERE rn = 1),{",".join(_pq_subspace_sql(m) for m in range(_PQ_M))},
+codes AS (
+  SELECT f_s0.vec_id AS nid, cl.cell, code0, code1, code2, code3
+  FROM f_s0 JOIN f_s1 USING (vec_id) JOIN f_s2 USING (vec_id)
+  JOIN f_s3 USING (vec_id) JOIN cells cl USING (vec_id)),
+q AS (SELECT vec_id AS qid, q AS qv FROM emb WHERE vec_id < {_IVFPQ_NQ}),
+probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cid AS cell,
+      row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY list_sum(list_transform(range(1, len(q.qv) + 1),
+          i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid) AS pr
+    FROM q CROSS JOIN c2 c) WHERE pr <= {_IVFPQ_NPROBE}),
+sims AS (
+  SELECT q.qid, n.nid,
+    {" + ".join(_adc_term_sql(m) for m in range(_PQ_M))} AS adist
+  FROM (SELECT qid, qv, cell FROM probes) q
+  JOIN codes n ON n.cell = q.cell AND n.nid <> q.qid
+  JOIN c2_s0 b0 ON b0.cid = n.code0
+  JOIN c2_s1 b1 ON b1.cid = n.code1
+  JOIN c2_s2 b2 ON b2.cid = n.code2
+  JOIN c2_s3 b3 ON b3.cid = n.code3),
+ranked AS (
+  SELECT qid, nid, adist,
+    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+  FROM sims)
+SELECT qid, nid,
+  round(adist::DOUBLE / {float(_KM_SCALE) ** 2}, 6) AS adc_dist, rk
+FROM ranked WHERE rk <= {_IVFPQ_TOPK}
+ORDER BY qid, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
     "emb_pq_encode": QuerySpec(emb_pq_encode, EMB_PQ_SQL),

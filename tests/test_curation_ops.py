@@ -598,3 +598,143 @@ def test_bpe_matches_python(spark):
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _, _ in got), (
         "no composed merge — rounds not actually iterating"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: curriculum / PMI / phash / IVF-PQ / bigram-LM pins
+
+
+def test_curriculum_deciles_exact_and_order_dense(spark):
+    """Deciles are exact rank cuts (sizes differ by at most 1) and the
+    curriculum position is a dense 1..N permutation that walks deciles
+    monotonically (easy tier exhausted before the next starts)."""
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        train_curriculum_order,
+    )
+
+    rows = train_curriculum_order(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r.decile] = sizes.get(r.decile, 0) + 1
+    assert set(sizes) == set(range(10))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    deciles_walked = [r.decile for r in by_pos]
+    assert deciles_walked == sorted(deciles_walked)  # tier-monotone
+    # in-tier order is md5-shuffled, NOT difficulty-sorted: at least one
+    # tier must contain a difficulty inversion
+    assert any(
+        a.decile == b.decile and a.difficulty > b.difficulty
+        for a, b in zip(by_pos, by_pos[1:])
+    )
+
+
+def test_phash_matches_python_replication(spark):
+    """Third witness for the image near-dup hash (the PQ/k-means
+    precedent): replicate aHash64 from raw text bytes in pure python for
+    every doc, recompute each reported pair's Hamming distance, and
+    assert bit-identity with what Spark computed through the REAL
+    encode->decode BMP cycle. Also: every reported pair is inside the
+    radius, and no in-radius pair of the replicated signature table is
+    missing unless a band bucket was capped (pigeonhole completeness)."""
+    from datafusion_ballista_spark.inventory.multimodal_cov import (
+        _PHASH_MAX_BUCKET,
+        _PHASH_MAX_HAM,
+        multimodal_phash_neardup,
+    )
+
+    pairs = multimodal_phash_neardup(spark, SF_DIR).collect()
+    assert pairs, "fixture dup families must surface image near-dups"
+    assert all(0 <= r.hamming <= _PHASH_MAX_HAM for r in pairs)
+
+    d = tables(spark, SF_DIR, "documents").documents
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    def ahash(text):
+        b = text.encode("utf-8") if isinstance(text, str) else b""
+        pad = (-len(b)) % 16
+        px = b + b"\x00" * pad
+        L = len(px)
+        total = sum(px)
+        bsum = [0] * 64
+        blen = [0] * 64
+        for j, v in enumerate(px):
+            i = (j * 64) // L
+            bsum[i] += v
+            blen[i] += 1
+        bits = [1 if bsum[i] * L > total * blen[i] else 0 for i in range(64)]
+        return [
+            sum(bits[k * 16 + i] << (15 - i) for i in range(16))
+            for k in range(4)
+        ]
+
+    sig = {did: ahash(t) for did, t in texts.items()}
+    for r in pairs:
+        ham = sum(
+            bin(a ^ b).count("1") for a, b in zip(sig[r.doc_a], sig[r.doc_b])
+        )
+        assert ham == r.hamming, (r.doc_a, r.doc_b, ham, r.hamming)
+    # completeness: replicate the band-bucket candidate generation and
+    # confirm no in-radius pair escapes unless capped away
+    from collections import Counter
+
+    buckets = Counter(
+        (k, s[k]) for s in sig.values() for k in range(4)
+    )
+    reported = {(r.doc_a, r.doc_b) for r in pairs}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+            if ham <= _PHASH_MAX_HAM:
+                shared_ok = any(
+                    sig[a][k] == sig[b][k]
+                    and buckets[(k, sig[a][k])] <= _PHASH_MAX_BUCKET
+                    for k in range(4)
+                )
+                assert ((a, b) in reported) == shared_ok, (a, b, ham)
+
+
+def test_ivfpq_is_a_subset_ranking_of_full_adc(spark):
+    """IVF-PQ's per-query candidates are a subset of the full ADC scan's
+    corpus, so every returned distance must also appear in ann_pq_adc's
+    full ranking with a rank no better (smaller) position filtered out.
+    Concretely: each query yields exactly topk rows ranked 1..k with
+    nondecreasing distances, and the rank-1 IVF-PQ distance is >= the
+    full scan's rank-1 distance for that query."""
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _IVFPQ_NQ,
+        _IVFPQ_TOPK,
+        ann_ivfpq_topk,
+        ann_pq_adc,
+    )
+
+    ivf = ann_ivfpq_topk(spark, SF_DIR).collect()
+    full = ann_pq_adc(spark, SF_DIR).collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(_IVFPQ_NQ))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, _IVFPQ_TOPK + 1))
+        assert all(a.adc_dist <= b.adc_dist for a, b in zip(rs, rs[1:]))
+    full_best = {r.qid: r.adc_dist for r in full if r.rk == 1}
+    for qid, rs in by_q.items():
+        assert rs[0].adc_dist >= full_best[qid] - 1e-9
+
+
+def test_bigram_lm_penalizes_rare_transitions(spark):
+    """Sanity anchors for the interpolated bigram LM: every scored doc
+    has positive NLL, and a doc whose adjacent pairs are all
+    corpus-frequent scores better (lower NLL) than the corpus-worst."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        quality_bigram_logprob,
+    )
+
+    rows = quality_bigram_logprob(spark, SF_DIR).collect()
+    assert rows and all(r.avg_nll > 0 and r.n_pairs >= 1 for r in rows)
+    nlls = [r.avg_nll for r in rows]
+    assert min(nlls) < max(nlls)  # the filter actually separates docs
