@@ -108,7 +108,14 @@ def test_single_ref_ctes_stay_lazy_views(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["tpcds_real_q4", "tpcds_real_q14", "tpcds_real_q47", "tpcds_real_q95"],
+    [
+        "tpcds_real_q4",
+        "tpcds_real_q14",
+        "tpcds_real_q23",
+        "tpcds_real_q47",
+        "tpcds_real_q57",
+        "tpcds_real_q95",
+    ],
 )
 def test_materialized_strategy_hash_matches_oracle(name, spark):
     """The opt-in materialized path must produce hash-identical results to

@@ -30,6 +30,8 @@ _EAGER_QUERIES = {
     "emb_kmeans_lloyd",  # iterative Lloyd rounds: update jobs at construction
     "emb_pq_encode",  # 4 subspace codebooks train (collect) at construction
     "ann_pq_adc",  # same codebook training collects at construction
+    "ann_ivfpq_topk",  # coarse k-means + codebooks train (collect) at construction
+    "train_curriculum_order",  # global row-number offsets collect at construction
     "win_global_rownumber_dist",  # offset cumulation collects per-part counts
     "win_global_rank_dist",  # same operator family
     "win_global_dense_rank_dist",  # same operator family
@@ -63,6 +65,8 @@ _NESTED_LOOP_OK = {
     "tpcds_q24_shape",  # ds q24 shape: 1-row spine-average threshold crossJoin
     "h2o_w_basic_global_sum",  # OVER () rewrite: 1-row total crossJoin
     "dedup_containment",  # quote seeding: 1-row max(doc_id) scalar crossJoin
+    "text_collocation_pmi",  # two 1-row corpus-total scalar crossJoins
+    "quality_bigram_logprob",  # 1-row unigram-total scalar crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
