@@ -813,6 +813,33 @@ def train_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(_BPE_V)
     )
+    merges = _learn_bpe_merges(words)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, merged string, w bigint"
+    ).orderBy("rank")
+
+
+def _bpe_fold(a: str, b: str, m: str) -> Column:
+    """Greedy left-to-right non-overlapping application of one merge
+    (a, b) -> m to the symbol array column ``s``: append x, or replace
+    the accumulator tail with m when (tail, x) == (a, b). The tail can
+    never spuriously equal ``a`` post-merge since a||b != a for
+    nonempty b."""
+    al, bl, ml = F.lit(a), F.lit(b), F.lit(m)
+    return F.aggregate(
+        "s",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (x == bl),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ml)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _learn_bpe_merges(words: DataFrame) -> list[tuple]:
+    """Run the _BPE_R merge-learning rounds over a (word, cnt)
+    frequency table; returns [(rank, a, b, merged, weighted_count)].
+    Each round's driver traffic is ONE 3-tuple (the argmax pair)."""
     v = words.select(
         "word",
         "cnt",
@@ -840,25 +867,10 @@ def train_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
         )
         a, b, wgt = top.a, top.b, int(top.w)
         merges.append((r + 1, a, b, a + b, wgt))
-        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
-        fold = F.aggregate(
-            "s",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == al)
-                & (x == bl),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ml)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        v = v.select("word", "cnt", fold.alias("s")).localCheckpoint(
+        v = v.select("word", "cnt", _bpe_fold(a, b, a + b).alias("s")).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
-        merges, "rank int, a string, b string, merged string, w bigint"
-    ).orderBy("rank")
+    return merges
 
 
 def _bpe_round_sql(r: int) -> str:
@@ -909,6 +921,140 @@ v0 AS MATERIALIZED (
 SELECT * FROM (
 {" UNION ALL ".join(f"SELECT {r + 1} AS rank, a, b, a || b AS merged, w FROM mr{r}" for r in range(_BPE_R))}
 ) ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11b. BPE tokenization — apply the learned merges to the whole corpus
+
+
+def train_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus tokenization with the learned BPE merge table: the
+    counterpart of train_bpe_merges (same learning loop, shared code)
+    that then APPLIES the 8 merges to every word occurrence and reports
+    per-source compression — words, BPE tokens, chars, and the
+    chars-per-token ratio in exact integer micro-units (no floating
+    point, so the output is bit-reproducible across engines).
+
+    The application is memoized the way production tokenizers amortize:
+    encode each DISTINCT word type ONCE (8 map-only expression folds
+    over the word-type table), then join the per-(source, word)
+    occurrence counts back to the encoded lengths. The corpus-scale work
+    is exactly TWO shuffles — the (source, word) count groupBy and the
+    final per-source aggregate; the join-back keys on word types, whose
+    cardinality is corpus-sublinear (Heaps' law).
+
+    Scale (100 TB): raw-corpus passes are the occurrence count (one
+    partial-aggregated shuffle) and nothing else; merge learning touches
+    only the top-V frequency table (V is the scale knob); encoding
+    touches only word TYPES. The DuckDB oracle replays learning AND
+    application with the same unrolled-islands CTEs as TRAIN_BPE_SQL —
+    16 MATERIALIZED rounds total (8 learn + 8 apply)."""
+    d = tables(spark, sf, "documents").documents
+    occ = (
+        d.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("source", F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # reused: learning input + join-back
+    )
+    words = (
+        occ.groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_BPE_V)
+    )
+    merges = _learn_bpe_merges(words)
+    enc = occ.select("word").distinct().select(
+        "word", F.expr("regexp_extract_all(word, '[a-z]', 0)").alias("s")
+    )
+    for _, a, b, m, _w in merges:
+        enc = enc.select("word", _bpe_fold(a, b, m).alias("s")).localCheckpoint(
+            eager=False
+        )
+    enc = enc.select("word", F.size("s").alias("tok_len"))
+    return (
+        occ.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("tok_len")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("CAST((n_chars * 1000000) DIV n_tokens AS BIGINT)").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_apply_sql(r: int) -> str:
+    """One oracle application round: greedily apply the round-r learned
+    merge (the 1-row mr{r} table from TRAIN_BPE_SQL's learning rounds)
+    to the full word-type table a{r}, via the same islands trick."""
+    p, n = f"a{r}", f"a{r+1}"
+    return f"""
+asy{r} AS MATERIALIZED (
+  SELECT word, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+  FROM {p}),
+apr{r} AS MATERIALIZED (
+  SELECT word, pos, sym,
+    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM asy{r}),
+asl{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+      pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM (SELECT word, pos,
+            pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM (SELECT p.word, p.pos FROM apr{r} p, mr{r} m
+                WHERE p.sym = m.a AND p.nxt = m.b)))
+  WHERE off % 2 = 0),
+{n} AS MATERIALIZED (
+  SELECT sy.word,
+    list(CASE WHEN m.pos IS NOT NULL THEN sy.sym || mr.b ELSE sy.sym END
+         ORDER BY sy.pos) AS s
+  FROM asy{r} sy
+  CROSS JOIN mr{r} mr
+  LEFT JOIN asl{r} m ON m.word = sy.word AND m.pos = sy.pos
+  LEFT JOIN asl{r} m2 ON m2.word = sy.word AND m2.pos = sy.pos - 1
+  WHERE m2.pos IS NULL
+  GROUP BY sy.word)"""
+
+
+TRAIN_BPE_ENCODE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents),
+occ AS MATERIALIZED (
+  SELECT source, w AS word, COUNT(*) AS cnt FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1, 2),
+words AS MATERIALIZED (
+  SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt FROM occ GROUP BY 1
+  ORDER BY cnt DESC, word LIMIT {_BPE_V}),
+v0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS s FROM words),
+{",".join(_bpe_round_sql(r) for r in range(_BPE_R))},
+a0 AS MATERIALIZED (
+  SELECT DISTINCT word, regexp_extract_all(word, '[a-z]') AS s FROM occ),
+{",".join(_bpe_apply_sql(r) for r in range(_BPE_R))},
+enc AS MATERIALIZED (
+  SELECT word, len(s) AS tok_len FROM a{_BPE_R})
+SELECT occ.source,
+  CAST(SUM(cnt) AS BIGINT) AS n_words,
+  CAST(SUM(cnt * tok_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+  CAST((CAST(SUM(cnt * length(word)) AS BIGINT) * 1000000)
+       // CAST(SUM(cnt * tok_len) AS BIGINT) AS BIGINT)
+    AS chars_per_token_ppm
+FROM occ JOIN enc USING (word)
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -1002,6 +1148,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "train_split_hash": QuerySpec(train_split_hash, TRAIN_SPLIT_SQL),
     "train_bpe_merges": QuerySpec(train_bpe_merges, TRAIN_BPE_SQL),
+    "train_bpe_encode": QuerySpec(train_bpe_encode, TRAIN_BPE_ENCODE_SQL),
     "train_sample_weighted": QuerySpec(
         train_sample_weighted, _train_weighted_sql()
     ),

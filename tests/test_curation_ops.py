@@ -600,6 +600,83 @@ def test_bpe_matches_python(spark):
     )
 
 
+def test_bpe_encode_matches_python(spark):
+    """Replicate train_bpe_encode end-to-end in plain python: learn the
+    8 merges from the corpus word-frequency table, apply them greedily
+    to every (source, word) occurrence, and require the identical
+    per-source words/tokens/chars totals — the third witness alongside
+    the DuckDB oracle. Also requires real compression (n_tokens strictly
+    below n_chars somewhere, i.e. the merges actually fired corpus-wide)."""
+    import re
+    from collections import Counter
+
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        _BPE_R,
+        _BPE_V,
+        train_bpe_encode,
+    )
+
+    docs = tables(spark, SF_DIR, "documents").documents.collect()
+    occ = Counter()  # (source, word) -> cnt
+    for r in docs:
+        for w in (r.text or "").strip().lower().split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                occ[(r.source, w)] += 1
+    wc = Counter()
+    for (_, w), c in occ.items():
+        wc[w] += c
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_V]
+    vocab = {w: (cnt, list(w)) for w, cnt in top}
+    merges = []
+    for _ in range(_BPE_R):
+        c = Counter()
+        for w, (cnt, s) in vocab.items():
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += cnt
+        (a, b), _wgt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        for w, (cnt, s) in vocab.items():
+            vocab[w] = (cnt, _apply_merge(s, a, b))
+
+    enc: dict[str, int] = {}
+    for w in {w for (_, w) in occ}:
+        s = list(w)
+        for a, b in merges:
+            s = _apply_merge(s, a, b)
+        enc[w] = len(s)
+    agg: dict[str, list[int]] = {}
+    for (src, w), c in occ.items():
+        t = agg.setdefault(src, [0, 0, 0])
+        t[0] += c
+        t[1] += c * enc[w]
+        t[2] += c * len(w)
+    expect = [
+        (src, n_w, n_t, n_c, (n_c * 1000000) // n_t)
+        for src, (n_w, n_t, n_c) in sorted(agg.items())
+    ]
+    got = [
+        (r.source, r.n_words, r.n_tokens, r.n_chars, r.chars_per_token_ppm)
+        for r in train_bpe_encode(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert any(n_t < n_c for _, _, n_t, n_c, _ in got), (
+        "no corpus-wide compression — merges never applied"
+    )
+
+
+def _apply_merge(s: list, a: str, b: str) -> list:
+    """Greedy left-to-right non-overlapping (a, b) -> a+b on a symbol list."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # round-7 additions: curriculum / PMI / phash / IVF-PQ / bigram-LM pins
 

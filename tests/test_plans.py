@@ -27,6 +27,7 @@ _EAGER_QUERIES = {
     "dedup_clusters",  # iterative fixpoint: construction runs jobs per round
     "dedup_keep_best",  # same label-propagation fixpoint at construction
     "train_bpe_merges",  # iterative merge rounds collect at construction
+    "train_bpe_encode",  # same merge learning collects at construction
     "emb_kmeans_lloyd",  # iterative Lloyd rounds: update jobs at construction
     "emb_pq_encode",  # 4 subspace codebooks train (collect) at construction
     "ann_pq_adc",  # same codebook training collects at construction
