@@ -2136,7 +2136,98 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunking — insertion-robust chunk-level exact dedup
+
+_CDC_MOD = 8  # boundary probability 1/8 -> ~8-token average chunks
+_CDC_TOPK = 20
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/LBFS rolling-boundary idea
+    re-expressed over the token stream): a token starts a new chunk when
+    its 48-bit md5 hash is 0 mod 8, so chunk boundaries are decided by
+    CONTENT, not offsets — inserting or deleting a sentence shifts every
+    byte offset but leaves all other chunk identities intact, which is
+    what fixed-width shingling cannot do. Duplicated chunks (same md5 of
+    the chunk text in >= 2 docs) are the shared boilerplate / quoted
+    passages; output is the top-20 by breadth with exact tie-break.
+
+    Scale (100 TB): one linear explode, one PER-DOC cumulative-sum
+    window (partition key = doc_id, so state is bounded by document
+    length, never corpus size), and two partial-aggregated groupBys
+    (chunk rebuild, signature stats) + TakeOrderedAndProject for the
+    top-k. No pair space anywhere — duplication is discovered by the
+    signature groupBy exactly like dedup_exact, but at sub-document
+    granularity. Reference analogue: hash-repartitioned aggregate
+    (ballista RepartitionExec + AggregateExec)."""
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    flags = toks.withColumn(
+        "b", (_h48(F.col("w")) % _CDC_MOD == 0).cast("int")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = flags.withColumn("cid", F.sum("b").over(win))
+    texts = (
+        chunks.groupBy("doc_id", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("transform(ps, x -> x.w)")).alias("chunk"),
+            F.size("ps").alias("tok_len"),
+        )
+    )
+    return (
+        texts.groupBy(F.md5("chunk").alias("chunk_sig"))
+        .agg(
+            F.max("tok_len").cast("int").alias("tok_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("chunk_sig"))
+        .limit(_CDC_TOPK)
+    )
+
+
+DEDUP_CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos,
+    unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents),
+flags AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN ('0x' || substr(md5(w), 1, 12))::BIGINT % {_CDC_MOD} = 0
+         THEN 1 ELSE 0 END AS b
+  FROM toks),
+chunks AS (
+  SELECT doc_id, pos, w,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+  FROM flags),
+texts AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS chunk,
+    COUNT(*) AS tok_len
+  FROM chunks GROUP BY doc_id, cid)
+SELECT md5(chunk) AS chunk_sig,
+  CAST(MAX(tok_len) AS INT) AS tok_len,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM texts GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, chunk_sig
+LIMIT {_CDC_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cdc_chunks": QuerySpec(dedup_cdc_chunks, DEDUP_CDC_SQL),
     "text_collocation_pmi": QuerySpec(text_collocation_pmi, TEXT_PMI_SQL),
     "quality_bigram_logprob": QuerySpec(
         quality_bigram_logprob, QUALITY_BIGRAM_SQL

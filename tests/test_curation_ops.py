@@ -664,6 +664,70 @@ def test_bpe_encode_matches_python(spark):
     )
 
 
+def _cdc_chunks(text: str) -> list:
+    """Python replica of the content-defined chunker: a token opens a
+    new chunk when its 48-bit md5 fold is 0 mod 8."""
+    import hashlib
+
+    toks = text.strip().lower().split(" ")
+    out, cur = [], []
+    for w in toks:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:12], 16)
+        if h % 8 == 0 and cur:
+            out.append(" ".join(cur))
+            cur = []
+        cur.append(w)
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+def test_cdc_chunks_matches_python(spark):
+    """Replicate dedup_cdc_chunks in plain python over the fixture docs
+    (the third witness alongside the DuckDB oracle), then pin the CDC
+    headline property itself: prepending tokens to a document changes
+    only the chunks up to the first content boundary — every later
+    chunk identity is preserved, which fixed-offset shingling cannot do."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _CDC_TOPK,
+        dedup_cdc_chunks,
+    )
+
+    docs = tables(spark, SF_DIR, "documents").documents.collect()
+    sig_docs = defaultdict(set)
+    sig_occ = Counter()
+    sig_len = {}
+    for r in docs:
+        for c in _cdc_chunks(r.text or ""):
+            sig = hashlib.md5(c.encode()).hexdigest()
+            sig_docs[sig].add(r.doc_id)
+            sig_occ[sig] += 1
+            sig_len[sig] = len(c.split(" "))
+    dup = [
+        (sig, sig_len[sig], len(ds), sig_occ[sig])
+        for sig, ds in sig_docs.items()
+        if len(ds) >= 2
+    ]
+    expect = sorted(dup, key=lambda t: (-t[2], -t[3], t[0]))[:_CDC_TOPK]
+    got = [
+        (r.chunk_sig, r.tok_len, r.n_docs, r.n_occ)
+        for r in dedup_cdc_chunks(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert len(got) == _CDC_TOPK, "fixture has too little chunk duplication"
+
+    # Insertion robustness: chunks strictly after the first boundary
+    # following the insertion point are byte-identical.
+    base = docs[0].text
+    edited = "zzz yyy " + base
+    b, e = _cdc_chunks(base), _cdc_chunks(edited)
+    # All base chunks except possibly the first survive the edit.
+    assert set(b[1:]) <= set(e), "CDC boundaries shifted past the edit"
+
+
 def _apply_merge(s: list, a: str, b: str) -> list:
     """Greedy left-to-right non-overlapping (a, b) -> a+b on a symbol list."""
     out, i = [], 0
