@@ -2137,6 +2137,95 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# hashed linear quality classifier — the fastText-family filter shape
+
+_FT_BUCKETS = 1 << 20  # feature-hash space (fastText -bucket)
+_FT_WSPAN = 1000001  # weights are exact ints in [-500000, 500000]
+
+
+def quality_fasttext_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed linear quality classifier at inference time — the
+    fastText/DCLM filter family (Joulin et al. 2016: bag of words +
+    word-bigrams, feature hashing into a fixed bucket space, linear
+    model, sign of the margin decides): every production "model-based
+    quality filter" that is not an LLM is this shape. Weights are
+    derived deterministically from md5 of the bucket id (exact integers
+    in micro-units), standing in for trained parameters so BOTH engines
+    can evaluate the identical model with zero float hazard: the keep
+    decision is the SIGN of an exact integer margin sum, never a
+    sigmoid. Output: per-doc feature count, integer margin, keep flag.
+
+    Scale (100 TB): tokenize + bigram + hash + weight-lookup are ONE
+    map-only codegen pass (no model broadcast at all — the "weight
+    table" is a hash expression, the hashing trick taken to its
+    logical end); the per-doc margin is a single partial-aggregated
+    groupBy(doc_id). Linear, one shuffle, no skew beyond document
+    length. Reference analogue: projection + hash-repartitioned
+    aggregate (ballista ProjectionExec + AggregateExec)."""
+    d = tables(spark, sf, "documents").documents
+    t = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t") - 1
+    feats = t.select(
+        "doc_id",
+        F.concat(
+            F.col("t"),
+            F.zip_with(
+                F.slice("t", F.lit(1), n),
+                F.slice("t", F.lit(2), n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).alias("f"),
+    )
+    ex = feats.select("doc_id", F.explode("f").alias("f"))
+    bucket = _h48(F.col("f")) % _FT_BUCKETS
+    weight = (
+        _h48(F.concat(F.lit("ftw:"), bucket.cast("string"))) % _FT_WSPAN
+        - (_FT_WSPAN - 1) // 2
+    )
+    return (
+        ex.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("margin_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "margin_micro",
+            (F.col("margin_micro") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FASTTEXT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+    list_concat(
+      t,
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+    ) AS f
+  FROM toks),
+ex AS (SELECT doc_id, unnest(f) AS f FROM feats),
+wtd AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('ftw:' ||
+        CAST(('0x' || substr(md5(f), 1, 12))::BIGINT % {_FT_BUCKETS}
+             AS VARCHAR)), 1, 12))::BIGINT % {_FT_WSPAN}
+      - {(_FT_WSPAN - 1) // 2} AS w
+  FROM ex)
+SELECT doc_id, COUNT(*) AS n_feats,
+  CAST(SUM(w) AS BIGINT) AS margin_micro,
+  CAST(SUM(w) AS BIGINT) > 0 AS keep
+FROM wtd GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # content-defined chunking — insertion-robust chunk-level exact dedup
 
 _CDC_MOD = 8  # boundary probability 1/8 -> ~8-token average chunks
@@ -2228,6 +2317,9 @@ LIMIT {_CDC_TOPK}
 
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cdc_chunks": QuerySpec(dedup_cdc_chunks, DEDUP_CDC_SQL),
+    "quality_fasttext_hash": QuerySpec(
+        quality_fasttext_hash, QUALITY_FASTTEXT_SQL
+    ),
     "text_collocation_pmi": QuerySpec(text_collocation_pmi, TEXT_PMI_SQL),
     "quality_bigram_logprob": QuerySpec(
         quality_bigram_logprob, QUALITY_BIGRAM_SQL

@@ -664,6 +664,43 @@ def test_bpe_encode_matches_python(spark):
     )
 
 
+def test_fasttext_hash_matches_python(spark):
+    """Replicate the hashed linear classifier in plain python — token +
+    word-bigram features, md5 bucket hashing, md5-derived integer
+    weights, sign-of-margin keep — and require identical per-doc
+    margins. Also requires both keep classes to be populated (a filter
+    that keeps or drops everything proves nothing)."""
+    import hashlib
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _FT_BUCKETS,
+        _FT_WSPAN,
+        quality_fasttext_hash,
+    )
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    docs = tables(spark, SF_DIR, "documents").documents.collect()
+    expect = []
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        t = (r.text or "").strip().lower().split(" ")
+        f = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        ws = [
+            h48(f"ftw:{h48(x) % _FT_BUCKETS}") % _FT_WSPAN
+            - (_FT_WSPAN - 1) // 2
+            for x in f
+        ]
+        expect.append((r.doc_id, len(f), sum(ws), sum(ws) > 0))
+    got = [
+        (r.doc_id, r.n_feats, r.margin_micro, r.keep)
+        for r in quality_fasttext_hash(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    kept = {k for _, _, _, k in got}
+    assert kept == {True, False}, "degenerate filter: one class only"
+
+
 def _cdc_chunks(text: str) -> list:
     """Python replica of the content-defined chunker: a token opens a
     new chunk when its 48-bit md5 fold is 0 mod 8."""
