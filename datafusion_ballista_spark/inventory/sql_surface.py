@@ -159,6 +159,32 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_UNPIVOT_SPARK = """
+SELECT l_returnflag, metric, val FROM (
+  SELECT l_returnflag,
+    CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+    CAST(SUM(l_extendedprice) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM lineitem GROUP BY l_returnflag
+)
+UNPIVOT (val FOR metric IN (qty, revenue, cnt))
+ORDER BY l_returnflag, metric
+"""
+
+# DuckDB's UNPIVOT spells the melt with ON ... INTO NAME/VALUE.
+_UNPIVOT_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+    CAST(SUM(l_extendedprice) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, val
+FROM (UNPIVOT m ON qty, revenue, cnt INTO NAME metric VALUE val)
+ORDER BY l_returnflag, metric
+"""
+
+
 def _shared(sql_text: str):
     def run(spark: SparkSession, sf: str) -> DataFrame:
         register_all(spark, sf)
@@ -187,4 +213,5 @@ QUERIES: dict[str, QuerySpec] = {
     **{name: QuerySpec(_shared(text), text) for name, text in _SHARED.items()},
     "sql_parameterized": QuerySpec(sql_parameterized, _PARAM_ORACLE),
     "sql_pivot": QuerySpec(sql_pivot, _PIVOT_ORACLE),
+    "sql_unpivot": QuerySpec(_shared(_UNPIVOT_SPARK), _UNPIVOT_ORACLE),
 }
