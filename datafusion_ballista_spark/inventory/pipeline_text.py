@@ -1454,11 +1454,13 @@ def dedup_substring_exact(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale (100 TB): LINEAR, unlike the pairwise dedup family — no
     candidate pairs are ever materialized. Plan: explode to (doc, pos,
-    48-bit gram hash) [map], groupBy(gh) countDistinct(doc) with
-    partial aggregation [shuffle 1], semi-shaped join back on gh
-    [reuses shuffle 1's partitioning], per-doc window + groupBy(doc)
-    [shuffle 2], left join to doc lengths [shuffle 3, AQE-broadcast
-    when small]. A boilerplate gram repeated across millions of docs
+    48-bit gram hash) [map, materialized ONCE via lazy localCheckpoint
+    since two consumers read it and the explode + per-gram md5 is the
+    dominant cost — spill-backed, linear in corpus tokens], groupBy(gh)
+    countDistinct(doc) with partial aggregation [shuffle 1],
+    semi-shaped join back on gh [reuses shuffle 1's partitioning],
+    per-doc window + groupBy(doc) [shuffle 2], left join to doc
+    lengths [shuffle 3, AQE-broadcast when small]. A boilerplate gram repeated across millions of docs
     adds one row to `rep` and joins 1:1 per occurrence — fan-out is
     bounded by corpus token count, never quadratic. Hot-gram skew hits
     only the countDistinct groupBy, where map-side partial aggregation
@@ -1496,6 +1498,15 @@ def dedup_substring_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.col("g.pos").alias("pos"),
             _h48(F.col("g.s")).alias("gh"),
         )
+        # Two consumers read the gram table (the rep groupBy and the
+        # join-back), and the explode + per-gram md5 dominates the op's
+        # cost — materialize it once via the GC-cleaned lazy
+        # localCheckpoint (the minhash-signature precedent). Same-session
+        # 3-round A/B at sf1, bit-identical outputs: recompute 7.6-8.7 s,
+        # materialize-once 5.0-5.2 s, window-min≠max variant 5.0-5.7 s
+        # (rejected: a corpus-hot gram funnels one window partition,
+        # while the groupBy keeps map-side partial-agg absorption).
+        .localCheckpoint(eager=False)
     )
     rep = (
         g.groupBy("gh")
