@@ -664,6 +664,53 @@ def test_bpe_encode_matches_python(spark):
     )
 
 
+def test_pca_project_matches_numpy(spark):
+    """End-to-end numpy replication of emb_pca_project (the op is
+    rows-only in the oracle gate since an eigendecomposition is not
+    SQL-expressible): quantize, exact-int moment matrix, mean-centered
+    covariance, eigh, top-3 sign-fixed components, projection — all
+    replayed from the raw parquet and required identical at the op's own
+    6 dp rounding. Also requires real variance capture (components are
+    orthonormal and the projected variance is positive and decreasing)."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_SCALE,
+        _PCA_TOPK,
+        emb_pca_project,
+    )
+
+    raw = tables(spark, SF_DIR, "embeddings").embeddings.collect()
+    m = np.array(
+        [
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * _KM_SCALE + 0.5)
+            for r in sorted(raw, key=lambda r: r.vec_id)
+        ]
+    )
+    n = m.shape[0]
+    mu = m.sum(0) / n
+    cov = (m.T @ m) / n - np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :_PCA_TOPK].copy()
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    w = comps.T / float(_KM_SCALE)
+    y = np.round((m - mu) @ w.T, 6)
+    got = [
+        (r.vec_id, r.pc1, r.pc2, r.pc3)
+        for r in emb_pca_project(spark, SF_DIR).collect()
+    ]
+    expect = [
+        (r.vec_id, y[k, 0], y[k, 1], y[k, 2])
+        for k, r in enumerate(sorted(raw, key=lambda r: r.vec_id))
+    ]
+    assert got == expect
+    var = ((m - mu) @ w.T).var(axis=0)
+    assert var[0] >= var[1] >= var[2] > 0, "components not variance-ordered"
+    assert np.allclose(comps.T @ comps, np.eye(_PCA_TOPK), atol=1e-9)
+
+
 def test_fasttext_hash_matches_python(spark):
     """Replicate the hashed linear classifier in plain python — token +
     word-bigram features, md5 bucket hashing, md5-derived integer

@@ -32,6 +32,7 @@ _EAGER_QUERIES = {
     "emb_pq_encode",  # 4 subspace codebooks train (collect) at construction
     "ann_pq_adc",  # same codebook training collects at construction
     "ann_ivfpq_topk",  # coarse k-means + codebooks train (collect) at construction
+    "emb_pca_project",  # moment matrix + component sums collect at construction
     "train_curriculum_order",  # global row-number offsets collect at construction
     "win_global_rownumber_dist",  # offset cumulation collects per-part counts
     "win_global_rank_dist",  # same operator family
