@@ -238,8 +238,14 @@ def h2o_w_basic_global_sum(spark: SparkSession, sf: str) -> DataFrame:
 
     x = _x(spark, sf)
     total = x.agg(F.sum("v2").alias("window_basic"))
-    return x.crossJoin(F.broadcast(total)).select(
-        "id1", "id2", "id3", "v2", "window_basic"
+    # ORDER BY id3 (unique) pins the returned row order on both sides:
+    # the verbatim text has no ORDER BY, so without it the output is
+    # order-underdetermined — the one class that diverges under an
+    # order-sensitive row hash (compare.py's ordered_match audit).
+    return (
+        x.crossJoin(F.broadcast(total))
+        .select("id1", "id2", "id3", "v2", "window_basic")
+        .orderBy("id3")
     )
 
 
@@ -268,7 +274,7 @@ def h2o_w_sorted_rownum(spark: SparkSession, sf: str) -> DataFrame:
 
 _W_BASIC_SQL = _CTE + (
     "SELECT id1, id2, id3, v2, "
-    "CAST(SUM(v2) OVER () AS BIGINT) AS window_basic FROM x"
+    "CAST(SUM(v2) OVER () AS BIGINT) AS window_basic FROM x ORDER BY id3"
 )
 
 _W_SORTED_SQL = _CTE + (
