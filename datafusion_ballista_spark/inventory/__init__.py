@@ -74,71 +74,73 @@ def all_queries() -> dict[str, QuerySpec]:
     # re-fixes + pipeline_text/vector + io_ops + events; round 5 proved
     # the first 43 TPC-DS shape analogues + all 7 streaming rows (50/50
     # green each round).
-    # Round-7 window (per VERDICT r6 Next #1): LEAD with the three
-    # round-6 driver-red queries (tpcds_real_q12/q20/q37 — the bare
-    # DecimalType passthrough outputs, now pinned to DOUBLE) so the fix
-    # is proven with driver evidence, then the 42 beyond-reference rows
-    # that have never had a driver CORRECTNESS row — train(10) +
-    # multimodal(6) + pii/quality/ev + win_global(4) + h2o-window(2) +
-    # salted/q21/dedup_incremental + 2 stream rows + the round-6
-    # dedup/ANN-PQ/BPE additions — then the next 5 verbatim TPC-DS
-    # texts (q46-q50) to keep advancing the verbatim tier.
+    # Round-8 window (per VERDICT r7 Next #1): LEAD with the 11
+    # round-7 operators that have never had a driver CORRECTNESS row —
+    # new code is where driver blind spots live (round 6 proved it) —
+    # then tpcds_real_q51-q89 (39 verbatim texts) to fill 50.
     window = [
-        "tpcds_real_q12",
-        "tpcds_real_q20",
-        "tpcds_real_q37",
-        "train_split_hash",
-        "train_sample_stratified",
-        "train_seq_packing",
-        "train_contamination_ngram",
-        "train_mix_weights",
-        "train_split_leakage",
-        "train_doc_chunking",
-        "multimodal_featurize",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_audio_stats",
-        "multimodal_wav_roundtrip",
-        "multimodal_video_keyframes",
-        "pii_scrub",
-        "quality_unigram_logprob",
-        "ev_range_join_bucketed",
-        "dedup_incremental",
-        "stream_static_enrich",
-        "stream_checkpoint_resume",
-        "win_global_rownumber_dist",
-        "win_global_rank_dist",
-        "win_global_dense_rank_dist",
-        "win_global_cumsum_dist",
-        "h2o_w_basic_global_sum",
-        "h2o_w_sorted_rownum",
-        "rel_salted_skew_join",
-        "tpch_q21_waiting_suppliers",
-        "quality_repetition_gopher",
-        "ev_funnel_steps",
-        "train_token_budget_sample",
-        "emb_kmeans_lloyd",
-        "train_dsir_select",
-        "dedup_semdedup",
-        "quality_c4_filters",
-        "dedup_substring_exact",
-        "dedup_containment",
-        "emb_pq_encode",
-        "ann_pq_adc",
-        "dedup_keep_best",
-        "train_sample_weighted",
-        "text_ngram_topk",
-        "train_bpe_merges",
-    ] + [f"tpcds_real_q{i}" for i in range(46, 51)]
-    # Round-8 queue starts at position 50 so the next rotation is a
-    # one-line window swap (VERDICT r6 Next #3): the remaining verbatim
-    # tpcds_real texts q51-q99 (strictly stronger evidence than shape
-    # analogues), then the leftover shapes q44-q99. Each future swap
-    # advances the window over never-checked rows instead of
-    # re-verifying green ones.
+        "ann_ivfpq_topk",
+        "quality_bigram_logprob",
+        "train_bpe_encode",
+        "dedup_cdc_chunks",
+        "quality_fasttext_hash",
+        "text_collocation_pmi",
+        "train_curriculum_order",
+        "emb_covariance",
+        "emb_pca_project",
+        "multimodal_phash_neardup",
+        "sql_unpivot",
+    ] + [f"tpcds_real_q{i}" for i in range(51, 90)]
+    # Round-9/10 queue committed now (VERDICT r7 Next #3) so each
+    # rotation is a one-line window swap:
+    #   r9 window  = positions 50-99: the last 10 verbatim texts
+    #                (q90-q99) + the first 40 shape analogues.
+    #   r10 window = positions 100-149: the remaining 16 shapes + 34
+    #                regression sentinels — the OLDEST driver greens
+    #                (r2/r3 evidence, 6+ rounds stale by r10): the full
+    #                verbatim TPC-H tier (22) + the earliest relational
+    #                /window/null-handling rows.
+    _r10_sentinels = [
+        "tpch_q1",
+        "tpch_q2_min_cost_part",
+        "tpch_q3",
+        "tpch_q4_exists",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit",
+        "tpch_q10_returned",
+        "tpch_q11_important_parts",
+        "tpch_q12_priority_shipping",
+        "tpch_q13_custdist",
+        "tpch_q14_promo",
+        "tpch_q15_top_supplier",
+        "tpch_q16_part_supplier",
+        "tpch_q17_small_qty",
+        "tpch_q18_large_volume",
+        "tpch_q19_disjunctive",
+        "tpch_q20_semi_chain",
+        "tpch_q22_global_sales",
+        "rel_theta_join",
+        "rel_full_outer",
+        "rel_distinct_on",
+        "rel_null_ordering",
+        "rel_offset",
+        "rel_not_in_nulls",
+        "rel_values_inmem",
+        "rel_generate_series",
+        "win_ignore_nulls",
+        "win_first_last_nth",
+        "rel_empty_relation",
+        "rel_grouping_sets",
+        "rel_except_all",
+    ]
     queue = (
-        [f"tpcds_real_q{i}" for i in range(51, 100)]
-        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
+        [f"tpcds_real_q{i}" for i in range(90, 100)]
+        + [f"tpcds_q{i}_shape" for i in range(44, 84)]
+        + [f"tpcds_q{i}_shape" for i in range(84, 100)]
+        + _r10_sentinels
     )
 
     pool: dict[str, QuerySpec] = {}

@@ -39,62 +39,38 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-7
-    window (VERDICT r6 Next #1) = the three round-6 driver-red decimal
-    queries (now pinned to DOUBLE, leading so the fix gets driver
-    evidence) + the 42 never-checked beyond-reference rows + the next 5
-    verbatim TPC-DS texts. Lock the composition so an accidental reorder
-    doesn't silently waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-8
+    window (VERDICT r7 Next #1) = the 11 round-7 operators that have
+    never had a driver CORRECTNESS row (new code is where driver blind
+    spots live — round 6 proved it) + tpcds_real_q51-q89. Lock the
+    composition so an accidental reorder doesn't silently waste a
+    round; the r9/r10 queues are committed below (VERDICT r7 Next #3).
+    """
     names = list(_ALL)[:50]
-    assert names[:3] == ["tpcds_real_q12", "tpcds_real_q20", "tpcds_real_q37"]
-    assert names[3:45] == [
-        "train_split_hash",
-        "train_sample_stratified",
-        "train_seq_packing",
-        "train_contamination_ngram",
-        "train_mix_weights",
-        "train_split_leakage",
-        "train_doc_chunking",
-        "multimodal_featurize",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_audio_stats",
-        "multimodal_wav_roundtrip",
-        "multimodal_video_keyframes",
-        "pii_scrub",
-        "quality_unigram_logprob",
-        "ev_range_join_bucketed",
-        "dedup_incremental",
-        "stream_static_enrich",
-        "stream_checkpoint_resume",
-        "win_global_rownumber_dist",
-        "win_global_rank_dist",
-        "win_global_dense_rank_dist",
-        "win_global_cumsum_dist",
-        "h2o_w_basic_global_sum",
-        "h2o_w_sorted_rownum",
-        "rel_salted_skew_join",
-        "tpch_q21_waiting_suppliers",
-        "quality_repetition_gopher",
-        "ev_funnel_steps",
-        "train_token_budget_sample",
-        "emb_kmeans_lloyd",
-        "train_dsir_select",
-        "dedup_semdedup",
-        "quality_c4_filters",
-        "dedup_substring_exact",
-        "dedup_containment",
-        "emb_pq_encode",
-        "ann_pq_adc",
-        "dedup_keep_best",
-        "train_sample_weighted",
-        "text_ngram_topk",
-        "train_bpe_merges",
+    assert names[:11] == [
+        "ann_ivfpq_topk",
+        "quality_bigram_logprob",
+        "train_bpe_encode",
+        "dedup_cdc_chunks",
+        "quality_fasttext_hash",
+        "text_collocation_pmi",
+        "train_curriculum_order",
+        "emb_covariance",
+        "emb_pca_project",
+        "multimodal_phash_neardup",
+        "sql_unpivot",
     ]
-    assert names[45:50] == [f"tpcds_real_q{i}" for i in range(46, 51)]
-    # Round-8 queue committed now (VERDICT r6 Next #3): remaining
-    # verbatim texts q51-q99 ahead of the leftover shape analogues —
-    # verbatim texts are strictly stronger evidence.
-    assert list(_ALL)[50:99] == [f"tpcds_real_q{i}" for i in range(51, 100)]
-    assert list(_ALL)[99:101] == ["tpcds_q44_shape", "tpcds_q45_shape"]
-    assert list(_ALL)[154] == "tpcds_q99_shape"
+    assert names[11:50] == [f"tpcds_real_q{i}" for i in range(51, 90)]
+    # r9 window = q90-q99 verbatim + first 40 shape analogues.
+    assert list(_ALL)[50:60] == [f"tpcds_real_q{i}" for i in range(90, 100)]
+    assert list(_ALL)[60:100] == [f"tpcds_q{i}_shape" for i in range(44, 84)]
+    # r10 window = remaining 16 shapes + 34 regression sentinels
+    # (oldest driver greens: full verbatim TPC-H tier + earliest
+    # relational/window rows, r2/r3 evidence that will be 6+ rounds
+    # stale by then).
+    assert list(_ALL)[100:116] == [f"tpcds_q{i}_shape" for i in range(84, 100)]
+    sentinels = list(_ALL)[116:150]
+    assert sentinels[0] == "tpch_q1"
+    assert sentinels[20] == "tpch_q22_global_sales"
+    assert len([n for n in sentinels if n.startswith("tpch_")]) == 21
+    assert sentinels[-1] == "rel_except_all"
