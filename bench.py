@@ -105,6 +105,16 @@ def main() -> None:
         # the map-only encode pass)
         "dedup_substring_exact",
         "emb_pq_encode",
+        # round-8 additions (tracking starts r08, VERDICT r7 Next #5):
+        # the heaviest round-7 ops — corpus BPE tokenization (2 corpus
+        # shuffles + 16-round word-type encode), content-defined
+        # chunking (explode + per-doc cumsum window + 2 partial aggs),
+        # and the IVF-PQ query path (coarse assignment + PQ encode +
+        # nprobe-bounded ADC ranking). The 19 rows above are unchanged
+        # and remain method-frozen-comparable to r06/r07.
+        "train_bpe_encode",
+        "dedup_cdc_chunks",
+        "ann_ivfpq_topk",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
@@ -168,9 +178,30 @@ def main() -> None:
         "bench_vs_duckdb": (
             round(total / duck_total, 3) if duck_total else None
         ),
+        "sha": _git_sha(),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _git_sha() -> str:
+    """HEAD SHA (-dirty when uncommitted changes exist): binds every
+    BENCH_* artifact to the commit it measured."""
+    import subprocess
+
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (sha + ("-dirty" if dirty else "")) if sha else "unknown"
+    except Exception:
+        return "unknown"
 
 
 def _sf_of(sf_dir: str):

@@ -31,7 +31,7 @@ def _canon_decimal(v: Decimal) -> str:
     return "0" if s in ("-0", "") else s
 
 
-def norm_cell(v):
+def norm_cell(v, *, strict_floats: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):  # before int/float checks (bool is an int)
@@ -43,6 +43,15 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if strict_floats:
+            # BIT-EXACT mode (the float audit, round-8): -0.0 and NaN
+            # canonicalized, everything else raw — a mismatch here that
+            # the 9dp/12sg mode hides means the normalization is
+            # LOAD-BEARING for that query, i.e. the driver's own hash
+            # (which may not normalize) could diverge where the local
+            # gate stays green — the same blind-spot class as the
+            # round-6 decimal-representation reds.
+            return ("f", v + 0.0)
         # kill -0.0 and representation noise far below our rounding levels;
         # kind-tagged so double-vs-int divergences are visible too. The 9dp
         # rounding is ABSOLUTE, so it does nothing at large magnitudes —
@@ -53,21 +62,30 @@ def norm_cell(v):
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
     if isinstance(v, dict):  # map/struct cells (either engine)
-        return tuple(sorted((str(k), norm_cell(x)) for k, x in v.items()))
+        return tuple(
+            sorted(
+                (str(k), norm_cell(x, strict_floats=strict_floats))
+                for k, x in v.items()
+            )
+        )
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return tuple(norm_cell(x, strict_floats=strict_floats) for x in v)
     if isinstance(v, bytes):
         return v.hex()
     return v
 
 
-def normalize(cols, rows, *, sort_rows: bool = True):
+def normalize(cols, rows, *, sort_rows: bool = True, strict_floats: bool = False):
     """Columns are always sorted by name; rows are sorted unless
     ``sort_rows=False`` (the ordered second comparison mode — hash rows
     in RETURNED order, closing the driver-vs-replica semantic unknown of
-    whether the driver's hash is order-sensitive)."""
+    whether the driver's hash is order-sensitive). ``strict_floats=True``
+    compares float cells bit-exactly (the float-normalization audit)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out = [
+        tuple(norm_cell(r[i], strict_floats=strict_floats) for i in order)
+        for r in rows
+    ]
     if sort_rows:
         out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return [cols[i] for i in order], out
@@ -171,6 +189,14 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
         _, sn_o = normalize(s_cols, s_rows, sort_rows=False)
         _, on_o = normalize(o_cols, o_rows, sort_rows=False)
         rec["ordered_match"] = bool(rec["hash_match"]) and sn_o == on_o
+        # Third recorded mode (never gates here; the pytest gate enforces
+        # it with a documented whitelist): float cells compared BIT-EXACT.
+        # False while hash_match is True means the 9dp/12sg normalization
+        # is load-bearing — the cross-engine float divergence class the
+        # driver's own hash might not absorb.
+        _, sn_s = normalize(s_cols, s_rows, strict_floats=True)
+        _, on_s = normalize(o_cols, o_rows, strict_floats=True)
+        rec["float_strict_match"] = bool(rec["hash_match"]) and sn_s == on_s
     except Exception as ex:  # recorded, not raised: the artifact shows it
         rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
     return rec

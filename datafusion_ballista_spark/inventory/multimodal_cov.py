@@ -303,6 +303,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     the identical bits straight from the payload's UTF-8 bytes — a hash
     match proves both the codec round-trip and the banding algebra.
 
+    INTENTIONAL ASYMMETRY (fails red, never silently): Spark drops docs
+    whose BMP container fails to decode (b0 IS NOT NULL) while the
+    oracle hashes every doc's raw bytes unconditionally. attach_bmp
+    containers are generated in-process so decode cannot fail today; if
+    a future fixture ships a corrupt container the two sides diverge
+    STRUCTURALLY and the row goes red — by design, so a broken codec
+    path can never hide behind a passing hash. (MULTIMODAL_PHASH_SQL
+    carries the matching note.)
+
     Scale (100 TB of images): the signature table is 4 small ints per
     image; candidates are band-bucket joins with a frequent-band cap
     (buckets > 50 sigs are dropped on BOTH engines — the hot-shingle
@@ -362,6 +371,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MULTIMODAL_PHASH_SQL = f"""
+-- NOTE: intentionally asymmetric with the Spark side — this oracle
+-- hashes EVERY doc's raw bytes while Spark keeps only docs whose BMP
+-- container decodes (b0 IS NOT NULL). A corrupt container therefore
+-- fails RED (structural divergence), never silently green; see the
+-- multimodal_phash_neardup docstring.
 WITH dims AS (
   SELECT doc_id, encode(text) AS e, octet_length(encode(text)) AS n,
     16 * ((octet_length(encode(text)) + 15) // 16) AS L

@@ -1981,12 +1981,25 @@ def text_collocation_pmi(spark: SparkSession, sf: str) -> DataFrame:
             "a",
             "b",
             "cab",
+            # Numerator/denominator are computed in DOUBLE from the
+            # first multiply (cab * n_uni^2 and n_big * ca * cb both
+            # blow past int64 once the corpus exceeds ~3e9 tokens —
+            # Spark with ANSI off would wrap silently while the DuckDB
+            # oracle raises). Left-assoc double products are mirrored
+            # term-for-term in the oracle so IEEE rounding matches;
+            # the micro-nat round absorbs any residual ulp.
             F.round(
                 F.log(
-                    (F.col("cab") * F.col("n_uni") * F.col("n_uni")).cast(
-                        "double"
+                    (
+                        F.col("cab").cast("double")
+                        * F.col("n_uni").cast("double")
+                        * F.col("n_uni").cast("double")
                     )
-                    / (F.col("n_big") * F.col("ca") * F.col("cb"))
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
                 )
                 * 1_000_000
             )
@@ -2023,8 +2036,10 @@ nb AS (SELECT SUM(cab) AS n_big FROM big),
 nu AS (SELECT SUM(c) AS n_uni FROM uni),
 scored AS (
   SELECT big.a, big.b, cab,
-    CAST(ROUND(ln(CAST(cab * n_uni * n_uni AS DOUBLE)
-                  / (n_big * ua.c * ub.c)) * 1000000) AS BIGINT) AS pmi_micro
+    CAST(ROUND(ln((CAST(cab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                   * CAST(n_uni AS DOUBLE))
+                  / (CAST(n_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                     * CAST(ub.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro
   FROM big
   JOIN uni ua ON ua.tok = big.a
   JOIN uni ub ON ub.tok = big.b

@@ -986,9 +986,15 @@ def train_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
             "n_words",
             "n_tokens",
             "n_chars",
-            F.expr("CAST((n_chars * 1000000) DIV n_tokens AS BIGINT)").alias(
-                "chars_per_token_ppm"
-            ),
+            # ppm numerator in DECIMAL(38,0): n_chars * 1e6 blows past
+            # int64 once a source exceeds ~9e12 chars (~9 TB of text),
+            # well inside the 100 TB target — Spark (ANSI off) would
+            # wrap silently while the DuckDB oracle raises. DECIMAL DIV
+            # keeps the quotient exact; the oracle mirrors via HUGEINT.
+            F.expr(
+                "CAST((CAST(n_chars AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_tokens AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
         )
         .orderBy("source")
     )
@@ -1050,7 +1056,7 @@ SELECT occ.source,
   CAST(SUM(cnt) AS BIGINT) AS n_words,
   CAST(SUM(cnt * tok_len) AS BIGINT) AS n_tokens,
   CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
-  CAST((CAST(SUM(cnt * length(word)) AS BIGINT) * 1000000)
+  CAST((CAST(SUM(cnt * length(word)) AS HUGEINT) * 1000000)
        // CAST(SUM(cnt * tok_len) AS BIGINT) AS BIGINT)
     AS chars_per_token_ppm
 FROM occ JOIN enc USING (word)
@@ -1096,8 +1102,12 @@ def train_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("difficulty"),
     )
     n = scored.count()  # one scalar of driver metadata (decile divisor)
+    # NULLS LAST pinned explicitly on BOTH sides: Spark's asc() defaults
+    # NULLS FIRST while DuckDB's row_number ORDER BY defaults NULLS
+    # LAST — a NULL-text doc (NULL difficulty) would silently shift
+    # every rank/decile between engines otherwise.
     ranked = global_row_number(
-        scored, [F.asc("difficulty"), F.asc("doc_id")], out_col="rn"
+        scored, [F.asc_nulls_last("difficulty"), F.asc("doc_id")], out_col="rn"
     )
     tiers = ranked.select(
         "doc_id",
@@ -1127,7 +1137,7 @@ WITH s AS (
   FROM documents),
 r AS (
   SELECT doc_id, difficulty,
-    row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+    row_number() OVER (ORDER BY difficulty NULLS LAST, doc_id) AS rn,
     COUNT(*) OVER () AS n
   FROM s),
 tiers AS (

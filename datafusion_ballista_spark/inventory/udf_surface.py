@@ -120,7 +120,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 def apply_in_pandas_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """groupBy().applyInPandas — per-group z-score normalization, one pandas
     frame per group (grouped-map; the shape every featurization pipeline
-    uses). Oracle: the equivalent window-aggregate SQL."""
+    uses). Oracle: the equivalent window-aggregate SQL. Trailing sort on
+    the unique event_id pins returned-row order on both sides so the
+    stricter ordered-hash comparison mode holds too."""
     ev = tables(spark, sf, "events").events
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -128,9 +130,12 @@ def apply_in_pandas_zscore(spark: SparkSession, sf: str) -> DataFrame:
         pdf = pdf.assign(z=((v - v.mean()) / v.std()).round(6))
         return pdf[["event_id", "event_type", "z"]]
 
-    return ev.select("event_id", "event_type", "value").groupBy(
-        "event_type"
-    ).applyInPandas(zscore, schema="event_id long, event_type string, z double")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id long, event_type string, z double")
+        .orderBy("event_id")
+    )
 
 
 APPLY_IN_PANDAS_ZSCORE_SQL = """
@@ -138,6 +143,7 @@ SELECT event_id, event_type,
   ROUND((value - AVG(value) OVER (PARTITION BY event_type))
         / STDDEV(value) OVER (PARTITION BY event_type), 6) AS z
 FROM events
+ORDER BY event_id
 """
 
 
@@ -214,7 +220,9 @@ def cogroup_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     Scale: cogroup shuffles both sides once on user_id, then runs
     pd.merge_asof per user — group size is one user's history, bounded
     regardless of total data size. (user_id, ts) is unique in the fixture,
-    so the backward match is deterministic."""
+    so the backward match is deterministic. Trailing sort on the unique
+    event_id pins returned-row order on both sides so the stricter
+    ordered-hash comparison mode holds too."""
     ev = tables(spark, sf, "events").events
     left = ev.select("event_id", "user_id", "ts", "event_type")
     right = ev.where(F.col("event_type") == "signup").select(
@@ -229,10 +237,15 @@ def cogroup_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         return out[["event_id", "user_id", "ts", "anchor_ts", "anchor_value"]]
 
-    return left.groupBy("user_id").cogroup(right.groupBy("user_id")).applyInPandas(
-        asof,
-        schema="event_id long, user_id long, ts timestamp, "
-        "anchor_ts timestamp, anchor_value double",
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="event_id long, user_id long, ts timestamp, "
+            "anchor_ts timestamp, anchor_value double",
+        )
+        .orderBy("event_id")
     )
 
 
@@ -241,6 +254,7 @@ SELECT l.event_id, l.user_id, l.ts, r.ts AS anchor_ts, r.value AS anchor_value
 FROM events l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
 """
 
 

@@ -665,18 +665,23 @@ def test_bpe_encode_matches_python(spark):
 
 
 def test_pca_project_matches_numpy(spark):
-    """End-to-end numpy replication of emb_pca_project (the op is
-    rows-only in the oracle gate since an eigendecomposition is not
-    SQL-expressible): quantize, exact-int moment matrix, mean-centered
-    covariance, eigh, top-3 sign-fixed components, projection — all
-    replayed from the raw parquet and required identical at the op's own
-    6 dp rounding. Also requires real variance capture (components are
-    orthonormal and the projected variance is positive and decreasing)."""
+    """SEMANTIC witness for emb_pca_project: the op's fixed-round
+    integer power iteration (which the DuckDB oracle replays for the
+    hash gate) must find the TRUE principal axes. numpy eigh is the
+    INDEPENDENT reference here — it shares no code path with either
+    engine: quantize, exact moment matrix, mean-centered covariance,
+    eigh. Each extracted component must align with the corresponding
+    eigh eigenvector at |cos| >= 0.9999 (squaring acceleration gives
+    ~1e-6 convergence even on this near-isotropic synthetic spectrum),
+    the projections must match eigh-based projections after rescaling
+    to the op's max-|entry|=1 normalization, components must be
+    near-orthogonal, and projected variance variance-ordered."""
     import numpy as np
 
     from datafusion_ballista_spark.inventory.pipeline_vector import (
         _KM_SCALE,
         _PCA_TOPK,
+        _pca_power_components,
         emb_pca_project,
     )
 
@@ -687,28 +692,44 @@ def test_pca_project_matches_numpy(spark):
             for r in sorted(raw, key=lambda r: r.vec_id)
         ]
     )
-    n = m.shape[0]
+    n, dim = m.shape
     mu = m.sum(0) / n
     cov = (m.T @ m) / n - np.outer(mu, mu)
-    _, vecs = np.linalg.eigh(cov)
-    comps = vecs[:, ::-1][:, :_PCA_TOPK].copy()
-    for c in range(comps.shape[1]):
-        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
-            comps[:, c] = -comps[:, c]
-    w = comps.T / float(_KM_SCALE)
-    y = np.round((m - mu) @ w.T, 6)
-    got = [
-        (r.vec_id, r.pc1, r.pc2, r.pc3)
+    evals, vecs = np.linalg.eigh(cov)
+    eig = vecs[:, ::-1][:, :_PCA_TOPK]  # true top-k axes (unit L2)
+
+    mi = m.astype(np.int64)
+    s2 = [[int(v) for v in row] for row in (mi.T @ mi)]
+    sx = [int(v) for v in mi.sum(0)]
+    comps, c0 = _pca_power_components(s2, sx, n, dim)
+    u = np.array(comps, dtype=np.float64)  # k x dim, max-abs = _KM_SCALE
+
+    # 1. each component aligns with the true eigh axis
+    for k in range(_PCA_TOPK):
+        uk = u[k] / np.linalg.norm(u[k])
+        cos = abs(float(uk @ eig[:, k]))
+        assert cos >= 0.9999, f"comp{k + 1} |cos| vs eigh = {cos}"
+    # 2. near-orthogonality of the integer components
+    un = u / np.linalg.norm(u, axis=1, keepdims=True)
+    assert np.abs(un @ un.T - np.eye(_PCA_TOPK)).max() < 1e-5
+    # 3. Spark projections == eigh projections rescaled to the op's
+    #    max-|entry|=1 normalization (sign from the op's convention)
+    got = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3)
         for r in emb_pca_project(spark, SF_DIR).collect()
-    ]
-    expect = [
-        (r.vec_id, y[k, 0], y[k, 1], y[k, 2])
-        for k, r in enumerate(sorted(raw, key=lambda r: r.vec_id))
-    ]
-    assert got == expect
-    var = ((m - mu) @ w.T).var(axis=0)
+    }
+    w = u / float(_KM_SCALE)  # k x dim at max-|entry| = 1
+    y = (m - mu) @ (w / _KM_SCALE).T  # m is in micro-units
+    ids = [r.vec_id for r in sorted(raw, key=lambda r: r.vec_id)]
+    for kk, vid in enumerate(ids):
+        for k in range(_PCA_TOPK):
+            assert abs(got[vid][k] - y[kk, k]) < 2e-5, (vid, k)
+    # 4. projected variance onto the UNIT-NORM components is positive
+    #    and decreasing (the op's own output is scaled per-component by
+    #    the max-|entry|=1 normalization, so ordering is only defined
+    #    after L2 renormalization)
+    var = ((m - mu) / _KM_SCALE @ un.T).var(axis=0)
     assert var[0] >= var[1] >= var[2] > 0, "components not variance-ordered"
-    assert np.allclose(comps.T @ comps, np.eye(_PCA_TOPK), atol=1e-9)
 
 
 def test_fasttext_hash_matches_python(spark):

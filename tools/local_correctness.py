@@ -1,7 +1,9 @@
 """Full-inventory correctness artifact: the driver's 50-query CORRECTNESS
 gate, replicated over EVERY registry entry at sf0.01 and written to
 LOCAL_CORRECTNESS.json — so each query's hash-match claim is backed by a
-committed artifact, not just a green pytest run (round-2 advisor ask).
+committed artifact, not just a green pytest run. The artifact records
+the git SHA it was generated from so it binds to a commit without
+reading the log.
 
 Usage: python tools/local_correctness.py [out.json]
 """
@@ -10,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -47,6 +50,24 @@ GATE_ONLY_PREFIXES = [
 # fixtures are ~50 MB single files; the 128 MB default makes each scan one
 # task. 16m restores the multi-task scans a real cluster would have.
 GATE_MAXPART = os.environ.get("SPARK_GRAFT_GATE_MAXPART")
+
+
+def _git_sha() -> str:
+    """HEAD SHA (plus -dirty when the tree has uncommitted changes) so
+    every artifact binds to the commit it was generated from."""
+    try:
+        root = os.path.join(os.path.dirname(__file__), "..")
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (sha + ("-dirty" if dirty else "")) if sha else "unknown"
+    except Exception:
+        return "unknown"
 
 
 def main() -> int:
@@ -93,7 +114,8 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
     meta = {"sf_dir": SF_DIR, "n": len(results), "failures": failures,
-            "excluded": sorted(GATE_EXCLUDE), "results": results}
+            "excluded": sorted(GATE_EXCLUDE), "sha": _git_sha(),
+            "results": results}
     if os.environ.get("SPARK_GRAFT_STAR_DIR"):
         meta["star_dir"] = os.environ["SPARK_GRAFT_STAR_DIR"]
     if GATE_ONLY_PREFIXES:
