@@ -93,13 +93,17 @@ def all_queries() -> dict[str, QuerySpec]:
     ] + [f"tpcds_real_q{i}" for i in range(51, 90)]
     # Round-9/10 queue committed now (VERDICT r7 Next #3) so each
     # rotation is a one-line window swap:
-    #   r9 window  = positions 50-99: the last 10 verbatim texts
-    #                (q90-q99) + the first 40 shape analogues.
-    #   r10 window = positions 100-149: the remaining 16 shapes + 34
+    #   r9 window  = positions 50-99: the 5 round-8-NEW operators first
+    #                (the same newest-code-first principle VERDICT r7
+    #                applied to this round's window), then the last 10
+    #                verbatim texts (q90-q99) + the first 35 shape
+    #                analogues.
+    #   r10 window = positions 100-149: the remaining 21 shapes + 29
     #                regression sentinels — the OLDEST driver greens
-    #                (r2/r3 evidence, 6+ rounds stale by r10): the full
-    #                verbatim TPC-H tier (22) + the earliest relational
-    #                /window/null-handling rows.
+    #                (r2/r3 evidence, 6+ rounds stale by r10): the
+    #                verbatim TPC-H tier + the earliest relational
+    #                /window/null-handling rows (the full 34-sentinel
+    #                list continues past position 149 for r11).
     _r10_sentinels = [
         "tpch_q1",
         "tpch_q2_min_cost_part",
@@ -137,9 +141,15 @@ def all_queries() -> dict[str, QuerySpec]:
         "rel_except_all",
     ]
     queue = (
-        [f"tpcds_real_q{i}" for i in range(90, 100)]
-        + [f"tpcds_q{i}_shape" for i in range(44, 84)]
-        + [f"tpcds_q{i}_shape" for i in range(84, 100)]
+        [
+            "text_winnow_fingerprint",
+            "quality_lexical_ttr",
+            "dedup_prefix_filter_join",
+            "multimodal_audio_vad",
+            "ann_ivfpq_refine",
+        ]
+        + [f"tpcds_real_q{i}" for i in range(90, 100)]
+        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
         + _r10_sentinels
     )
 

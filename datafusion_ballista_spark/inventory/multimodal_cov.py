@@ -24,7 +24,7 @@ ASCII-only filter (byte == char by construction) instead of assuming it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_ballista_spark.inventory import QuerySpec
@@ -281,6 +281,111 @@ ORDER BY doc_id, frame_idx
 
 
 # ---------------------------------------------------------------------------
+# Energy VAD — voice-activity segmentation over the real WAV codec
+
+_VAD_FRAME = 50  # PCM samples per analysis frame
+
+
+def multimodal_audio_vad(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-based voice-activity detection over REAL decoded WAV
+    audio: frame the decoded PCM into 50-sample windows, compute each
+    frame's exact-int64 energy (sum of squared samples), mark frames
+    whose energy exceeds the doc's mean frame energy as voiced (the
+    classic adaptive-threshold VAD, exact integer comparison
+    energy * n_frames > total_energy — no float threshold), and merge
+    consecutive voiced frames into segments with the gaps-and-islands
+    trick. The speech-segmentation step an audio training pipeline runs
+    before transcription/alignment.
+
+    Spark's path decodes the genuine RIFF/WAVE container
+    (multimodal.decode_wav_frames — the same two-witness structure as
+    the other codecs); the oracle recomputes identical frame energies
+    straight from the payload's true UTF-8 bytes (hex-sliced), so a
+    hash match proves codec round-trip AND segmentation algebra.
+
+    Scale (100 TB of audio): decode + framing is one map-only Arrow
+    pass emitting bounded rows (n_samples/50 per doc); threshold is one
+    doc_id partial-agg join-back; islands is one per-DOC window (state
+    bounded by one doc's frame count, the dedup_cdc_chunks discipline);
+    segments are one more (doc_id, grp) partial agg. No global window,
+    no Python past the decode."""
+    from datafusion_ballista_spark.multimodal import (
+        attach_wav,
+        decode_wav_frames,
+    )
+
+    d = tables(spark, sf, "documents").documents.where(F.col("doc_id") < 200)
+    fr = decode_wav_frames(attach_wav(d), _VAD_FRAME)
+    tot = fr.groupBy("doc_id").agg(
+        F.sum("energy").alias("te"), F.count(F.lit(1)).alias("nf")
+    )
+    voiced = fr.join(tot, "doc_id").where(
+        F.col("energy") * F.col("nf") > F.col("te")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    seg = (
+        voiced.withColumn(
+            "grp", F.col("frame_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_frame")
+    return (
+        seg.select(
+            "doc_id",
+            F.row_number().over(w2).alias("seg_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "seg_energy",
+        )
+        .orderBy("doc_id", "seg_id")
+    )
+
+
+MULTIMODAL_VAD_SQL = f"""
+WITH samp AS (
+  SELECT doc_id, (i - 1) // {_VAD_FRAME} AS f,
+    (('0x' || substring(hex(encode(text)), 2 * i - 1, 2))::BIGINT - 128)
+      * 256 AS s,
+    octet_length(encode(text)) AS n
+  FROM (
+    SELECT doc_id, text,
+      unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents WHERE doc_id < 200)),
+fr AS (
+  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+    CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM samp WHERE f < n // {_VAD_FRAME} GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(energy) AS te, COUNT(*) AS nf FROM fr GROUP BY 1),
+voiced AS (
+  SELECT fr.doc_id, frame_idx, energy
+  FROM fr JOIN tot USING (doc_id) WHERE energy * nf > te),
+isl AS (
+  SELECT doc_id, frame_idx, energy,
+    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx)
+      AS grp
+  FROM voiced),
+seg AS (
+  SELECT doc_id, grp, MIN(frame_idx) AS start_frame,
+    MAX(frame_idx) AS end_frame, CAST(COUNT(*) AS BIGINT) AS n_frames,
+    CAST(SUM(energy) AS BIGINT) AS seg_energy
+  FROM isl GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INT)
+    AS seg_id,
+  start_frame, end_frame, n_frames, seg_energy
+FROM seg ORDER BY doc_id, seg_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash image near-dup — the multimodal member of the dedup family
 
 _PHASH_MAX_HAM = 3  # Hamming radius; <= bands-1 so pigeonhole guarantees
@@ -433,6 +538,9 @@ ORDER BY c.doc_a, c.doc_b
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_audio_vad": QuerySpec(
+        multimodal_audio_vad, MULTIMODAL_VAD_SQL
+    ),
     "multimodal_phash_neardup": QuerySpec(
         multimodal_phash_neardup, MULTIMODAL_PHASH_SQL
     ),

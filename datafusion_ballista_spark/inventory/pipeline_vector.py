@@ -1408,6 +1408,184 @@ ORDER BY qid, rk
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ + exact refine — the two-stage retrieval shape (FAISS
+# IndexRefineFlat over IndexIVFPQ)
+
+_REFINE_R = 10  # stage-1 ADC candidates refined per query
+_REFINE_TOPK = 3
+
+
+def ann_ivfpq_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC ranking produces R=10 candidates
+    per query (cheap, compressed-domain — exactly ann_ivfpq_topk's
+    stage), then ONLY those candidates are re-scored with the EXACT
+    integer L2 distance against the raw vectors and the top-3 kept.
+    This is FAISS's IndexRefineFlat-over-IndexIVFPQ composition — the
+    production answer to PQ's quantization error: ADC recall at scan
+    cost, exact precision on a bounded candidate set.
+
+    All arithmetic exact int64 micro-units; the refine join touches
+    Q x R rows (bounded), so ranking is bit-reproducible end-to-end and
+    the DuckDB oracle replays coarse Lloyd chains, codebooks, ADC, and
+    the refine algebra identically.
+
+    Scale (100 TB): stage 1 inherits ann_ivfpq_topk's shape (one coarse
+    assignment pass + one map-only encode, per-query cost bounded by
+    nprobe cells' codes); stage 2 adds ONE broadcast-joined lookup of
+    Q x R raw vectors — candidate count independent of corpus size, so
+    the exact math never touches more than a bounded set. The refine
+    fixes rank inversions ADC alone gets wrong (pinned by
+    tests/test_curation_ops.py)."""
+    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
+    cents = _km_final_cents(pts)
+    books = _pq_codebooks(pts)
+    enc = _pq_enc_udf(books)
+    corpus = (
+        _km_assign(pts, cents)
+        .withColumn("e", enc(F.col("q")))
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("cid").alias("cell"),
+            *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
+        )
+    )
+    qrows = sorted(
+        pts.where(F.col("vec_id") < _IVFPQ_NQ).collect(),
+        key=lambda r: r.vec_id,
+    )  # bounded driver metadata, as ann_ivfpq_topk
+    probes = []
+    for qi, r in enumerate(qrows):
+        qv = [int(x) for x in r.q]
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), cid)
+            for cid, c in enumerate(cents)
+        )
+        for _, cid in ds[:_IVFPQ_NPROBE]:
+            probes.append((int(r.vec_id), qi, cid))
+    tabs = []
+    for m, bcents in enumerate(books):
+        flat = []
+        for r in qrows:
+            qsub = [int(x) for x in r.q[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            for c in bcents:
+                flat.append(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
+        tabs.append(F.array(*[F.lit(v).cast("bigint") for v in flat]))
+    probe_df = spark.createDataFrame(probes, "qid bigint, qi int, cell int")
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(
+            tabs[m], F.col("qi") * _PQ_K + F.col(f"code{m}") + 1
+        )
+        adc = term if adc is None else adc + term
+    sims = corpus.join(
+        F.broadcast(probe_df),
+        (corpus["cell"] == probe_df["cell"]) & (F.col("qid") != F.col("nid")),
+    ).select("qid", "nid", adc.alias("adist"))
+    w1 = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    stage1 = (
+        sims.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= _REFINE_R)
+        .select("qid", "nid")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), [int(x) for x in r.q]) for r in qrows],
+        "qid bigint, qv array<bigint>",
+    )
+    exact = (
+        stage1.join(
+            pts.select(F.col("vec_id").alias("nid"), F.col("q").alias("nv")),
+            "nid",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.aggregate(
+                F.zip_with("nv", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("edist"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.asc("edist"), F.asc("nid"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _REFINE_TOPK)
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.col("edist").cast("double") / F.lit(float(_KM_SCALE) ** 2),
+                6,
+            ).alias("exact_dist"),
+            "rk",
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+ANN_IVFPQ_REFINE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM emb ORDER BY vec_id LIMIT {_KM_K}),{_km_round_sql('c0', 'c1')},{_km_round_sql('c1', 'c2')},
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN c2 c) WHERE rn = 1),{",".join(_pq_subspace_sql(m) for m in range(_PQ_M))},
+codes AS (
+  SELECT f_s0.vec_id AS nid, cl.cell, code0, code1, code2, code3
+  FROM f_s0 JOIN f_s1 USING (vec_id) JOIN f_s2 USING (vec_id)
+  JOIN f_s3 USING (vec_id) JOIN cells cl USING (vec_id)),
+q AS (SELECT vec_id AS qid, q AS qv FROM emb WHERE vec_id < {_IVFPQ_NQ}),
+probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cid AS cell,
+      row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY list_sum(list_transform(range(1, len(q.qv) + 1),
+          i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid) AS pr
+    FROM q CROSS JOIN c2 c) WHERE pr <= {_IVFPQ_NPROBE}),
+sims AS (
+  SELECT q.qid, n.nid,
+    {" + ".join(_adc_term_sql(m) for m in range(_PQ_M))} AS adist
+  FROM (SELECT qid, qv, cell FROM probes) q
+  JOIN codes n ON n.cell = q.cell AND n.nid <> q.qid
+  JOIN c2_s0 b0 ON b0.cid = n.code0
+  JOIN c2_s1 b1 ON b1.cid = n.code1
+  JOIN c2_s2 b2 ON b2.cid = n.code2
+  JOIN c2_s3 b3 ON b3.cid = n.code3),
+stage1 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk1
+    FROM sims) WHERE rk1 <= {_REFINE_R}),
+exact AS (
+  SELECT s.qid, s.nid,
+    list_sum(list_transform(range(1, len(qq.qv) + 1),
+      i -> (qq.qv[i] - n.q[i]) * (qq.qv[i] - n.q[i]))) AS edist
+  FROM stage1 s
+  JOIN q qq ON qq.qid = s.qid
+  JOIN emb n ON n.vec_id = s.nid),
+r2 AS (
+  SELECT qid, nid, edist,
+    row_number() OVER (PARTITION BY qid ORDER BY edist, nid) AS rk
+  FROM exact)
+SELECT qid, nid,
+  round(edist::DOUBLE / {float(_KM_SCALE) ** 2}, 6) AS exact_dist, rk
+FROM r2 WHERE rk <= {_REFINE_TOPK}
+ORDER BY qid, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed covariance + PCA projection (embedding whitening primitive)
 
 _PCA_TOPK = 3  # projected components reported per vector
@@ -1854,6 +2032,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_covariance": QuerySpec(emb_covariance, EMB_COV_SQL),
     "emb_pca_project": QuerySpec(emb_pca_project, _emb_pca_sql()),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_SQL),
+    "ann_ivfpq_refine": QuerySpec(ann_ivfpq_refine, ANN_IVFPQ_REFINE_SQL),
     "ann_bruteforce_topk": QuerySpec(ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "emb_kmeans_lloyd": QuerySpec(emb_kmeans_lloyd, EMB_KMEANS_SQL),
     "emb_pq_encode": QuerySpec(emb_pq_encode, EMB_PQ_SQL),

@@ -579,6 +579,52 @@ def decode_wav_stats(df: DataFrame, data_col: str = "wav") -> DataFrame:
     )
 
 
+def decode_wav_frames(
+    df: DataFrame, frame: int, data_col: str = "wav"
+) -> DataFrame:
+    """REAL audio decode to per-frame energies: parse the RIFF/WAVE
+    container with the stdlib ``wave`` codec, cut the decoded PCM into
+    complete frames of ``frame`` samples (the trailing partial frame is
+    dropped — frame count is a decode-side contract, mirrored by the
+    oracle's ``f < n // frame`` filter), and emit one exact-int64
+    energy (sum of squared samples) per frame. Feeds the VAD
+    segmentation; corrupt containers yield no rows (docs/SCALE.md
+    contract — skip, don't abort the task)."""
+    import io
+    import wave as wave_codec
+
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[data_col]):
+                try:
+                    with wave_codec.open(
+                        io.BytesIO(bytes(data) if data is not None else b""),
+                        "rb",
+                    ) as w:
+                        raw = w.readframes(w.getnframes())
+                except (wave_codec.Error, EOFError):
+                    continue
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                nf = x.size // frame
+                if nf == 0:
+                    continue
+                e = (x[: nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+                rows.extend(
+                    (doc_id, i, int(v)) for i, v in enumerate(e)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_idx", "energy"]
+                )
+
+    return df.select("doc_id", data_col).mapInPandas(
+        _frames, schema="doc_id bigint, frame_idx int, energy bigint"
+    )
+
+
 def attach_avi(df: DataFrame, text_col: str = "text") -> DataFrame:
     """REAL video blobs: each doc's UTF-8 bytes become grayscale pixels,
     chunked into 8x8 frames (zero-padded last frame) of a genuine

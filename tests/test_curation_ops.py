@@ -984,3 +984,238 @@ def test_bigram_lm_penalizes_rare_transitions(spark):
     assert rows and all(r.avg_nll > 0 and r.n_pairs >= 1 for r in rows)
     nlls = [r.avg_nll for r in rows]
     assert min(nlls) < max(nlls)  # the filter actually separates docs
+
+
+def test_winnow_matches_python_replication(spark):
+    """Pure-Python replication of the full winnowing pipeline
+    (Schleimer et al. 2003: positional 3-gram md5 hashes, w=4 window
+    minima with rightmost tie, df-cap, pair counting) over the whole
+    fixture — the reported pairs and shared-counts must be identical.
+    Also anchors the MOSS guarantee end-to-end: the fixture's planted
+    near-dup docs must surface."""
+    import hashlib
+    from collections import defaultdict
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _WINNOW_MAX_DF,
+        _WINNOW_MIN_SHARED,
+        _WINNOW_TOPK,
+        _WINNOW_W,
+        text_winnow_fingerprint,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in tables(spark, SF_DIR, "documents").documents.collect()
+    }
+    fps = {}
+    for did, text in docs.items():
+        toks = (text or "").strip().lower().split(" ")
+        if len(toks) < 3:
+            continue
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()
+                ).hexdigest()[:12],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        m = len(hs)
+        sel = set()
+        for j in range(1, max(m - _WINNOW_W + 1, 1) + 1):
+            win = hs[j - 1 : j - 1 + _WINNOW_W]
+            best = min(range(len(win)), key=lambda i: (win[i], -i))
+            sel.add(win[best])
+        fps[did] = sel
+    df_count = defaultdict(int)
+    for s in fps.values():
+        for h in s:
+            df_count[h] += 1
+    kept = {
+        did: {h for h in s if df_count[h] <= _WINNOW_MAX_DF}
+        for did, s in fps.items()
+    }
+    pair_shared = defaultdict(int)
+    inv = defaultdict(list)
+    for did, s in kept.items():
+        for h in s:
+            inv[h].append(did)
+    for h, ds in inv.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_shared[(ds[i], ds[j])] += 1
+    expect = sorted(
+        (
+            (a, b, c)
+            for (a, b), c in pair_shared.items()
+            if c >= _WINNOW_MIN_SHARED
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:_WINNOW_TOPK]
+    got = [
+        (r.doc_a, r.doc_b, r.shared)
+        for r in text_winnow_fingerprint(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert got, "fixture's planted near-dups must surface"
+
+
+def test_prefix_filter_join_is_lossless(spark):
+    """The prefix-filter LEMMA, verified empirically: brute-force exact
+    Jaccard over every doc pair's shingle sets must produce EXACTLY the
+    pairs the prefix-filtered join reports (same pairs, same ppm) — the
+    filter may only prune candidates that cannot pass, never a true
+    match. This is what distinguishes it from the df-capped and MinHash
+    dedup paths, which both trade completeness."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _PPJ_DEN,
+        _PPJ_NUM,
+        _PPJ_TOPK,
+        dedup_prefix_filter_join,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in tables(spark, SF_DIR, "documents").documents.collect()
+    }
+    sets = {}
+    for did, text in docs.items():
+        toks = (text or "").strip().lower().split(" ")
+        if len(toks) < 3:
+            continue
+        sets[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(sets)
+    exp = []
+    thresh = 1_000_000 * _PPJ_NUM // _PPJ_DEN
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            ppm = inter * 1_000_000 // (len(sets[a]) + len(sets[b]) - inter)
+            if ppm >= thresh:
+                exp.append((a, b, ppm))
+    exp.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got = [
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in dedup_prefix_filter_join(spark, SF_DIR).collect()
+    ]
+    assert got == exp[:_PPJ_TOPK]
+    assert got, "fixture's planted near-dups must produce J >= 0.5 pairs"
+
+
+def test_audio_vad_matches_python_replication(spark):
+    """Pure-Python replication of the VAD pipeline straight from the
+    payload bytes (frame energies, adaptive integer threshold, islands
+    merge) — segments must be identical, proving both the WAV container
+    round-trip and the segmentation algebra."""
+    from datafusion_ballista_spark.inventory.multimodal_cov import (
+        _VAD_FRAME,
+        multimodal_audio_vad,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in tables(spark, SF_DIR, "documents")
+        .documents.where(F.col("doc_id") < 200)
+        .collect()
+    }
+    expect = []
+    for did in sorted(docs):
+        b = (docs[did] or "").encode("utf-8")
+        samples = [(x - 128) * 256 for x in b]
+        nf = len(samples) // _VAD_FRAME
+        if nf == 0:
+            continue
+        en = [
+            sum(
+                s * s
+                for s in samples[i * _VAD_FRAME : (i + 1) * _VAD_FRAME]
+            )
+            for i in range(nf)
+        ]
+        te = sum(en)
+        voiced = [i for i in range(nf) if en[i] * nf > te]
+        segs = []
+        for i in voiced:
+            if segs and segs[-1][1] == i - 1:
+                segs[-1][1] = i
+                segs[-1][2] += en[i]
+            else:
+                segs.append([i, i, en[i]])
+        for k, (s0, s1, e) in enumerate(segs, 1):
+            expect.append((did, k, s0, s1, s1 - s0 + 1, e))
+    got = [
+        tuple(r)
+        for r in multimodal_audio_vad(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert any(r[4] > 1 for r in got), "some multi-frame segment exists"
+
+
+def test_lexical_ttr_matches_python_replication(spark):
+    """Block-TTR replication: complete 20-token blocks, exact ppm
+    integer math, bottom-k ordering."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _TTR_BLOCK,
+        _TTR_BOTTOMK,
+        quality_lexical_ttr,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in tables(spark, SF_DIR, "documents").documents.collect()
+    }
+    expect = []
+    for did in sorted(docs):
+        toks = (docs[did] or "").strip().lower().split(" ")
+        nb = len(toks) // _TTR_BLOCK
+        if nb == 0:
+            continue
+        ppms = [
+            len(set(toks[i * _TTR_BLOCK : (i + 1) * _TTR_BLOCK]))
+            * 1_000_000
+            // _TTR_BLOCK
+            for i in range(nb)
+        ]
+        expect.append((did, nb, sum(ppms) // nb))
+    expect.sort(key=lambda t: (t[2], t[0]))
+    got = [
+        (r.doc_id, r.n_blocks, r.ttr_ppm)
+        for r in quality_lexical_ttr(spark, SF_DIR).collect()
+    ]
+    assert got == expect[:_TTR_BOTTOMK]
+
+
+def test_ivfpq_refine_exact_distances(spark):
+    """Stage-2 witness: every refined (qid, nid) row's exact_dist must
+    equal the independently computed exact integer squared L2 distance
+    between the two raw quantized vectors, and ranks must be ordered by
+    it. (Stage 1 is the already-oracle-replayed IVF-PQ pipeline.)"""
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_SCALE,
+        _km_quantized,
+        ann_ivfpq_refine,
+    )
+
+    vecs = {
+        r.vec_id: [int(x) for x in r.q]
+        for r in _km_quantized(spark, SF_DIR).collect()
+    }
+    rows = ann_ivfpq_refine(spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        d = sum((a - b) * (a - b) for a, b in zip(vecs[r.qid], vecs[r.nid]))
+        assert abs(r.exact_dist - round(d / float(_KM_SCALE) ** 2, 6)) < 1e-9
+        by_q.setdefault(r.qid, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rk)
+        assert all(
+            a.exact_dist <= b.exact_dist + 1e-12 for a, b in zip(rs, rs[1:])
+        )

@@ -61,15 +61,24 @@ def test_driver_window_rotation():
         "sql_unpivot",
     ]
     assert names[11:50] == [f"tpcds_real_q{i}" for i in range(51, 90)]
-    # r9 window = q90-q99 verbatim + first 40 shape analogues.
-    assert list(_ALL)[50:60] == [f"tpcds_real_q{i}" for i in range(90, 100)]
-    assert list(_ALL)[60:100] == [f"tpcds_q{i}_shape" for i in range(44, 84)]
-    # r10 window = remaining 16 shapes + 34 regression sentinels
-    # (oldest driver greens: full verbatim TPC-H tier + earliest
+    # r9 window = the 5 round-8-new ops first (the newest-code-first
+    # principle of VERDICT r7 Next #1) + q90-q99 verbatim + first 35
+    # shape analogues.
+    assert list(_ALL)[50:55] == [
+        "text_winnow_fingerprint",
+        "quality_lexical_ttr",
+        "dedup_prefix_filter_join",
+        "multimodal_audio_vad",
+        "ann_ivfpq_refine",
+    ]
+    assert list(_ALL)[55:65] == [f"tpcds_real_q{i}" for i in range(90, 100)]
+    assert list(_ALL)[65:100] == [f"tpcds_q{i}_shape" for i in range(44, 79)]
+    # r10 window = remaining 21 shapes + 29 regression sentinels
+    # (oldest driver greens: verbatim TPC-H tier + earliest
     # relational/window rows, r2/r3 evidence that will be 6+ rounds
-    # stale by then).
-    assert list(_ALL)[100:116] == [f"tpcds_q{i}_shape" for i in range(84, 100)]
-    sentinels = list(_ALL)[116:150]
+    # stale by then; the sentinel list runs past 149 for r11).
+    assert list(_ALL)[100:121] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
+    sentinels = list(_ALL)[121:155]
     assert sentinels[0] == "tpch_q1"
     assert sentinels[20] == "tpch_q22_global_sales"
     assert len([n for n in sentinels if n.startswith("tpch_")]) == 21
