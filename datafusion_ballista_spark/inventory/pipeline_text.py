@@ -1944,7 +1944,7 @@ def text_collocation_pmi(spark: SparkSession, sf: str) -> DataFrame:
     1-row totals, a bigram->unigram join that is shuffle-on-token with
     AQE skew split for the Zipf head, and a TakeOrderedAndProject
     top-k. No global sort of the full pair table, no Python."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select(
         "doc_id",
         F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
@@ -2076,7 +2076,7 @@ def quality_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     zip as text_collocation_pmi; two partial-aggregated count tables;
     scoring joins are shuffle-on-token(-pair) with AQE skew split for
     the Zipf head; the grand total is a 1-row broadcast. No Python."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select(
         "doc_id",
         F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
@@ -2188,7 +2188,7 @@ def quality_fasttext_hash(spark: SparkSession, sf: str) -> DataFrame:
     groupBy(doc_id). Linear, one shuffle, no skew beyond document
     length. Reference analogue: projection + hash-repartitioned
     aggregate (ballista ProjectionExec + AggregateExec)."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     t = d.select("doc_id", _tokens(F.col("text")).alias("t"))
     n = F.size("t") - 1
     feats = t.select(
@@ -2276,7 +2276,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     signature groupBy exactly like dedup_exact, but at sub-document
     granularity. Reference analogue: hash-repartitioned aggregate
     (ballista RepartitionExec + AggregateExec)."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
     )
@@ -2372,7 +2372,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     thousands of docs would otherwise create a quadratic bucket).
     Short docs (< w grams) winnow a single window so the pairing stays
     total down to 3 tokens."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("arr")).where(
         F.size("arr") >= 3
     )
@@ -2426,13 +2426,19 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "h")
         .distinct()
     )
+    # materialize the fingerprint table ONCE: it feeds the df-cap and
+    # both sides of the pair self-join — with lineage the gram+window
+    # pipeline re-executes on the cold path (same-session A/B at sf1:
+    # cold 36.4 -> 27.6 s; warm draws converge, the pair-space groupBy
+    # dominating either way)
+    sel = sel.localCheckpoint(eager=False)
     ok = (
         sel.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") <= _WINNOW_MAX_DF)
         .select("h")
     )
-    fps = sel.join(ok, "h")
+    fps = sel.join(ok, "h").localCheckpoint(eager=False)
     pairs = (
         fps.alias("a")
         .join(
@@ -2503,7 +2509,7 @@ def quality_lexical_ttr(spark: SparkSession, sf: str) -> DataFrame:
     Scale (100 TB): one explode + one (doc_id, block) partial-agg
     shuffle + one doc_id rollup; TakeOrderedAndProject bottom-k. No
     window functions, no Python."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("p", "tok")
     )
@@ -2586,7 +2592,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
     survive a corpus whose synthetic vocabulary is too small for
     rarity alone); verification joins the two candidate docs' full
     sets, linear in candidate count. No quadratic pair space."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("arr")).where(
         F.size("arr") >= 3
     )
@@ -2606,6 +2612,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
         .join(sizes, "doc_id")
     )
     # prefix length p = s - ceil(J*s) + 1, ceil as exact integer rational
+    # NOT checkpointed: the candidate self-join's two sides share one
+    # physical shuffle via ReusedExchange, and keeping lineage lets AQE
+    # replan the join with runtime stats — a localCheckpoint here
+    # measured 2x SLOWER (same-session A/B at sf1: 23 -> 45 s), the
+    # opposite verdict from the winnow/substring gram tables whose
+    # consumers cannot share an exchange.
     prefix = ranked.where(
         F.col("idx")
         <= F.col("sz")

@@ -950,7 +950,7 @@ def train_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     touches only word TYPES. The DuckDB oracle replays learning AND
     application with the same unrolled-islands CTEs as TRAIN_BPE_SQL —
     16 MATERIALIZED rounds total (8 learn + 8 apply)."""
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     occ = (
         d.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
         .where(F.col("w").rlike("^[a-z]+$"))
@@ -1093,7 +1093,7 @@ def train_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         global_row_number,
     )
 
-    d = tables(spark, sf, "documents").documents
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     scored = d.select(
         "doc_id",
         F.expr(
