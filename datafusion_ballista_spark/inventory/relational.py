@@ -181,7 +181,7 @@ SELECT event_type, user_id % 5 AS user_bucket, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events WHERE user_id < 50
 GROUP BY CUBE (event_type, user_id % 5)
-ORDER BY event_type, user_bucket
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
 """
 
 
@@ -201,7 +201,7 @@ REL_GROUPING_SETS_SQL = """
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-ORDER BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
 """
 
 

@@ -65,6 +65,10 @@ def q1(spark: SparkSession, sf: str) -> DataFrame:
             davg(D("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # the reference text's ORDER BY (ballista benchmarks/queries/
+        # q1.sql) — also pins returned-row order for the stricter
+        # ordered-hash comparison mode
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -81,6 +85,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """
 
 
