@@ -1294,8 +1294,19 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     beyond the assignment groupBy-free map; one top-k window per query
     cell set."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    cents = _km_final_cents(pts)
-    books = _pq_codebooks(pts)
+    # coarse quantizer and PQ codebooks are INDEPENDENT Lloyd chains
+    # over the same pts — train them as concurrent Spark jobs (thread
+    # pool; Spark job submission is thread-safe) instead of serially:
+    # each chain is collect-per-round scheduler-latency bound, so
+    # overlap hides the shorter chain entirely (same-session A/B at
+    # sf0.1: 2.7 -> 1.8 s warm, 6.5 -> 2.3 s cold; checksums
+    # bit-identical)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _f_cents = _ex.submit(_km_final_cents, pts)
+        _f_books = _ex.submit(_pq_codebooks, pts)
+        cents, books = _f_cents.result(), _f_books.result()
     enc = _pq_enc_udf(books)
     corpus = (
         _km_assign(pts, cents)
@@ -1437,8 +1448,19 @@ def ann_ivfpq_refine(spark: SparkSession, sf: str) -> DataFrame:
     fixes rank inversions ADC alone gets wrong (pinned by
     tests/test_curation_ops.py)."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    cents = _km_final_cents(pts)
-    books = _pq_codebooks(pts)
+    # coarse quantizer and PQ codebooks are INDEPENDENT Lloyd chains
+    # over the same pts — train them as concurrent Spark jobs (thread
+    # pool; Spark job submission is thread-safe) instead of serially:
+    # each chain is collect-per-round scheduler-latency bound, so
+    # overlap hides the shorter chain entirely (same-session A/B at
+    # sf0.1: 2.7 -> 1.8 s warm, 6.5 -> 2.3 s cold; checksums
+    # bit-identical)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _f_cents = _ex.submit(_km_final_cents, pts)
+        _f_books = _ex.submit(_pq_codebooks, pts)
+        cents, books = _f_cents.result(), _f_books.result()
     enc = _pq_enc_udf(books)
     corpus = (
         _km_assign(pts, cents)
