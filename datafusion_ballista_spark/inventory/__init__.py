@@ -74,36 +74,30 @@ def all_queries() -> dict[str, QuerySpec]:
     # re-fixes + pipeline_text/vector + io_ops + events; round 5 proved
     # the first 43 TPC-DS shape analogues + all 7 streaming rows (50/50
     # green each round).
-    # Round-8 window (per VERDICT r7 Next #1): LEAD with the 11
-    # round-7 operators that have never had a driver CORRECTNESS row —
-    # new code is where driver blind spots live (round 6 proved it) —
-    # then tpcds_real_q51-q89 (39 verbatim texts) to fill 50.
+    # Round-9 window (the swap VERDICT r8 Next #1 asked for, exactly as
+    # committed in round 8): the 5 round-8-NEW operators first (the
+    # newest-code-first principle — new code is where driver blind
+    # spots live, round 6 proved it), then the last 10 verbatim TPC-DS
+    # texts (q90-q99) + the first 35 shape analogues.
     window = [
-        "ann_ivfpq_topk",
-        "quality_bigram_logprob",
-        "train_bpe_encode",
-        "dedup_cdc_chunks",
-        "quality_fasttext_hash",
-        "text_collocation_pmi",
-        "train_curriculum_order",
-        "emb_covariance",
-        "emb_pca_project",
-        "multimodal_phash_neardup",
-        "sql_unpivot",
-    ] + [f"tpcds_real_q{i}" for i in range(51, 90)]
-    # Round-9/10 queue committed now (VERDICT r7 Next #3) so each
-    # rotation is a one-line window swap:
-    #   r9 window  = positions 50-99: the 5 round-8-NEW operators first
-    #                (the same newest-code-first principle VERDICT r7
-    #                applied to this round's window), then the last 10
-    #                verbatim texts (q90-q99) + the first 35 shape
-    #                analogues.
-    #   r10 window = positions 100-149: the remaining 21 shapes + 29
-    #                regression sentinels — the OLDEST driver greens
-    #                (r2/r3 evidence, 6+ rounds stale by r10): the
-    #                verbatim TPC-H tier + the earliest relational
-    #                /window/null-handling rows (the full 34-sentinel
-    #                list continues past position 149 for r11).
+        "text_winnow_fingerprint",
+        "quality_lexical_ttr",
+        "dedup_prefix_filter_join",
+        "multimodal_audio_vad",
+        "ann_ivfpq_refine",
+    ] + [f"tpcds_real_q{i}" for i in range(90, 100)] + [
+        f"tpcds_q{i}_shape" for i in range(44, 79)
+    ]
+    # Round-10 queue committed now so the next rotation is again a
+    # one-line window swap:
+    #   r10 window = positions 50-99: the 5 round-9-NEW operators
+    #                first (same newest-code-first rule), then the
+    #                remaining 21 shapes + 24 regression sentinels —
+    #                the OLDEST driver greens (r2/r3 evidence, 6+
+    #                rounds stale by r10): the verbatim TPC-H tier +
+    #                the earliest relational/window/null-handling rows
+    #                (the full 34-sentinel list continues past
+    #                position 99 for r11).
     _r10_sentinels = [
         "tpch_q1",
         "tpch_q2_min_cost_part",
@@ -140,16 +134,16 @@ def all_queries() -> dict[str, QuerySpec]:
         "rel_grouping_sets",
         "rel_except_all",
     ]
+    _r9_new_ops = [
+        "dedup_lines_keep_first",
+        "quality_kneser_ney_bigram",
+        "quality_ccnet_bucket",
+        "emb_random_projection",
+        "ann_mmr_rerank",
+    ]
     queue = (
-        [
-            "text_winnow_fingerprint",
-            "quality_lexical_ttr",
-            "dedup_prefix_filter_join",
-            "multimodal_audio_vad",
-            "ann_ivfpq_refine",
-        ]
-        + [f"tpcds_real_q{i}" for i in range(90, 100)]
-        + [f"tpcds_q{i}_shape" for i in range(44, 100)]
+        _r9_new_ops
+        + [f"tpcds_q{i}_shape" for i in range(79, 100)]
         + _r10_sentinels
     )
 

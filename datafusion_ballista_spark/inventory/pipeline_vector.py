@@ -1611,6 +1611,7 @@ ORDER BY qid, rk
 # distributed covariance + PCA projection (embedding whitening primitive)
 
 _PCA_TOPK = 3  # projected components reported per vector
+_COV_N_BUDGET = 2_300_000  # exact-int64 Gram window: 2^63 / (2e6)^2 rows
 
 
 def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
@@ -1630,10 +1631,14 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     per-product <= 4e12, so the int64 Gram entry S_ij = sum x_i x_j is
     exact only while N_total <= 2^63 / 4e12 ~= 2.3e6 rows — this is a
     GLOBAL bound (the final SUM accumulates across all partitions), not
-    a per-partition one. Each partition asserts its own share of the
-    budget (the guard below), the oracle side fails LOUDLY past it
-    (DuckDB sums in HUGEINT, then the CAST to BIGINT raises), and
-    emb_pca_project re-checks the global N after collect. Past 2.3e6
+    a per-partition one. It is enforced at BOTH levels: each partition
+    asserts its own share of the budget (the guard below), and the
+    returned plan asserts the GLOBAL row count with assert_true on the
+    n output column (round-8 ADVICE: N partitions each under budget
+    could still wrap the cross-partition final SUM with ANSI off). The
+    oracle side also fails loudly past it (DuckDB sums in HUGEINT,
+    then the CAST to BIGINT raises), and emb_pca_project re-checks the
+    global N after collect. Past 2.3e6
     rows, lower _KM_SCALE: exactness degrades gracefully as
     scale = 1e6 * sqrt(2.3e6 / N). Reference analogue: partial/final
     AggregateExec."""
@@ -1656,7 +1661,7 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
             # so a partition holding > 2.3e6 rows could wrap. Raise
             # instead of wrapping (the global bound is re-checked
             # driver-side in emb_pca_project).
-            if cnt > 2_300_000:
+            if cnt > _COV_N_BUDGET:
                 raise OverflowError(
                     "emb_covariance exact-int64 window exceeded: "
                     f"{cnt} rows in one partition > 2.3e6 (per-product "
@@ -1675,9 +1680,31 @@ def emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     part = q.select("q").mapInPandas(_outer, "i int, j int, sxy bigint, n bigint")
+    # GLOBAL exactness guard (round-8 ADVICE): the per-partition assert
+    # above only protects each partition's PARTIAL — the final SUM
+    # accumulates across partitions, so N partitions each under budget
+    # can still wrap the global Gram entry. The returned plan itself
+    # asserts the global row count (n is an output column, so Catalyst
+    # cannot prune the check), making standalone emb_covariance fail
+    # loudly instead of returning wrapped values.
+    _global_ok = F.assert_true(
+        F.col("n") <= F.lit(_COV_N_BUDGET),
+        F.lit(
+            "emb_covariance exact-int64 window exceeded GLOBALLY: total "
+            "rows > 2.3e6 (per-product 4e12 * 2.3e6 ~ 2^63, and the "
+            "final cross-partition SUM wraps silently with ANSI off); "
+            "lower _KM_SCALE to widen"
+        ),
+    )
     return (
         part.groupBy("i", "j")
         .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
+        .select(
+            "i",
+            "j",
+            "sxy",
+            F.when(_global_ok.isNull(), F.col("n")).alias("n"),
+        )
         .orderBy("i", "j")
     )
 
@@ -1705,6 +1732,18 @@ _PCA_PSCALE = 10**11  # squaring renorm target (HUGEINT headroom: the
 #                       4 orders under int128 max ~1.7e38)
 _PCA_SQUARINGS = 7  # P = A^(2^7) = A^128 — gap amplification for the
 #                     near-isotropic spectra synthetic corpora have
+# VALIDITY ENVELOPE (round-8 ADVICE): squaring renorms P to max-abs
+# _PCA_PSCALE = 1e11, so an eigencomponent survives the 7 squarings only
+# while (lambda_k / lambda_1)^128 >= 1/_PCA_PSCALE = 1e-11, i.e.
+# lambda_k / lambda_1 >= 10^(-11/128) ~= 0.8207. On spectra that decay
+# faster (e.g. lambda2/lambda1 = 0.53), components 2-3 of P fall below
+# integer quantization noise and the deflated iteration converges to
+# garbage WITHOUT any arithmetic error — and the DuckDB oracle, which
+# replays the identical integer sequence, stays green. The build-time
+# guard at the end of _pca_power_components therefore verifies every
+# returned component against the EXACT covariance (Rayleigh residual +
+# eigenvalue-order check vs numpy eigh on the bounded dim x dim driver
+# matrix) and raises instead of shipping silently-wrong axes.
 _PCA_ROUNDS = 8  # deflated power rounds on P (effective power A^1024)
 
 
@@ -1809,6 +1848,51 @@ def _pca_power_components(
             v = [-x for x in v]
         comps.append(v)
     c0 = [_rnd_int(sum(sx[i] * u[i] for i in range(dim)), n) for u in comps]
+
+    # Build-time correctness guard (round-8 ADVICE): the quantized
+    # iteration is only valid inside the lambda_k/lambda_1 >= 0.8207
+    # envelope documented at _PCA_SQUARINGS — outside it the oracle
+    # replays the same wrong integers and every hash gate stays green,
+    # so the guard must live HERE, where the components are bounded
+    # driver metadata. Two checks against the exact covariance A (the
+    # pre-squaring integer matrix, before any precision was discarded):
+    #   1. Rayleigh residual ||A u - rho u|| / (lambda_1 ||u||) small
+    #      -> u IS an eigenvector of A (robust under degenerate /
+    #      near-tied eigenvalues, where per-vector cosine vs eigh is
+    #      ill-defined);
+    #   2. rho_k within tolerance of the k-th largest eigh eigenvalue
+    #      -> it is the RIGHT eigenvector (deflation kept the order).
+    # eigh here is a build-time WITNESS only (O(dim^3) on the driver);
+    # the shipped integers still come from the oracle-replayable
+    # iteration above.
+    import numpy as np
+
+    af = np.array(a, dtype=np.float64)
+    evals = np.linalg.eigvalsh(af)[::-1]  # descending
+    lam1 = float(evals[0])
+    if lam1 > 0:
+        for k, u in enumerate(comps):
+            uf = np.array(u, dtype=np.float64)
+            uu = float(uf @ uf)
+            au = af @ uf
+            rho = float(uf @ au) / uu
+            resid = float(np.linalg.norm(au - rho * uf)) / (
+                lam1 * float(np.sqrt(uu))
+            )
+            drift = abs(rho - float(evals[k])) / lam1
+            if resid > 5e-3 or drift > 5e-3:
+                raise ArithmeticError(
+                    f"_pca_power_components: component {k + 1} left the "
+                    f"quantized-iteration validity envelope (Rayleigh "
+                    f"residual {resid:.3g}, eigenvalue drift {drift:.3g} "
+                    f"vs tolerance 5e-3): the spectrum decays faster "
+                    f"than lambda_k/lambda_1 >= 10^(-11/128) ~= 0.8207 "
+                    f"(see _PCA_SQUARINGS), so the 7 square-and-renorm "
+                    f"steps erased this component below integer "
+                    f"quantization noise. Reduce _PCA_SQUARINGS / raise "
+                    f"_PCA_PSCALE for this corpus instead of shipping "
+                    f"silently-wrong axes."
+                )
     return comps, c0
 
 
@@ -1998,7 +2082,7 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     mom = emb_covariance(spark, sf).collect()  # dim*(dim+1)/2 bounded rows
     dim = max(r.j for r in mom)
     n = int(mom[0].n)
-    if n > 2_300_000:
+    if n > _COV_N_BUDGET:
         raise OverflowError(
             f"emb_pca_project exact-int64 moment window exceeded: n={n} "
             "> 2.3e6 rows (emb_covariance Gram entries can wrap int64); "

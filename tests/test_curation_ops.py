@@ -1219,3 +1219,56 @@ def test_ivfpq_refine_exact_distances(spark):
         assert all(
             a.exact_dist <= b.exact_dist + 1e-12 for a, b in zip(rs, rs[1:])
         )
+
+
+def test_pca_guard_rejects_decaying_spectrum():
+    """Round-8 ADVICE (medium): outside the lambda_k/lambda_1 >= 0.8207
+    validity envelope, the quantized square-and-renorm iteration erases
+    components 2-3 below integer rounding noise while the oracle replays
+    the identical wrong integers — so the hash gate CANNOT catch it. The
+    build-time guard must. Construct exact integer moments for a corpus
+    with a geometric spectrum (ratio 0.5, far outside the envelope) and
+    require _pca_power_components to raise instead of returning garbage
+    axes."""
+    import numpy as np
+    import pytest
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_SCALE,
+        _pca_power_components,
+    )
+
+    dim, n = 8, 4000
+    rng = np.random.RandomState(0)
+    scales = 0.5 ** np.arange(dim)  # stddevs; variance ratio 0.25/step
+    m = rng.randn(n, dim) * scales
+    q = np.floor(m * _KM_SCALE + 0.5).astype(object)  # exact Python ints
+    q = [[int(x) for x in row] for row in q]
+    s2 = [[0] * dim for _ in range(dim)]
+    sx = [0] * dim
+    for row in q:
+        for i in range(dim):
+            sx[i] += row[i]
+            for j in range(i, dim):
+                s2[i][j] += row[i] * row[j]
+    for i in range(dim):
+        for j in range(i):
+            s2[i][j] = s2[j][i]
+    with pytest.raises(ArithmeticError, match="validity envelope"):
+        _pca_power_components(s2, sx, n, dim)
+
+
+def test_cov_global_guard_fires(spark, monkeypatch):
+    """Round-8 ADVICE (low): the per-partition int64 guard cannot see
+    the cross-partition final SUM wrap — emb_covariance itself must
+    assert the GLOBAL row count on the returned plan. Shrink the budget
+    below the fixture's 500 rows (each of ~32 partitions stays under
+    it, so only the global assert can fire) and require the collect to
+    fail loudly."""
+    import pytest
+
+    from datafusion_ballista_spark.inventory import pipeline_vector as pv
+
+    monkeypatch.setattr(pv, "_COV_N_BUDGET", 100)
+    with pytest.raises(Exception, match="GLOBALLY"):
+        pv.emb_covariance(spark, SF_DIR).collect()

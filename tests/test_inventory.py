@@ -39,46 +39,39 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-8
-    window (VERDICT r7 Next #1) = the 11 round-7 operators that have
-    never had a driver CORRECTNESS row (new code is where driver blind
-    spots live — round 6 proved it) + tpcds_real_q51-q89. Lock the
-    composition so an accidental reorder doesn't silently waste a
-    round; the r9/r10 queues are committed below (VERDICT r7 Next #3).
+    """The driver verifies only the FIRST 50 registry entries. Round-9
+    window (VERDICT r8 Next #1, swapped in exactly as committed in
+    round 8) = the 5 round-8 operators that have never had a driver
+    CORRECTNESS row (newest code is where driver blind spots live —
+    round 6 proved it) + tpcds_real_q90-q99 + the first 35 shape
+    analogues. Lock the composition so an accidental reorder doesn't
+    silently waste a round; the r10 queue is committed below
+    (VERDICT r8 Next #4), led by the 5 round-9-new operators.
     """
     names = list(_ALL)[:50]
-    assert names[:11] == [
-        "ann_ivfpq_topk",
-        "quality_bigram_logprob",
-        "train_bpe_encode",
-        "dedup_cdc_chunks",
-        "quality_fasttext_hash",
-        "text_collocation_pmi",
-        "train_curriculum_order",
-        "emb_covariance",
-        "emb_pca_project",
-        "multimodal_phash_neardup",
-        "sql_unpivot",
-    ]
-    assert names[11:50] == [f"tpcds_real_q{i}" for i in range(51, 90)]
-    # r9 window = the 5 round-8-new ops first (the newest-code-first
-    # principle of VERDICT r7 Next #1) + q90-q99 verbatim + first 35
-    # shape analogues.
-    assert list(_ALL)[50:55] == [
+    assert names[:5] == [
         "text_winnow_fingerprint",
         "quality_lexical_ttr",
         "dedup_prefix_filter_join",
         "multimodal_audio_vad",
         "ann_ivfpq_refine",
     ]
-    assert list(_ALL)[55:65] == [f"tpcds_real_q{i}" for i in range(90, 100)]
-    assert list(_ALL)[65:100] == [f"tpcds_q{i}_shape" for i in range(44, 79)]
-    # r10 window = remaining 21 shapes + 29 regression sentinels
-    # (oldest driver greens: verbatim TPC-H tier + earliest
-    # relational/window rows, r2/r3 evidence that will be 6+ rounds
-    # stale by then; the sentinel list runs past 149 for r11).
-    assert list(_ALL)[100:121] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
-    sentinels = list(_ALL)[121:155]
+    assert names[5:15] == [f"tpcds_real_q{i}" for i in range(90, 100)]
+    assert names[15:50] == [f"tpcds_q{i}_shape" for i in range(44, 79)]
+    # r10 window = the 5 round-9-new ops first (same newest-code-first
+    # rule) + remaining 21 shapes + 24 regression sentinels (oldest
+    # driver greens: the verbatim TPC-H tier + earliest relational/
+    # window rows, r2/r3 evidence that will be 7+ rounds stale by
+    # r10; the 34-sentinel list runs past position 99 for r11).
+    assert list(_ALL)[50:55] == [
+        "dedup_lines_keep_first",
+        "quality_kneser_ney_bigram",
+        "quality_ccnet_bucket",
+        "emb_random_projection",
+        "ann_mmr_rerank",
+    ]
+    assert list(_ALL)[55:76] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
+    sentinels = list(_ALL)[76:110]
     assert sentinels[0] == "tpch_q1"
     assert sentinels[20] == "tpch_q22_global_sales"
     assert len([n for n in sentinels if n.startswith("tpch_")]) == 21
