@@ -2733,6 +2733,330 @@ LIMIT {_PPJ_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style repeated-span corpus dedup (keep-first)
+
+_LKF_BLOCK = 10  # tokens per span; C4 used three-sentence spans
+
+
+def dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-span corpus dedup with keep-first semantics — the C4
+    cleaning rule ("we removed ... duplicate three-sentence spans",
+    Raffel et al. 2020 §2.2) adapted to span = complete 10-token block
+    (the fixture corpus has no sentence boundaries; blocks are the TTR
+    precedent). Every block that already occurred EARLIER in the corpus
+    (smaller (doc_id, block_pos), the first occurrence itself kept) is
+    dropped, and each affected document is reassembled from its
+    surviving blocks in original order. Output: the docs that lost at
+    least one block but kept at least one — doc_id, block counts, and
+    the rewritten text. Partial trailing blocks (< 10 tokens) are out
+    of scope on both engines.
+
+    Scale (100 TB): block construction is MAP-ONLY (one transform over
+    the token array — no explode-then-window); first-occurrence
+    selection is ONE shuffle, a row_number window partitioned by block
+    text (state per group = its duplicate count, no corpus-scale
+    partition because groups are per-distinct-block); reassembly is one
+    doc_id partial agg. No pair space, no self-join — duplication is
+    found by hash-partition like dedup_exact, at span granularity."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    toks = d.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
+    ).where(F.size("t") >= _LKF_BLOCK)
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) DIV {_LKF_BLOCK} - 1), "
+                f"i -> array_join(slice(t, i * {_LKF_BLOCK} + 1, "
+                f"{_LKF_BLOCK}), ' '))"
+            )
+        ).alias("blk", "btext"),
+    )
+    w = Window.partitionBy("btext").orderBy("doc_id", "blk")
+    flagged = blocks.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+                "kept_blocks"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("blk", "btext")
+                            )
+                        )
+                    ),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .where(
+            (F.col("kept_blocks") >= 1)
+            & (F.col("kept_blocks") < F.col("n_blocks"))
+        )
+        .select("doc_id", "n_blocks", "kept_blocks", "new_text")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_LKF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+blocks AS (
+  SELECT doc_id, i AS blk,
+    array_to_string(list_slice(t, i * {_LKF_BLOCK} + 1,
+                               i * {_LKF_BLOCK} + {_LKF_BLOCK}), ' ') AS btext
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) // {_LKF_BLOCK})) AS i
+        FROM toks WHERE len(t) >= {_LKF_BLOCK})),
+r AS (
+  SELECT doc_id, blk, btext,
+    ROW_NUMBER() OVER (PARTITION BY btext ORDER BY doc_id, blk) AS rn
+  FROM blocks),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_blocks,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+    string_agg(btext, ' ' ORDER BY blk) FILTER (WHERE rn = 1) AS new_text
+  FROM r GROUP BY 1)
+SELECT doc_id, n_blocks, kept_blocks, new_text
+FROM agg WHERE kept_blocks >= 1 AND kept_blocks < n_blocks
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999)
+
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount d = 3/4 as an exact rational
+_KN_TOPK = 100
+
+
+def quality_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing the
+    CCNet/KenLM perplexity filters actually use (quality_bigram_logprob
+    is the MLE-interpolated cousin; KN replaces the raw unigram backoff
+    with the CONTINUATION count N1+(.w), which is what makes 'Francisco'
+    unlikely outside 'San Francisco'). For each observed bigram (a, b):
+
+      P_KN(b|a) = max(c(a,b) - d, 0)/c(a.)
+                  + d * N1+(a.)/c(a.) * N1+(.b)/T,    d = 3/4
+
+    with c(a.) = total bigrams starting a, N1+(a.) = distinct
+    continuations of a, N1+(.b) = distinct left contexts of b, T =
+    total distinct bigram types. Reported as exact integer ppm with the
+    two terms floored SEPARATELY (kn_ppm := term1_ppm + term2_ppm) so
+    every division is integer: term1 = max(4c-3, 0)*1e6 DIV (4*c(a.)),
+    term2 = 3*N1+(a.)*N1+(.b)*1e6 DIV (4*c(a.)*T) — term2's numerator
+    and denominator run in DECIMAL(38,0)/HUGEINT (the BPE ppm
+    discipline) because c(a.)*T alone can pass 2^63 on a 100 TB corpus.
+    Output: top-100 bigrams by kn_ppm with all four count components.
+
+    Scale (100 TB): bigram extraction is the map-only shifted-slice zip;
+    ALL counts derive from the single (a, b) partial-agg table (two
+    re-aggregations of an already-reduced table + a 1-row type-count
+    broadcast); final top-k is TakeOrderedAndProject. No Python."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    toks = d.select(
+        F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t")
+    )
+    n = F.size(F.col("t")) - 1
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", F.lit(1), n).alias("a"),
+                    F.slice("t", F.lit(2), n).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    left = big.groupBy("a").agg(
+        F.sum("cab").alias("c1"), F.count(F.lit(1)).alias("n1w")
+    )
+    right = big.groupBy("b").agg(F.count(F.lit(1)).alias("n2w"))
+    tt = big.agg(F.count(F.lit(1)).alias("t"))
+    term1 = F.expr(
+        f"GREATEST({_KN_D_DEN} * cab - {_KN_D_NUM}, 0) * 1000000 "
+        f"DIV ({_KN_D_DEN} * c1)"
+    )
+    term2 = F.expr(
+        f"CAST((CAST({_KN_D_NUM} AS DECIMAL(38,0)) * n1w * n2w * 1000000) "
+        f"DIV (CAST({_KN_D_DEN} AS DECIMAL(38,0)) * c1 * t) AS BIGINT)"
+    )
+    return (
+        big.join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "a",
+            "b",
+            "cab",
+            "c1",
+            "n1w",
+            "n2w",
+            (term1 + term2).cast("bigint").alias("kn_ppm"),
+        )
+        .orderBy(F.desc("kn_ppm"), F.asc("a"), F.asc("b"))
+        .limit(_KN_TOPK)
+    )
+
+
+QUALITY_KN_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT t[pos] AS a, t[pos + 1] AS b
+  FROM (SELECT t, unnest(range(1, len(t))) AS pos
+        FROM toks WHERE len(t) >= 2)),
+big AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2),
+lft AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS c1, COUNT(*) AS n1w
+        FROM big GROUP BY 1),
+rgt AS (SELECT b, COUNT(*) AS n2w FROM big GROUP BY 1),
+tt AS (SELECT COUNT(*) AS t FROM big)
+SELECT a, b, cab, c1, n1w, n2w,
+  CAST(GREATEST({_KN_D_DEN} * cab - {_KN_D_NUM}, 0) * 1000000
+         // ({_KN_D_DEN} * c1)
+       + ({_KN_D_NUM}::HUGEINT * n1w * n2w * 1000000)
+         // ({_KN_D_DEN}::HUGEINT * c1 * t) AS BIGINT) AS kn_ppm
+FROM big JOIN lft USING (a) JOIN rgt USING (b) CROSS JOIN tt
+ORDER BY kn_ppm DESC, a, b
+LIMIT {_KN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language head/middle/tail bucketing (Wenzek et al. 2020)
+
+
+def quality_ccnet_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's per-language head/middle/tail split (Wenzek et al. 2020
+    §3.4: score every document with a corpus LM, cut each language at
+    the 1/3 and 2/3 quantiles, train on 'head'). The document score
+    here is the exact-integer fluency proxy avg token-frequency ppm
+    (SUM over token positions of count(tok)*1e6 DIV total, DIV n_toks)
+    — the LM-perplexity variant of the score is quality_unigram_logprob
+    / quality_bigram_logprob; this op contributes the QUANTILE-CUT
+    stage, which CCNet applies as thresholds ("we obtain this
+    threshold by computing percentiles on a subset"), exactly the
+    scale-safe shape: cutoffs come from an aggregated (lang, score)
+    HISTOGRAM, never from a per-document global ranking.
+
+      b1(lang) = max score with cum_desc(score)*3 >= n   (head cut)
+      b2(lang) = max score with cum_desc(score)*3 >= 2n  (middle cut)
+      bucket   = head if score >= b1, middle if score >= b2, else tail
+
+    Ties share a bucket (threshold semantics — CCNet's, not NTILE's
+    row-split). Output: per (lang, bucket) doc count, exact avg score,
+    and doc_id range.
+
+    Scale (100 TB): token counts = one partial-agg shuffle; per-doc
+    score = one join + one doc_id partial agg; the cumulative window
+    runs over the (lang, distinct score) HISTOGRAM — bounded by
+    languages x 1e6 score values, metadata-scale — and the cutoff
+    table (2 ints per language) broadcasts back. No corpus-wide
+    window, no NTILE over a per-language partition (which would funnel
+    each language's every doc through one task)."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(_tokens(F.col("text")), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.sum("c").alias("ntot"))
+    freq = uni.crossJoin(F.broadcast(nt)).select(
+        "tok", F.expr("c * 1000000 DIV ntot").alias("fppm")
+    )
+    ds = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("SUM(fppm) DIV COUNT(*)").alias("score"))
+    )
+    hist = ds.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("lang").orderBy(F.desc("score"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    nl = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    cuts = (
+        cum.join(nl, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("cum") * 3 >= F.col("n"), F.col("score"))).alias(
+                "b1"
+            ),
+            F.max(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("score"))
+            ).alias("b2"),
+        )
+    )
+    lab = ds.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("score") >= F.col("b1"), "head")
+        .when(F.col("score") >= F.col("b2"), "middle")
+        .otherwise("tail"),
+    )
+    return (
+        lab.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(score) DIV COUNT(*)").alias("avg_score_ppm"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+QUALITY_CCNET_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+  FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+nt AS (SELECT SUM(c) AS ntot FROM uni),
+freq AS (SELECT tok, CAST(c * 1000000 // ntot AS BIGINT) AS fppm
+         FROM uni CROSS JOIN nt),
+ds AS (
+  SELECT t.doc_id, t.lang, CAST(SUM(f.fppm) // COUNT(*) AS BIGINT) AS score
+  FROM toks t JOIN freq f USING (tok) GROUP BY 1, 2),
+hist AS (SELECT lang, score, COUNT(*) AS cnt FROM ds GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score, cnt,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY score DESC) AS cum
+  FROM hist),
+nl AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY 1),
+cuts AS (
+  SELECT lang,
+    MAX(score) FILTER (WHERE cum * 3 >= n) AS b1,
+    MAX(score) FILTER (WHERE cum * 3 >= 2 * n) AS b2
+  FROM cum JOIN nl USING (lang) GROUP BY 1),
+lab AS (
+  SELECT ds.doc_id, ds.lang, ds.score,
+    CASE WHEN score >= b1 THEN 'head'
+         WHEN score >= b2 THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM ds JOIN cuts USING (lang))
+SELECT lang, bucket, COUNT(*) AS n_docs,
+  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM lab GROUP BY 1, 2
+ORDER BY lang, bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_winnow_fingerprint": QuerySpec(
         text_winnow_fingerprint, TEXT_WINNOW_SQL
@@ -2749,6 +3073,11 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_bigram_logprob": QuerySpec(
         quality_bigram_logprob, QUALITY_BIGRAM_SQL
     ),
+    "dedup_lines_keep_first": QuerySpec(dedup_lines_keep_first, DEDUP_LKF_SQL),
+    "quality_kneser_ney_bigram": QuerySpec(
+        quality_kneser_ney_bigram, QUALITY_KN_SQL
+    ),
+    "quality_ccnet_bucket": QuerySpec(quality_ccnet_bucket, QUALITY_CCNET_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),

@@ -2134,6 +2134,275 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return q.select(*dots).select(*cols).orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random sign projection (Achlioptas 2003)
+
+_RP_OUT = 16  # projected dimensionality (64 -> 16)
+_rp_rng = random.Random(7)
+# Rademacher (+/-1) projection rows — Achlioptas' database-friendly JL
+# matrix: a valid JL family with the same literal-friendly determinism
+# as the sign-LSH _PLANES above.
+_RP_SIGNS: list[list[int]] = [
+    [_rp_rng.choice((-1, 1)) for _ in range(_DIM)] for _ in range(_RP_OUT)
+]
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two bigint array columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64-d -> 16-d with
+    a deterministic Rademacher sign matrix (Achlioptas 2003: +/-1
+    entries satisfy the JL lemma with the same distortion bounds as
+    Gaussian projections, and make the projection a pure integer
+    expression) — the cheap pre-reduction step production ANN stacks
+    apply before IVF/PQ when the raw dimensionality is high, and the
+    standard sketch for embedding-space near-dup at the 100 TB scale.
+    Embeddings are quantized to exact integer micro-units (the k-means
+    precedent), each output component is an exact int64 dot with a
+    +/-1 literal row, so both engines reproduce the projection
+    bit-identically. Output: vec_id, the 16 projected components, and
+    the projected squared norm (exact; |proj_j| <= 64*2e6 = 1.3e8, so
+    pnorm2 <= 16*1.6e16 ~ 2.7e17 < 2^63).
+
+    Scale (100 TB): MAP-ONLY — one corpus pass, 16 codegen folds per
+    row, zero shuffles, no Python; the 'matrix' is 1024 sign literals
+    baked into the plan (nothing broadcast, nothing collected). The JL
+    distance-preservation witness is
+    tests/test_curation_ops.py::test_random_projection_preserves_geometry."""
+    q = _km_quantized(spark, sf)
+    projs = [
+        _idot(
+            F.col("q"),
+            F.array(*[F.lit(s).cast("bigint") for s in _RP_SIGNS[j]]),
+        )
+        for j in range(_RP_OUT)
+    ]
+    return (
+        q.select("vec_id", F.array(*projs).alias("proj"))
+        .select(
+            "vec_id",
+            "proj",
+            F.aggregate(
+                F.col("proj"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x * x,
+            ).alias("pnorm2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _rp_row_sql(j: int) -> str:
+    signs = "[" + ", ".join(str(s) for s in _RP_SIGNS[j]) + "]"
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        f"i -> q[i] * ({signs})[i])) AS BIGINT)"
+    )
+
+
+EMB_RP_SQL = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+proj AS (
+  SELECT vec_id,
+    [{", ".join(_rp_row_sql(j) for j in range(_RP_OUT))}] AS proj
+  FROM q)
+SELECT vec_id, proj,
+  CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS pnorm2
+FROM proj
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (Carbonell & Goldstein 1998)
+
+_MMR_NQ = 5  # bounded query set (vec_id < 5), as ann_bruteforce_topk
+_MMR_R = 10  # stage-1 relevance candidates per query
+# lambda = 1/2: the reported mmr_score is the 2x-scaled MMR objective
+# rel - max_sim (integer; same argmax), pick 1 scores plain relevance.
+
+
+def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversity-aware selection layer retrieval-augmented training
+    pipelines put on top of ANN: after stage-1 relevance retrieval,
+    greedily pick results that are relevant to the query but DISSIMILAR
+    to what is already picked, so near-duplicate passages don't crowd
+    the context. Stage 1: exact integer dot-product top-10 per query
+    (quantized micro-units). Stage 2: 3 greedy MMR picks at lambda=1/2,
+    score_t = rel - max_{s in picked} sim(c, s), every sim an exact
+    int64 dot, ties broken by nid — the greedy loop is UNROLLED as two
+    join+window steps (selection sets are 1 then 2 ids), so the whole
+    op is JVM codegen and the DuckDB oracle replays it CTE-for-CTE.
+
+    Scale (100 TB): stage 1 is the proven broadcast-probe shape (the
+    bounded query side broadcasts, the corpus is scanned once,
+    per-query top-R via one window on qid); everything after operates
+    on Q x R = 50 rows of bounded metadata (lazily localCheckpoint'd
+    once — 4 consumers, candidate table cannot share one exchange), so
+    rerank cost is INDEPENDENT of corpus size."""
+    q = _km_quantized(spark, sf)
+    qs = q.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    c = q.select(F.col("vec_id").alias("nid"), F.col("q").alias("cv"))
+    rel = c.join(F.broadcast(qs), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", "cv", _idot(F.col("qv"), F.col("cv")).alias("rel")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
+    cands = (
+        rel.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _MMR_R)
+        .localCheckpoint(eager=False)  # Q*R bounded rows, 4 consumers
+    )
+    pairs = (
+        cands.select("qid", F.col("nid").alias("na"), F.col("cv").alias("va"))
+        .join(
+            cands.select(
+                "qid", F.col("nid").alias("nb"), F.col("cv").alias("vb")
+            ),
+            "qid",
+        )
+        .where(F.col("na") != F.col("nb"))
+        .select("qid", "na", "nb", _idot(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    s1 = cands.where(F.col("rk") == 1).select(
+        "qid", F.col("nid").alias("n1"), F.col("rel").alias("score1")
+    )
+    r2 = (
+        cands.join(F.broadcast(s1), "qid")
+        .where(F.col("nid") != F.col("n1"))
+        .join(
+            pairs.withColumnRenamed("na", "nid").withColumnRenamed("nb", "n1"),
+            ["qid", "nid", "n1"],
+        )
+        .select("qid", "nid", "rel", (F.col("rel") - F.col("sim")).alias("sc"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sc"), F.asc("nid"))
+    s2 = (
+        r2.withColumn("rk2", F.row_number().over(w2))
+        .where(F.col("rk2") == 1)
+        .select("qid", F.col("nid").alias("n2"), F.col("sc").alias("score2"))
+    )
+    r3 = (
+        cands.join(F.broadcast(s1), "qid")
+        .join(F.broadcast(s2), "qid")
+        .where((F.col("nid") != F.col("n1")) & (F.col("nid") != F.col("n2")))
+        .join(
+            pairs.withColumnRenamed("na", "nid"),
+            ["qid", "nid"],
+        )
+        .where((F.col("nb") == F.col("n1")) | (F.col("nb") == F.col("n2")))
+        .groupBy("qid", "nid", "rel")
+        .agg(F.max("sim").alias("ms"))
+        .select("qid", "nid", (F.col("rel") - F.col("ms")).alias("sc"))
+    )
+    s3 = (
+        r3.withColumn("rk3", F.row_number().over(w2))
+        .where(F.col("rk3") == 1)
+        .select("qid", F.col("nid").alias("n3"), F.col("sc").alias("score3"))
+    )
+    out = (
+        s1.select(
+            "qid",
+            F.lit(1).alias("pick"),
+            F.col("n1").alias("nid"),
+            F.col("score1").alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(
+                "qid",
+                F.lit(2).alias("pick"),
+                F.col("n2").alias("nid"),
+                F.col("score2").alias("mmr_score"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                "qid",
+                F.lit(3).alias("pick"),
+                F.col("n3").alias("nid"),
+                F.col("score3").alias("mmr_score"),
+            )
+        )
+    )
+    return out.orderBy("qid", "pick")
+
+
+_MMR_IDOT_SQL = (
+    "CAST(list_sum(list_transform(range(1, {dim} + 1), "
+    "i -> ({a})[i] * ({b})[i])) AS BIGINT)"
+)
+
+
+ANN_MMR_SQL = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+qs AS (SELECT vec_id AS qid, q AS qv FROM q WHERE vec_id < {_MMR_NQ}),
+rel AS (
+  SELECT qid, c.vec_id AS nid, c.q AS cv,
+    {_MMR_IDOT_SQL.format(dim=_DIM, a='qv', b='c.q')} AS rel
+  FROM qs JOIN q c ON c.vec_id <> qid),
+cands AS (
+  SELECT qid, nid, cv, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY rel DESC, nid) AS rk FROM rel)
+  WHERE rk <= {_MMR_R}),
+pairs AS (
+  SELECT a.qid, a.nid AS na, b.nid AS nb,
+    {_MMR_IDOT_SQL.format(dim=_DIM, a='a.cv', b='b.cv')} AS sim
+  FROM cands a JOIN cands b USING (qid) WHERE a.nid <> b.nid),
+s1 AS (
+  SELECT qid, nid AS n1, rel AS score1 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY rel DESC, nid) AS rk FROM cands)
+  WHERE rk = 1),
+r2 AS (
+  SELECT c.qid, c.nid, c.rel - p.sim AS sc
+  FROM cands c
+  JOIN s1 USING (qid)
+  JOIN pairs p ON p.qid = c.qid AND p.na = c.nid AND p.nb = s1.n1
+  WHERE c.nid <> s1.n1),
+s2 AS (
+  SELECT qid, nid AS n2, sc AS score2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY sc DESC, nid) AS rk FROM r2)
+  WHERE rk = 1),
+r3 AS (
+  SELECT c.qid, c.nid, c.rel - MAX(p.sim) AS sc
+  FROM cands c
+  JOIN s1 USING (qid)
+  JOIN s2 USING (qid)
+  JOIN pairs p ON p.qid = c.qid AND p.na = c.nid
+              AND (p.nb = s1.n1 OR p.nb = s2.n2)
+  WHERE c.nid <> s1.n1 AND c.nid <> s2.n2
+  GROUP BY c.qid, c.nid, c.rel),
+s3 AS (
+  SELECT qid, nid AS n3, sc AS score3 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY sc DESC, nid) AS rk FROM r3)
+  WHERE rk = 1)
+SELECT qid, 1 AS pick, n1 AS nid, score1 AS mmr_score FROM s1
+UNION ALL
+SELECT qid, 2 AS pick, n2 AS nid, score2 AS mmr_score FROM s2
+UNION ALL
+SELECT qid, 3 AS pick, n3 AS nid, score3 AS mmr_score FROM s3
+ORDER BY qid, pick
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_covariance": QuerySpec(emb_covariance, EMB_COV_SQL),
     "emb_pca_project": QuerySpec(emb_pca_project, _emb_pca_sql()),
@@ -2151,4 +2420,6 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_neardup_lsh": QuerySpec(emb_neardup_lsh, EMB_NEARDUP_LSH_SQL),
     "emb_label_centroids": QuerySpec(emb_label_centroids, EMB_CENTROID_SQL),
     "emb_quantize_int8": QuerySpec(emb_quantize_int8, EMB_QUANTIZE_SQL),
+    "emb_random_projection": QuerySpec(emb_random_projection, EMB_RP_SQL),
+    "ann_mmr_rerank": QuerySpec(ann_mmr_rerank, ANN_MMR_SQL),
 }

@@ -1272,3 +1272,255 @@ def test_cov_global_guard_fires(spark, monkeypatch):
     monkeypatch.setattr(pv, "_COV_N_BUDGET", 100)
     with pytest.raises(Exception, match="GLOBALLY"):
         pv.emb_covariance(spark, SF_DIR).collect()
+
+
+def _fixture_docs(spark):
+    rows = tables(spark, SF_DIR, "documents").documents.collect()
+    return {
+        r.doc_id: [
+            t for t in r.text.lower().strip().split(" ") if t != ""
+        ]
+        for r in sorted(rows, key=lambda r: r.doc_id)
+    }
+
+
+def test_lines_keep_first_python_replication(spark):
+    """Independent pure-Python replication of the C4-style span dedup:
+    same blocks, same first-occurrence-wins rule, same reassembly —
+    plus the structural invariants (kept*10 tokens in the rewritten
+    text, the first corpus occurrence of every duplicated block is the
+    one that survives)."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _LKF_BLOCK,
+        dedup_lines_keep_first,
+    )
+
+    docs = _fixture_docs(spark)
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, toks in docs.items():  # doc_id ascending = corpus order
+        if len(toks) < _LKF_BLOCK:
+            continue
+        blocks = [
+            " ".join(toks[i * _LKF_BLOCK:(i + 1) * _LKF_BLOCK])
+            for i in range(len(toks) // _LKF_BLOCK)
+        ]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        if 1 <= len(kept) < len(blocks):
+            expect[doc_id] = (len(blocks), len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_blocks, r.kept_blocks, r.new_text)
+        for r in dedup_lines_keep_first(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should contain at least one repeated span"
+    for n_blocks, kept, new_text in got.values():
+        assert len(new_text.split(" ")) == kept * _LKF_BLOCK
+
+
+def test_kneser_ney_python_replication(spark):
+    """Exact replication of the interpolated-KN integer arithmetic from
+    independently computed fixture counts, plus the probability-mass
+    sanity bound (every reported kn_ppm is a probability in ppm)."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _KN_TOPK,
+        quality_kneser_ney_bigram,
+    )
+
+    docs = _fixture_docs(spark)
+    cab: dict[tuple, int] = {}
+    for toks in docs.values():
+        for x, y in zip(toks, toks[1:]):
+            cab[(x, y)] = cab.get((x, y), 0) + 1
+    c1: dict[str, int] = {}
+    n1w: dict[str, int] = {}
+    n2w: dict[str, int] = {}
+    for (a, b), c in cab.items():
+        c1[a] = c1.get(a, 0) + c
+        n1w[a] = n1w.get(a, 0) + 1
+        n2w[b] = n2w.get(b, 0) + 1
+    t = len(cab)
+    scored = []
+    for (a, b), c in cab.items():
+        term1 = max(4 * c - 3, 0) * 1_000_000 // (4 * c1[a])
+        term2 = 3 * n1w[a] * n2w[b] * 1_000_000 // (4 * c1[a] * t)
+        scored.append((-(term1 + term2), a, b, c))
+    scored.sort()
+    expect = [
+        (a, b, c, c1[a], n1w[a], n2w[b], -neg)
+        for neg, a, b, c in scored[:_KN_TOPK]
+    ]
+    got = [
+        (r.a, r.b, r.cab, r.c1, r.n1w, r.n2w, r.kn_ppm)
+        for r in quality_kneser_ney_bigram(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert all(0 <= row[-1] <= 1_000_000 for row in got)
+
+
+def test_ccnet_bucket_python_replication(spark):
+    """Replicate the per-language threshold cuts in Python and check the
+    bucket aggregates exactly; also the CCNet shape properties: every
+    language's three buckets partition its docs, and head's avg score
+    >= middle's >= tail's."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        quality_ccnet_bucket,
+    )
+
+    rows = tables(spark, SF_DIR, "documents").documents.collect()
+    uni: dict[str, int] = {}
+    toks_by_doc = {}
+    lang_by_doc = {}
+    for r in rows:
+        toks = [t for t in r.text.lower().strip().split(" ") if t != ""]
+        toks_by_doc[r.doc_id] = toks
+        lang_by_doc[r.doc_id] = r.lang
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+    ntot = sum(uni.values())
+    fppm = {t: c * 1_000_000 // ntot for t, c in uni.items()}
+    ds = {
+        d: sum(fppm[t] for t in toks) // len(toks)
+        for d, toks in toks_by_doc.items()
+        if toks
+    }
+    langs = sorted(set(lang_by_doc.values()))
+    expect = {}
+    for lang in langs:
+        scores = sorted(
+            (s for d, s in ds.items() if lang_by_doc[d] == lang),
+            reverse=True,
+        )
+        n = len(scores)
+        cum = 0
+        b1 = b2 = None
+        from itertools import groupby
+
+        for s, grp in groupby(scores):
+            cum += len(list(grp))
+            if b1 is None and cum * 3 >= n:
+                b1 = s
+            if b2 is None and cum * 3 >= 2 * n:
+                b2 = s
+        for d, s in ds.items():
+            if lang_by_doc[d] != lang:
+                continue
+            bucket = "head" if s >= b1 else ("middle" if s >= b2 else "tail")
+            key = (lang, bucket)
+            st = expect.setdefault(key, [0, 0, None, None])
+            st[0] += 1
+            st[1] += s
+            st[2] = d if st[2] is None else min(st[2], d)
+            st[3] = d if st[3] is None else max(st[3], d)
+    expect = {
+        k: (v[0], v[1] // v[0], v[2], v[3]) for k, v in expect.items()
+    }
+    got = {
+        (r.lang, r.bucket): (r.n_docs, r.avg_score_ppm, r.min_doc, r.max_doc)
+        for r in quality_ccnet_bucket(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    for lang in langs:
+        per = {b: got.get((lang, b)) for b in ("head", "middle", "tail")}
+        assert per["head"] is not None
+        avgs = [v[1] for v in per.values() if v is not None]
+        assert avgs == sorted(avgs, reverse=True)
+
+
+def test_random_projection_preserves_geometry(spark):
+    """Exact replication of the sign projection, plus the JL witness:
+    for 16 Rademacher rows, E[||Pd||^2] = 16*||d||^2 with per-pair
+    std sqrt(2/16)*16 ~ 5.7 — require every pair's ratio inside a
+    generous +/-5-sigma band and the mean near 16. (A correlation
+    check is the WRONG witness on this fixture: the synthetic corpus
+    is near-isotropic, original pairwise distances vary by only ~12%
+    CV, so corr(orig, proj) is noise-dominated even when the JL
+    concentration guarantee holds perfectly.)"""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _RP_OUT,
+        _RP_SIGNS,
+        _km_quantized,
+        emb_random_projection,
+    )
+
+    qv = {
+        r.vec_id: np.array([int(x) for x in r.q], dtype=np.int64)
+        for r in _km_quantized(spark, SF_DIR).collect()
+    }
+    s = np.array(_RP_SIGNS, dtype=np.int64)
+    got = {
+        r.vec_id: (list(r.proj), r.pnorm2)
+        for r in emb_random_projection(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(qv)
+    for vid, (proj, pnorm2) in got.items():
+        expect = s @ qv[vid]
+        assert proj == [int(x) for x in expect]
+        assert pnorm2 == int((expect * expect).sum())
+    ids = sorted(qv)[:30]
+    od, pd_ = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = qv[a] - qv[b]
+            od.append(float(d @ d))
+            pp = s @ qv[a] - s @ qv[b]
+            pd_.append(float(pp @ pp))
+    od, pd_ = np.array(od), np.array(pd_)
+    ratio = pd_ / od
+    assert 12.0 < float(ratio.mean()) < 20.0, ratio.mean()
+    assert float(ratio.min()) > 2.0 and float(ratio.max()) < 48.0, (
+        ratio.min(),
+        ratio.max(),
+    )
+
+
+def test_mmr_rerank_greedy_python(spark):
+    """Independent Python replay of the greedy MMR loop (lambda=1/2,
+    exact integer sims, nid tiebreak) — picks and scores must match the
+    unrolled join/window implementation exactly; pick 1 must be the
+    relevance argmax and all picks distinct."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _MMR_NQ,
+        _MMR_R,
+        _km_quantized,
+        ann_mmr_rerank,
+    )
+
+    qv = {
+        r.vec_id: np.array([int(x) for x in r.q], dtype=object)
+        for r in _km_quantized(spark, SF_DIR).collect()
+    }
+    expect = []
+    for qid in range(_MMR_NQ):
+        rel = {
+            nid: int(qv[qid] @ v) for nid, v in qv.items() if nid != qid
+        }
+        cands = sorted(rel, key=lambda n: (-rel[n], n))[:_MMR_R]
+        picked = []
+        for pick in range(1, 4):
+            best = None
+            for c in cands:
+                if c in picked:
+                    continue
+                ms = max((int(qv[c] @ qv[s]) for s in picked), default=None)
+                sc = rel[c] if ms is None else rel[c] - ms
+                if best is None or sc > best[0] or (sc == best[0] and c < best[1]):
+                    best = (sc, c)
+            picked.append(best[1])
+            expect.append((qid, pick, best[1], best[0]))
+    got = [
+        (r.qid, r.pick, r.nid, r.mmr_score)
+        for r in ann_mmr_rerank(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    for qid in range(_MMR_NQ):
+        picks = [g[2] for g in got if g[0] == qid]
+        assert len(set(picks)) == 3

@@ -69,6 +69,9 @@ _NESTED_LOOP_OK = {
     "dedup_containment",  # quote seeding: 1-row max(doc_id) scalar crossJoin
     "text_collocation_pmi",  # two 1-row corpus-total scalar crossJoins
     "quality_bigram_logprob",  # 1-row unigram-total scalar crossJoin
+    "quality_kneser_ney_bigram",  # 1-row bigram-type-total scalar crossJoin
+    "quality_ccnet_bucket",  # 1-row corpus-token-total scalar crossJoin
+    "ann_mmr_rerank",  # broadcast of the bounded (5-row) query set
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
