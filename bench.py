@@ -115,6 +115,14 @@ def main() -> None:
         "train_bpe_encode",
         "dedup_cdc_chunks",
         "ann_ivfpq_topk",
+        # round-9 additions (tracking starts r09, VERDICT r8 Next #5):
+        # the two heaviest round-8 ops — winnowing fingerprints (the
+        # materialize-once fingerprint table + fingerprint-bucketed
+        # pair join) and the prefix-filtered exact Jaccard join (whose
+        # 41M->1.5M candidate-cut claim deserves round-over-round
+        # scrutiny). The 22 rows above stay method-frozen-comparable.
+        "text_winnow_fingerprint",
+        "dedup_prefix_filter_join",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
@@ -123,20 +131,37 @@ def main() -> None:
     specs["tpch_q6"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     iterations = 3
+    # SPARK_GRAFT_BENCH_DRAWS > 1 repeats the whole steady loop and
+    # records every draw's total in the JSON (round-8 VERDICT Next #7a:
+    # the machine's documented ±25% cross-invocation noise band belongs
+    # in the artifact as a machine-readable "draws" field, not in README
+    # prose). Draw 1 keeps the frozen method (cold + 3-iteration medians)
+    # and feeds "queries"/"value", so round-over-round comparability is
+    # untouched; later draws are warm re-measurements of the same method.
+    n_draws = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "1"))
     cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for name in names:
-        samples: list[float] = []
-        for it in range(1 + iterations):
-            t0 = time.perf_counter()
-            df = specs[name].spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            if it == 0:
-                cold[name] = dt
-            else:
-                samples.append(dt)
-        steady[name] = sorted(samples)[len(samples) // 2]
+    draws: list[dict] = []
+    for d in range(n_draws):
+        per_draw: dict[str, float] = {}
+        for name in names:
+            samples: list[float] = []
+            for it in range(1 + iterations if d == 0 else iterations):
+                t0 = time.perf_counter()
+                df = specs[name].spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                if d == 0 and it == 0:
+                    cold[name] = dt
+                else:
+                    samples.append(dt)
+            per_draw[name] = sorted(samples)[len(samples) // 2]
+        draws.append(
+            {
+                "value": round(sum(per_draw.values()), 3),
+                "queries": per_draw,
+            }
+        )
+    steady = draws[0]["queries"]
 
     # Same queries on DuckDB over the same parquet, same parallelism.
     duck: dict[str, float] = {}
@@ -145,6 +170,14 @@ def main() -> None:
 
         con = duckdb.connect()
         con.execute(f"SET threads = {int(cpus)}")
+        # Oracle memory guard (round-8 VERDICT Next #3): a runaway
+        # oracle plan must fail fast, not evict the VM's page cache
+        # (the r8 93 GB hash-build incident poisoned bench draws for
+        # hours afterwards).
+        con.execute(
+            "SET memory_limit = "
+            f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '16GB')}'"
+        )
         for t in (
             "region nation customer supplier part orders lineitem "
             "events documents embeddings"
@@ -180,6 +213,8 @@ def main() -> None:
         ),
         "sha": _git_sha(),
     }
+    if n_draws > 1:
+        out["draws"] = draws
     print(json.dumps(out))
     spark.stop()
 

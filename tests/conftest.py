@@ -32,6 +32,13 @@ def spark():
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()
+    # Oracle memory guard (round-8 VERDICT Next #3): a runaway oracle
+    # plan (the pre-fix ppjoin pair explosion, 93 GB hash build) must
+    # fail fast, not evict the VM's page cache mid-gate.
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '16GB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"

@@ -87,6 +87,18 @@ def main() -> int:
         or None,
     )
     con = duckdb.connect()
+    # ORACLE memory guard (round-8 VERDICT Next #3): the round-8 bench
+    # series was poisoned by a runaway ORACLE plan — a pre-fix ppjoin
+    # candidate explosion built a 93 GB single-thread DuckDB hash table,
+    # evicted the VM's guest pages, and left BOTH engines 30-45% slow
+    # for hours. The Spark side is plan-audited against that class;
+    # the oracle side now fails fast instead: a pathological pair-space
+    # oracle hits this ceiling and errors (or spills bounded), rather
+    # than eating the machine mid-gate.
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '16GB')}'"
+    )
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
