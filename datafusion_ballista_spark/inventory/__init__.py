@@ -134,7 +134,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "rel_grouping_sets",
         "rel_except_all",
     ]
+    # newest first within the batch: the late-round-9 additions lead
     _r9_new_ops = [
+        "text_bm25_topk",
+        "train_contamination_bloom",
+        "ann_range_search",
+        "emb_kmeanspp_init",
         "dedup_lines_keep_first",
         "quality_kneser_ney_bigram",
         "quality_ccnet_bucket",

@@ -2734,6 +2734,104 @@ LIMIT {_PPJ_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Sparck Jones; the Lucene practical form)
+
+_BM25_QUERY = ["table", "spark", "window"]  # fixed literal query terms
+_BM25_TOPK = 20
+# k1 = 6/5, b = 3/4 kept as exact rationals: per-(doc, term)
+#   tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#           = 22*sdl*tf / (10*sdl*tf + 3*sdl + 9*dl*n)   [avgdl = sdl/n]
+#   idf     = ln(1 + (N - df + 1/2)/(df + 1/2)) = ln((2N + 2)/(2df + 1))
+# so each per-term score is ONE deterministic IEEE expression over exact
+# corpus integers, quantized to integer micro before the per-doc sum
+# (the quality_bigram_logprob discipline: order-independent aggregation,
+# one divide at the end).
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed literal query — the lexical
+    scoring half of every retrieval pipeline (and of retrieval-based
+    decontamination audits); complements tfidf_topk_terms (per-doc
+    keyword extraction) with the per-QUERY document ranking, using the
+    Lucene-form positive idf so scores never go negative. Top-20 docs
+    by summed per-term micro scores, doc_id tiebreak.
+
+    Scale (100 TB): the query side is a 3-element literal — term
+    filtering pushes into the (doc, term) partial agg, so only rows for
+    query terms survive the first shuffle; df/N/sdl are tiny aggregates
+    of already-reduced tables (1-row scalar broadcast); final top-k is
+    TakeOrderedAndProject. No Python, no global sort."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(F.col("text")), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("n")
+    )
+    qlit = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    tf = (
+        toks.where(F.expr(f"tok IN ({qlit})"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    micro = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(ROUND(ln((2.0 * n + 2) / (2 * df + 1))"
+                " * (22.0 * sdl * tf)"
+                " / (10.0 * sdl * tf + 3.0 * sdl + 9.0 * dl * n)"
+                " * 1000000) AS BIGINT)"
+            ).alias("m"),
+        )
+    )
+    return (
+        micro.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("m") / 1_000_000.0, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+TEXT_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS sdl, COUNT(*) AS n FROM dl),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})
+  GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+micro AS (
+  SELECT doc_id,
+    CAST(ROUND(ln((2.0 * n + 2) / (2 * df + 1))
+      * (22.0 * sdl * tf)
+      / (10.0 * sdl * tf + 3.0 * sdl + 9.0 * dl * n)
+      * 1000000) AS BIGINT) AS m
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, COUNT(*) AS n_terms,
+  ROUND(SUM(m) / 1000000.0, 6) AS score
+FROM micro GROUP BY 1
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4-style repeated-span corpus dedup (keep-first)
 
 _LKF_BLOCK = 10  # tokens per span; C4 used three-sentence spans
@@ -3078,6 +3176,7 @@ QUERIES: dict[str, QuerySpec] = {
         quality_kneser_ney_bigram, QUALITY_KN_SQL
     ),
     "quality_ccnet_bucket": QuerySpec(quality_ccnet_bucket, QUALITY_CCNET_SQL),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, TEXT_BM25_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "quality_c4_filters": QuerySpec(quality_c4_filters, QUALITY_C4_SQL),
     "dedup_substring_exact": QuerySpec(dedup_substring_exact, DEDUP_SUBSTR_SQL),

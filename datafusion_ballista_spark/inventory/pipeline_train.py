@@ -1152,7 +1152,171 @@ ORDER BY curriculum_pos
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination pre-screen (Bloom 1970; the production
+# front end to the exact train_contamination_ngram join)
+
+_BLOOM_BITS = 1 << 16  # m: bitmap size (8 KiB as 1024 int64 words)
+_BLOOM_K = 3  # hash functions per element
+
+
+def _bloom_pos_col(s: Column, j: int) -> Column:
+    """Bit position j for shingle-hash s: md5 of "s:j" folded mod m —
+    engine-identical (the shared _h48 trick re-salted per hash)."""
+    return _h48(F.concat_ws(":", s.cast("string"), F.lit(str(j)))) % _BLOOM_BITS
+
+
+def _bloom_pos_sql(s: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({s} AS VARCHAR) || ':{j}'), 1, 12))"
+        f"::BIGINT % {_BLOOM_BITS})"
+    )
+
+
+def train_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen: the benchmark side's
+    shingles are folded into an 8 KiB bitmap (m = 2^16 bits, k = 3
+    md5-salted hashes) that ships to every task as 1024 int64 plan
+    literals; each training shingle probes the bitmap MAP-ONLY, and
+    only bloom-positive shingles reach the exact membership join. This
+    is the production front end to train_contamination_ngram's exact
+    screen — at 100 TB the benchmark suite is megabytes (a bounded
+    bitmap) while the corpus is not, so the exact join's probe side
+    shrinks from every shingle occurrence to the bloom-positive sliver,
+    at zero recall loss (Bloom filters have no false negatives; false
+    positives are killed by the exact join and REPORTED here as the
+    bloom_fp funnel column). Output: per training doc with >= 1 bloom
+    hit — shingle totals, bloom hits, exact hits, and the contaminated
+    verdict (identical to the exact screen's by construction).
+
+    Determinism: the bitmap is a pure function of md5 over exact
+    integers; both engines replay membership identically (the oracle
+    probes the same positions against the same set-bit list). The
+    driver-side collect is the set-bit position list — bounded by m =
+    65536 ints (512 KiB) regardless of corpus or benchmark size, the
+    centroid-collect precedent.
+
+    Scale (100 TB): bench shingle distinct = one partial-agg shuffle
+    over the BOUNDED bench side; corpus probe is map-only expression
+    work (6 md5 folds + 3 array lookups per shingle); the exact join
+    shuffles only bloom-positive shingles; one doc_id rollup."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    arr = _tokens(F.col("text"))
+    ex = (
+        d.where(F.size(arr) >= 3)
+        .select("doc_id", F.explode(_shingles(arr)).alias("s"))
+        .select("doc_id", _h48(F.col("s")).alias("s"))
+    )
+    bench = ex.where(F.col("doc_id") % 97 == 0).select("s").distinct()
+    # build the bitmap driver-side from the bounded set-bit positions
+    pos_rows = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_col(F.col("s"), j) for j in range(_BLOOM_K)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]  # signed
+    wlit = F.array(*[F.lit(w).cast("bigint") for w in words])
+    train = ex.where(F.col("doc_id") % 97 != 0)
+
+    def _bit_sql(j: int) -> str:
+        pos = (
+            f"(cast(conv(substring(md5(concat(cast(s as string), ':{j}')), "
+            f"1, 12), 16, 10) as bigint) % {_BLOOM_BITS})"
+        )
+        # signed-safe bit extract: arithmetic shiftright preserves bit b
+        # at position 0 for every b in [0, 63], including the sign bit
+        return (
+            f"((shiftright(element_at(__bw, cast({pos} div 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1)"
+        )
+
+    probed = train.withColumn("__bw", wlit).select(
+        "doc_id",
+        "s",
+        *[F.expr(_bit_sql(j)).alias(f"b{j}") for j in range(_BLOOM_K)],
+    )
+    hit = probed.withColumn(
+        "bloom_hit", F.col("b0") & F.col("b1") & F.col("b2")
+    )
+    exact = (
+        hit.where(F.col("bloom_hit"))
+        .join(bench.withColumnRenamed("s", "bs"),
+              F.col("s") == F.col("bs"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_hits"),
+            F.sum(F.when(F.col("bs").isNotNull(), 1).otherwise(0)).alias(
+                "n_exact"
+            ),
+        )
+    )
+    totals = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact",
+            (F.col("n_bloom_hits") - F.col("n_exact")).alias("bloom_fp"),
+            (F.col("n_exact") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    probes = " AND ".join(
+        f"{_bloom_pos_sql('t.s', j)} IN (SELECT p FROM positions)"
+        for j in range(_BLOOM_K)
+    )
+    poses = ", ".join(_bloom_pos_sql("s", j) for j in range(_BLOOM_K))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents
+  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+ex AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(s), 1, 12))::BIGINT AS s
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(arr) - 1),
+          i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS s
+        FROM docs)),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+positions AS (
+  SELECT DISTINCT p FROM (SELECT unnest([{poses}]) AS p FROM bench)),
+train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+hit AS (
+  SELECT t.doc_id, t.s, ({probes}) AS bloom_hit
+  FROM train t),
+exact AS (
+  SELECT h.doc_id, COUNT(*) AS n_bloom_hits,
+    CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_exact
+  FROM hit h LEFT JOIN bench b USING (s)
+  WHERE h.bloom_hit GROUP BY 1),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hit GROUP BY 1)
+SELECT doc_id, n_shingles, n_bloom_hits, n_exact,
+  n_bloom_hits - n_exact AS bloom_fp,
+  n_exact > 0 AS contaminated
+FROM totals JOIN exact USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "train_contamination_bloom": QuerySpec(
+        train_contamination_bloom, _bloom_oracle_sql()
+    ),
     "train_curriculum_order": QuerySpec(
         train_curriculum_order, TRAIN_CURRICULUM_SQL
     ),

@@ -2224,6 +2224,194 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# LSH-bucketed radius (range) search — FAISS range_search, the scale form
+
+_RS_NQ = 10  # bounded query set (vec_id < 10)
+_RS_R2 = 1_500_000_000_000  # radius^2 in micro^2 units (L2 distance ~1.22)
+
+
+def _isqdist(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two bigint array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius (range) search — FAISS ``range_search``: ALL neighbors
+    within a fixed L2 radius rather than a fixed count, the primitive
+    embedding-dedup sweeps use when 'how many duplicates' is unknown a
+    priori (top-k misses the 11th duplicate; radius search cannot). The
+    scale form: candidates share the query's sign-LSH bucket (the
+    ann_lsh_bucketed family), then an EXACT integer squared-distance
+    filter keeps true in-radius neighbors — recall is traded at bucket
+    boundaries exactly as in the top-k LSH variant (the exact
+    counterpart at fixture scale is a brute-force filter; the bucketed
+    result is deterministic and oracle-replayed either way). Distances
+    are exact int64 micro^2, reported at 6 dp in unit scale.
+
+    Scale (100 TB): the bounded query side broadcasts; the corpus
+    never shuffles (each shard probes its own rows via the bucket
+    equi-join); the in-radius filter is per-row codegen; output is
+    data-dependent but radius-bounded. No window, no Python."""
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
+    q = e.where(F.col("vec_id") < _RS_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * _KM_SCALE + F.lit(0.5)).cast("bigint"),
+        ).alias("qq"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * _KM_SCALE + F.lit(0.5)).cast("bigint"),
+        ).alias("cq"),
+        "bucket",
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _isqdist(F.col("qq"), F.col("cq")).alias("d2"))
+        .where(F.col("d2") <= _RS_R2)
+        .select(
+            "qid",
+            "nid",
+            F.round(F.col("d2") / float(_KM_SCALE) ** 2, 6).alias("dist2"),
+        )
+        .orderBy("qid", "nid")
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH {_EMB_CTE},
+bucketed AS (
+  SELECT vec_id, {_bucket_sql('v')} AS bucket,
+    list_transform(v, x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM emb),
+qs AS (SELECT vec_id AS qid, q AS qq, bucket FROM bucketed
+       WHERE vec_id < {_RS_NQ}),
+hits AS (
+  SELECT qid, c.vec_id AS nid,
+    CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+      i -> (qq[i] - c.q[i]) * (qq[i] - c.q[i]))) AS BIGINT) AS d2
+  FROM qs JOIN bucketed c USING (bucket)
+  WHERE c.vec_id <> qid)
+SELECT qid, nid, ROUND(d2 / {float(_KM_SCALE) ** 2}, 6) AS dist2
+FROM hits WHERE d2 <= {_RS_R2}
+ORDER BY qid, nid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Farthest-first k-means++ style seeding (Gonzalez 1985; Arthur &
+# Vassilvitskii 2007's greedy/deterministic variant)
+
+_KPP_K = 6  # centers seeded
+
+
+def emb_kmeanspp_init(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-means++-style seeding via farthest-first
+    traversal (Gonzalez 1985; the argmax-D^2 greedy variant of Arthur &
+    Vassilvitskii's D^2 sampling — production systems use the greedy
+    form when runs must be reproducible, exactly this engine's RNG-free
+    contract): start from the lowest vec_id, then 5 rounds of 'pick the
+    point FARTHEST from the chosen set' (exact int64 squared
+    distances, vec_id tiebreak). The selected centers then assign the
+    full corpus and the output reports per-center membership and
+    inertia — the seeding emb_kmeans_lloyd's fixed-first-K
+    initialization upgrades to when cluster quality matters.
+
+    Scale (100 TB): each round is ONE corpus pass (distances to <= K
+    literal centers, all codegen) reduced by a TakeOrderedAndProject
+    argmax to a 1-row driver collect (bounded metadata, the Lloyd
+    precedent); K rounds total. Final assignment is one more map-only
+    pass + a K-group partial agg. The oracle replays every round as
+    chained CTEs over the identical integer arithmetic."""
+    pts = _km_quantized(spark, sf)
+    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[tuple[int, list[int]]] = [
+        (int(first.vec_id), [int(x) for x in first.q])
+    ]
+    for _ in range(_KPP_K - 1):
+        mind = F.least(*[_km_sqdist(F.col("q"), c) for _, c in chosen]) if len(
+            chosen
+        ) > 1 else _km_sqdist(F.col("q"), chosen[0][1])
+        nxt = (
+            pts.select("vec_id", "q", mind.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(nxt.vec_id), [int(x) for x in nxt.q]))
+    cents = [c for _, c in chosen]
+    assigned = _km_assign_expr(pts, cents)
+    out = (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("dist") / float(_KM_SCALE) ** 2, 6
+            ).alias("inertia"),
+        )
+    )
+    centers = spark.createDataFrame(
+        [(i, vid) for i, (vid, _) in enumerate(chosen)],
+        "cid int, center_vec_id bigint",
+    )
+    return (
+        out.join(F.broadcast(centers), "cid")
+        .select("cid", "center_vec_id", "n_vecs", "inertia")
+        .orderBy("cid")
+    )
+
+
+def _kpp_oracle_sql() -> str:
+    rounds = []
+    prev = "ch0"
+    rounds.append(
+        "ch0 AS (SELECT 0 AS cid, vec_id, q FROM emb ORDER BY vec_id LIMIT 1)"
+    )
+    for r in range(1, _KPP_K):
+        rounds.append(
+            f"""m{r} AS (
+  SELECT e.vec_id, e.q, MIN({_km_dist_sql('e', 'c')}) AS md
+  FROM emb e CROSS JOIN (SELECT q AS c FROM {prev}) c
+  GROUP BY e.vec_id, e.q),
+s{r} AS (
+  SELECT {r} AS cid, vec_id, q FROM m{r}
+  ORDER BY md DESC, vec_id LIMIT 1),
+ch{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{r})"""
+        )
+        prev = f"ch{r}"
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(x::DOUBLE * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+{",".join(rounds)},
+cents AS (SELECT cid, vec_id AS center_vec_id, q AS c FROM {prev}),
+assigned AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {_km_dist_sql('e', 'c')} AS dist,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql('e', 'c')}, c.cid) AS rn
+    FROM emb e CROSS JOIN (SELECT cid, c FROM cents) c) WHERE rn = 1)
+SELECT a.cid, ct.center_vec_id, COUNT(*) AS n_vecs,
+  ROUND(SUM(a.dist) / {float(_KM_SCALE) ** 2}, 6) AS inertia
+FROM assigned a JOIN cents ct USING (cid)
+GROUP BY 1, 2 ORDER BY a.cid
+"""
+
+
+# ---------------------------------------------------------------------------
 # MMR diversified rerank (Carbonell & Goldstein 1998)
 
 _MMR_NQ = 5  # bounded query set (vec_id < 5), as ann_bruteforce_topk
@@ -2422,4 +2610,6 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(emb_quantize_int8, EMB_QUANTIZE_SQL),
     "emb_random_projection": QuerySpec(emb_random_projection, EMB_RP_SQL),
     "ann_mmr_rerank": QuerySpec(ann_mmr_rerank, ANN_MMR_SQL),
+    "ann_range_search": QuerySpec(ann_range_search, ANN_RANGE_SQL),
+    "emb_kmeanspp_init": QuerySpec(emb_kmeanspp_init, _kpp_oracle_sql()),
 }

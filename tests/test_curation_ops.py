@@ -1619,3 +1619,190 @@ def test_winnow_spark_surfaces_constructed_pair(spark, tmp_path):
     }
     assert (0, 1) in got and got[(0, 1)] >= 3, got
     assert all(p == (0, 1) for p in got), got
+
+
+def test_bm25_python_replication(spark):
+    """Exact replication of the BM25 micro arithmetic (Lucene positive
+    idf, k1=6/5 b=3/4 as the integer-rational form) from independent
+    fixture counts; also the ranking sanity: every reported score > 0
+    and descending."""
+    import math
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _BM25_QUERY,
+        _BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    docs = _fixture_docs(spark)
+    docs = {d: t for d, t in docs.items() if t}
+    dl = {d: len(t) for d, t in docs.items()}
+    sdl, n = sum(dl.values()), len(dl)
+    per_doc = {}
+    for term in _BM25_QUERY:
+        tf = {d: t.count(term) for d, t in docs.items() if term in t}
+        df = len(tf)
+        for d, f in tf.items():
+            m = round(
+                math.log((2.0 * n + 2) / (2 * df + 1))
+                * (22.0 * sdl * f)
+                / (10.0 * sdl * f + 3.0 * sdl + 9.0 * dl[d] * n)
+                * 1_000_000
+            )
+            cnt, s = per_doc.get(d, (0, 0))
+            per_doc[d] = (cnt + 1, s + m)
+    ranked = sorted(
+        ((d, c, round(s / 1_000_000.0, 6)) for d, (c, s) in per_doc.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:_BM25_TOPK]
+    got = [
+        (r.doc_id, r.n_terms, r.score)
+        for r in text_bm25_topk(spark, SF_DIR).collect()
+    ]
+    assert got == ranked
+    scores = [g[2] for g in got]
+    assert scores == sorted(scores, reverse=True) and min(scores) > 0
+
+
+def test_contamination_bloom_no_false_negatives(spark):
+    """The Bloom screen's load-bearing property: NO false negatives —
+    every training doc that truly shares a shingle with the benchmark
+    set (independent Python ground truth) must be reported with
+    contaminated=true, and the funnel columns must be consistent
+    (n_exact <= n_bloom_hits <= n_shingles, bloom_fp = hits - exact)."""
+    import hashlib
+
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        train_contamination_bloom,
+    )
+
+    docs = _fixture_docs(spark)
+    sh = {}
+    for d, toks in docs.items():
+        if len(toks) < 3:
+            continue
+        sh[d] = {
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[
+                    :12
+                ],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        }
+    bench = set().union(*(s for d, s in sh.items() if d % 97 == 0))
+    truth = {
+        d: len(s & bench) for d, s in sh.items() if d % 97 != 0
+    }
+    got = {
+        r.doc_id: r
+        for r in train_contamination_bloom(spark, SF_DIR).collect()
+    }
+    for d, n_exact in truth.items():
+        if n_exact > 0:
+            assert d in got and got[d].contaminated, d
+            assert got[d].n_exact == n_exact, (d, n_exact, got[d])
+    assert any(r.contaminated for r in got.values())
+    for r in got.values():
+        assert 0 < r.n_bloom_hits <= r.n_shingles
+        assert 0 <= r.n_exact <= r.n_bloom_hits
+        assert r.bloom_fp == r.n_bloom_hits - r.n_exact
+
+
+def test_range_search_exact_within_bucket(spark):
+    """Python replication: the op must return EXACTLY the same-bucket
+    neighbors within radius^2 (exact integer distances), no more, no
+    fewer, with 6dp unit-scale distances; and a brute-force pass
+    verifies no returned pair exceeds the radius."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KM_SCALE,
+        _PLANES,
+        _RS_NQ,
+        _RS_R2,
+        _emb,
+        ann_range_search,
+    )
+
+    rows = _emb(spark, SF_DIR).collect()
+    planes = np.array(_PLANES, dtype=np.float64)
+    buckets, qv = {}, {}
+    for r in rows:
+        v = np.array(r.v, dtype=np.float64)
+        bits = (planes @ v) >= 0.0
+        buckets[r.vec_id] = int((bits * (1 << np.arange(len(_PLANES)))).sum())
+        qv[r.vec_id] = np.floor(v * _KM_SCALE + 0.5).astype(np.int64)
+    expect = []
+    for qid in range(_RS_NQ):
+        for nid, b in buckets.items():
+            if nid == qid or b != buckets[qid]:
+                continue
+            d = qv[qid] - qv[nid]
+            d2 = int((d * d).sum())
+            if d2 <= _RS_R2:
+                expect.append((qid, nid, round(d2 / float(_KM_SCALE) ** 2, 6)))
+    expect.sort()
+    got = [
+        (r.qid, r.nid, r.dist2)
+        for r in ann_range_search(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    assert got, "radius should capture at least one in-bucket neighbor"
+
+
+def test_kmeanspp_farthest_first(spark):
+    """Python replication of the farthest-first traversal (exact int
+    distances, vec_id tiebreak) and of the final assignment stats; plus
+    the seeding property that motivates k-means++: the 6 seeds'
+    pairwise min distance must exceed the naive first-6-vec_ids
+    seeding's pairwise min distance."""
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _KPP_K,
+        _KM_SCALE,
+        _km_quantized,
+        emb_kmeanspp_init,
+    )
+
+    qv = {
+        r.vec_id: np.array([int(x) for x in r.q], dtype=np.int64)
+        for r in _km_quantized(spark, SF_DIR).collect()
+    }
+    ids = sorted(qv)
+    chosen = [ids[0]]
+    for _ in range(_KPP_K - 1):
+        best = None
+        for vid in ids:
+            if vid in chosen:
+                continue
+            md = min(int(((qv[vid] - qv[c]) ** 2).sum()) for c in chosen)
+            if best is None or md > best[0] or (md == best[0] and vid < best[1]):
+                best = (md, vid)
+        chosen.append(best[1])
+    stats = {}
+    for vid in ids:
+        dists = [int(((qv[vid] - qv[c]) ** 2).sum()) for c in chosen]
+        cid = int(np.argmin(dists))  # first min = lowest cid
+        n, s = stats.get(cid, (0, 0))
+        stats[cid] = (n + 1, s + min(dists))
+    expect = [
+        (cid, chosen[cid], stats[cid][0],
+         round(stats[cid][1] / float(_KM_SCALE) ** 2, 6))
+        for cid in range(_KPP_K)
+    ]
+    got = [
+        (r.cid, r.center_vec_id, r.n_vecs, r.inertia)
+        for r in emb_kmeanspp_init(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+    def min_pairdist(seeds):
+        return min(
+            int(((qv[a] - qv[b]) ** 2).sum())
+            for i, a in enumerate(seeds)
+            for b in seeds[i + 1:]
+        )
+
+    assert min_pairdist(chosen) > min_pairdist(ids[:_KPP_K])

@@ -39,6 +39,8 @@ _EAGER_QUERIES = {
     "win_global_dense_rank_dist",  # same operator family
     "win_global_cumsum_dist",  # same operator family
     "h2o_w_sorted_rownum",  # same operator: offsets collect at construction
+    "emb_kmeanspp_init",  # farthest-first rounds collect at construction
+    "train_contamination_bloom",  # bloom set-bit positions collect at construction
 }
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
@@ -72,6 +74,7 @@ _NESTED_LOOP_OK = {
     "quality_kneser_ney_bigram",  # 1-row bigram-type-total scalar crossJoin
     "quality_ccnet_bucket",  # 1-row corpus-token-total scalar crossJoin
     "ann_mmr_rerank",  # broadcast of the bounded (5-row) query set
+    "text_bm25_topk",  # 1-row corpus dl/N stats scalar crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
