@@ -1199,7 +1199,17 @@ def train_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     Scale (100 TB): bench shingle distinct = one partial-agg shuffle
     over the BOUNDED bench side; corpus probe is map-only expression
     work (6 md5 folds + 3 array lookups per shingle); the exact join
-    shuffles only bloom-positive shingles; one doc_id rollup."""
+    shuffles only bloom-positive shingles; one doc_id rollup.
+
+    Sizing: m = 2^16 matches the fixture benchmark (hundreds of
+    shingles -> FP ~ 4e-5). m must scale with the REAL suite (~1%
+    FP at n elements needs m ~ 14n bits; a saturated bitmap stays
+    CORRECT — zero false negatives, the exact join still decides —
+    it just stops pruning, which is what the recorded bloom_fp column
+    makes visible, e.g. at the sf1 stress scale where the synthetic
+    bench side outgrows 2^16). Past plan-literal comfort (~2^20 bits)
+    ship the words as a broadcast variable instead; the probe
+    expression is unchanged."""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     arr = _tokens(F.col("text"))
     ex = (
