@@ -27,6 +27,27 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+def _git_sha() -> str:
+    """HEAD SHA (-dirty when uncommitted changes exist): binds the
+    artifact to the commit it measured (the bench.py stamp, added to
+    this tool in round 9)."""
+    import subprocess
+
+    try:
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (sha + ("-dirty" if dirty else "")) if sha else "unknown"
+    except Exception:
+        return "unknown"
+
+
 HEAVY = [
     "tpcds_real_q4",
     "tpcds_real_q14",
@@ -117,6 +138,7 @@ def main() -> int:
         "queries_cold": cold,
         "duckdb": duck,
         "bench_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+        "sha": _git_sha(),
     }
     line = json.dumps(out)
     print(line)
