@@ -136,6 +136,8 @@ def all_queries() -> dict[str, QuerySpec]:
     ]
     # newest first within the batch: the late-round-9 additions lead
     _r9_new_ops = [
+        "sketch_hll_distinct",
+        "sketch_countmin_topk",
         "text_bm25_topk",
         "train_contamination_bloom",
         "ann_range_search",

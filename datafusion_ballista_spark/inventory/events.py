@@ -426,7 +426,241 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed sketches (HyperLogLog, Count-Min) — deterministic md5
+# hashing makes both MERGEABLE sketches bit-replayable by the oracle,
+# unlike approx_count_distinct's engine-private HLL++ (fn_agg_approx
+# covers that built-in; these expose the sketch itself).
+
+_HLL_M = 64  # registers (p = 6); stderr ~ 1.04/sqrt(64) ~ 13%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. 2007 alpha_m
+
+
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate (Flajolet et al. 2007) built
+    from first principles so the SKETCH is the operator: md5-fold each
+    user_id to 48 bits, bucket on the low 6, rho = leading-zero rank of
+    the remaining 42 bits; registers are per-bucket MAX(rho) — the
+    register-wise max IS the HLL merge, so the groupBy below is
+    literally the distributed sketch union a 1000-executor cluster
+    would run (one partial-agg shuffle of <= 64 groups, communication
+    independent of N). Raw estimate alpha*m^2/sum(2^-rho) with the
+    small-range linear-counting correction (E <= 2.5m and V > 0 ->
+    m*ln(m/V)). The 2^-rho sum is EXACT in IEEE double (<= 64 dyadic
+    terms spanning 49 mantissa bits), so both engines compute the
+    identical estimate with no order sensitivity; the exact distinct
+    count and signed error ppm are reported beside it.
+
+    Scale (100 TB): one corpus pass + one 64-group shuffle; the
+    register table is bounded metadata at any N. Reference analogue:
+    approx_distinct / DataFusion's HLL UDAF surface."""
+    ev = tables(spark, sf, "events").events
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    regs = (
+        ev.select(
+            (h % _HLL_M).alias("bucket"), (h / _HLL_M).cast("bigint").alias("w")
+        )
+        .select(
+            "bucket",
+            F.when(F.col("w") > 0, 42 - F.floor(F.log2("w")))
+            .otherwise(43)
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("pow(2.0, -rho)")).alias("s_obs"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact"))
+    return (
+        summary.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_HLL_M).alias("m"),
+            "n_buckets",
+            (F.lit(_HLL_M) - F.col("n_buckets")).alias("v_zero"),
+            # empty registers contribute 2^0 = 1 each to the sum
+            F.expr(
+                f"{_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+                f" / (s_obs + ({_HLL_M} - n_buckets))"
+            ).alias("raw"),
+            "exact",
+        )
+        .select(
+            "m",
+            "n_buckets",
+            "v_zero",
+            F.round("raw", 4).alias("raw_est"),
+            F.round(
+                F.expr(
+                    f"CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0"
+                    f" THEN {_HLL_M} * ln({_HLL_M} / CAST(v_zero AS DOUBLE))"
+                    f" ELSE raw END"
+                ),
+                4,
+            ).alias("est"),
+            "exact",
+        )
+        .select(
+            "m",
+            "n_buckets",
+            "v_zero",
+            "raw_est",
+            "est",
+            "exact",
+            F.expr(
+                "CAST(ROUND((est - exact) / exact * 1000000) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+SKETCH_HLL_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events),
+regs AS (
+  SELECT h % {_HLL_M} AS bucket,
+    MAX(CASE WHEN h // {_HLL_M} > 0
+         THEN CAST(42 - floor(log2(h // {_HLL_M})) AS INTEGER)
+         ELSE 43 END) AS rho
+  FROM h GROUP BY 1),
+summary AS (
+  SELECT COUNT(*) AS n_buckets, SUM(pow(2.0, -rho)) AS s_obs FROM regs),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact FROM events),
+est0 AS (
+  SELECT {_HLL_M} AS m, n_buckets,
+    {_HLL_M} - n_buckets AS v_zero,
+    CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+      / (s_obs + ({_HLL_M} - n_buckets)) AS raw,
+    exact
+  FROM summary CROSS JOIN ex),
+est1 AS (
+  SELECT m, n_buckets, v_zero, ROUND(raw, 4) AS raw_est,
+    ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+          THEN {_HLL_M} * ln({_HLL_M} / CAST(v_zero AS DOUBLE))
+          ELSE raw END, 4) AS est,
+    exact
+  FROM est0)
+SELECT m, n_buckets, v_zero, raw_est, est, exact,
+  CAST(ROUND((est - exact) / exact * 1000000) AS BIGINT) AS err_ppm
+FROM est1
+"""
+
+
+_CMS_D = 3  # depth (hash rows)
+_CMS_W = 32  # width (counters per row) — 150 users over 32 slots forces
+#              real collisions, so the over-count demo is non-vacuous
+_CMS_TOPK = 10
+
+
+def sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over per-user
+    event counts, built as the real distributed object: every event
+    maps to depth=3 md5-salted cells, one partial-aggregated
+    groupBy((d, pos)) materializes the 3 x 32 counter table (the
+    cell-wise sum IS the CMS merge — bounded metadata at any N), and
+    each user's estimate is the MIN over its 3 cells. CMS guarantees
+    est >= exact always (property-pinned) with overcount bounded by
+    collisions; the output reports the top-10 users by estimate with
+    exact counts and the overcount, which is non-zero here by
+    construction (150 users over 32 slots per row).
+
+    Scale (100 TB): one corpus pass -> 96-group shuffle (the sketch);
+    the probe side joins the 96-row broadcast table 3 times on the
+    already-reduced distinct-user aggregate. The heavy-hitter sweep
+    every training-mix monitor runs, with no second corpus pass."""
+    ev = tables(spark, sf, "events").events
+
+    def pos(d: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("user_id").cast("string"), F.lit(str(d))
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), pos(d).alias("pos")
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probe = users
+    for d in range(_CMS_D):
+        probe = probe.join(
+            F.broadcast(
+                cells.where(F.col("d") == d).select(
+                    F.col("pos").alias(f"p{d}"), F.col("cnt").alias(f"c{d}")
+                )
+            ),
+            pos(d) == F.col(f"p{d}"),
+        )
+    return (
+        probe.select(
+            "user_id",
+            "exact",
+            F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]).alias("cms_est"),
+        )
+        .withColumn("overcount", F.col("cms_est") - F.col("exact"))
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+
+
+def _cms_pos_sql(d: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{d}'), 1, 12))"
+        f"::BIGINT % {_CMS_W})"
+    )
+
+
+SKETCH_CMS_SQL = f"""
+WITH cells AS (
+  SELECT d, pos, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_pos_sql(d)} AS pos FROM events" for d in range(_CMS_D))}
+  ) GROUP BY 1, 2),
+users AS (SELECT user_id, COUNT(*) AS exact FROM events GROUP BY 1),
+probe AS (
+  SELECT u.user_id, u.exact,
+    LEAST({", ".join(f"c{d}.cnt" for d in range(_CMS_D))}) AS cms_est
+  FROM users u
+  {" ".join(f"JOIN cells c{d} ON c{d}.d = {d} AND c{d}.pos = {_cms_pos_sql(d)}" for d in range(_CMS_D))})
+SELECT user_id, exact, cms_est, cms_est - exact AS overcount
+FROM probe
+ORDER BY cms_est DESC, user_id
+LIMIT {_CMS_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, SKETCH_HLL_SQL),
+    "sketch_countmin_topk": QuerySpec(sketch_countmin_topk, SKETCH_CMS_SQL),
     "ev_hourly_rollup": QuerySpec(ev_hourly_rollup, EV_HOURLY_SQL),
     "ev_funnel_steps": QuerySpec(ev_funnel_steps, EV_FUNNEL_SQL),
     "ev_gap_fill": QuerySpec(ev_gap_fill, EV_GAP_FILL_SQL),

@@ -58,13 +58,15 @@ def test_driver_window_rotation():
     ]
     assert names[5:15] == [f"tpcds_real_q{i}" for i in range(90, 100)]
     assert names[15:50] == [f"tpcds_q{i}_shape" for i in range(44, 79)]
-    # r10 window = the 9 round-9-new ops first (same newest-code-first
+    # r10 window = the 11 round-9-new ops first (same newest-code-first
     # rule; within the batch the late-round additions lead) + remaining
     # 21 shapes + 20 regression sentinels (oldest driver greens: the
     # verbatim TPC-H tier + earliest relational/window rows, r2/r3
     # evidence that will be 7+ rounds stale by r10; the 34-sentinel
     # list runs past position 99 for r11).
-    assert list(_ALL)[50:59] == [
+    assert list(_ALL)[50:61] == [
+        "sketch_hll_distinct",
+        "sketch_countmin_topk",
         "text_bm25_topk",
         "train_contamination_bloom",
         "ann_range_search",
@@ -75,8 +77,8 @@ def test_driver_window_rotation():
         "emb_random_projection",
         "ann_mmr_rerank",
     ]
-    assert list(_ALL)[59:80] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
-    sentinels = list(_ALL)[80:114]
+    assert list(_ALL)[61:82] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
+    sentinels = list(_ALL)[82:116]
     assert sentinels[0] == "tpch_q1"
     assert sentinels[20] == "tpch_q22_global_sales"
     assert len([n for n in sentinels if n.startswith("tpch_")]) == 21

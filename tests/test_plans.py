@@ -75,6 +75,7 @@ _NESTED_LOOP_OK = {
     "quality_ccnet_bucket",  # 1-row corpus-token-total scalar crossJoin
     "ann_mmr_rerank",  # broadcast of the bounded (5-row) query set
     "text_bm25_topk",  # 1-row corpus dl/N stats scalar crossJoin
+    "sketch_hll_distinct",  # 1-row exact-distinct scalar crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
