@@ -2852,11 +2852,15 @@ def dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale (100 TB): block construction is MAP-ONLY (one transform over
     the token array — no explode-then-window); first-occurrence
-    selection is ONE shuffle, a row_number window partitioned by block
-    text (state per group = its duplicate count, no corpus-scale
-    partition because groups are per-distinct-block); reassembly is one
-    doc_id partial agg. No pair space, no self-join — duplication is
-    found by hash-partition like dedup_exact, at span granularity."""
+    selection is a groupBy(btext).agg(min(struct(doc_id, blk))) + a
+    join back — groupBy+join over a window ON PURPOSE (the
+    train_contamination_ngram rationale): min(struct) is PARTIAL-
+    AGGREGABLE, so a boilerplate block repeated 1e9 times costs one
+    map-side combine per task instead of one unsplittable row_number
+    sort partition, and the join-back's hot keys are AQE-skew-split;
+    reassembly is one doc_id partial agg. No pair space, no self-join —
+    duplication is found by hash-partition like dedup_exact, at span
+    granularity."""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select(
         "doc_id",
@@ -2872,13 +2876,19 @@ def dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("blk", "btext"),
     )
-    w = Window.partitionBy("btext").orderBy("doc_id", "blk")
-    flagged = blocks.withColumn("rn", F.row_number().over(w))
+    firsts = blocks.groupBy("btext").agg(
+        F.min(F.struct("doc_id", "blk")).alias("f")
+    )
+    flagged = blocks.join(firsts, "btext").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("blk") == F.col("f.blk")),
+    )
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias(
                 "kept_blocks"
             ),
             F.array_join(
@@ -2886,7 +2896,7 @@ def dedup_lines_keep_first(spark: SparkSession, sf: str) -> DataFrame:
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("rn") == 1, F.struct("blk", "btext")
+                                F.col("keep"), F.struct("blk", "btext")
                             )
                         )
                     ),
