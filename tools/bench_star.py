@@ -27,37 +27,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def _git_sha() -> str:
-    """HEAD SHA (-dirty when uncommitted changes exist): binds the
-    artifact to the commit it measured (the bench.py stamp, added to
-    this tool in round 9)."""
-    import subprocess
-
-    try:
-        root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-        sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        return (sha + ("-dirty" if dirty else "")) if sha else "unknown"
-    except Exception:
-        return "unknown"
-
-
-HEAVY = [
-    "tpcds_real_q4",
-    "tpcds_real_q14",
-    "tpcds_real_q23",
-    "tpcds_real_q64",
-    "tpcds_real_q67",
-    "tpcds_real_q78",
-    "tpcds_real_q88",
-    "tpcds_real_q95",
-]
+# Shared stamp helper (round-9 ADVICE: the verbatim _git_sha copy here
+# could drift from bench.py's; one implementation now serves both).
+from datafusion_ballista_spark.stamp import git_sha as _git_sha
 
 
 def main() -> int:

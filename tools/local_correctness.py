@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -52,22 +51,7 @@ GATE_ONLY_PREFIXES = [
 GATE_MAXPART = os.environ.get("SPARK_GRAFT_GATE_MAXPART")
 
 
-def _git_sha() -> str:
-    """HEAD SHA (plus -dirty when the tree has uncommitted changes) so
-    every artifact binds to the commit it was generated from."""
-    try:
-        root = os.path.join(os.path.dirname(__file__), "..")
-        sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        return (sha + ("-dirty" if dirty else "")) if sha else "unknown"
-    except Exception:
-        return "unknown"
+from datafusion_ballista_spark.stamp import git_sha as _git_sha  # shared stamp
 
 
 def main() -> int:
