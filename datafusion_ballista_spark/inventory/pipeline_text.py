@@ -2962,9 +2962,10 @@ def quality_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     total distinct bigram types. Reported as exact integer ppm with the
     two terms floored SEPARATELY (kn_ppm := term1_ppm + term2_ppm) so
     every division is integer: term1 = max(4c-3, 0)*1e6 DIV (4*c(a.)),
-    term2 = 3*N1+(a.)*N1+(.b)*1e6 DIV (4*c(a.)*T) — term2's numerator
-    and denominator run in DECIMAL(38,0)/HUGEINT (the BPE ppm
-    discipline) because c(a.)*T alone can pass 2^63 on a 100 TB corpus.
+    term2 = 3*N1+(a.)*N1+(.b)*1e6 DIV (4*c(a.)*T) — BOTH terms'
+    numerators and denominators run in DECIMAL(38,0)/HUGEINT (the BPE
+    ppm discipline): c(a.)*T alone can pass 2^63 on a 100 TB corpus,
+    and term1's 4*c(a,b)*1e6 wraps int64 once c(a,b) exceeds ~2.3e12.
     Output: top-100 bigrams by kn_ppm with all four count components.
 
     Scale (100 TB): bigram extraction is the map-only shifted-slice zip;
@@ -2994,9 +2995,15 @@ def quality_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     )
     right = big.groupBy("b").agg(F.count(F.lit(1)).alias("n2w"))
     tt = big.agg(F.count(F.lit(1)).alias("t"))
+    # term1's numerator ALSO runs in DECIMAL(38,0) (round-9 ADVICE):
+    # with ANSI off, an int64 4*cab*1e6 wraps silently once cab exceeds
+    # ~2.3e12 — reachable for a boilerplate bigram on a 100 TB corpus —
+    # while the HUGEINT oracle would error loudly; same discipline as
+    # term2 below.
     term1 = F.expr(
-        f"GREATEST({_KN_D_DEN} * cab - {_KN_D_NUM}, 0) * 1000000 "
-        f"DIV ({_KN_D_DEN} * c1)"
+        f"CAST(GREATEST(CAST({_KN_D_DEN} AS DECIMAL(38,0)) * cab "
+        f"- {_KN_D_NUM}, 0) * 1000000 "
+        f"DIV (CAST({_KN_D_DEN} AS DECIMAL(38,0)) * c1) AS BIGINT)"
     )
     term2 = F.expr(
         f"CAST((CAST({_KN_D_NUM} AS DECIMAL(38,0)) * n1w * n2w * 1000000) "
@@ -3034,8 +3041,8 @@ lft AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS c1, COUNT(*) AS n1w
 rgt AS (SELECT b, COUNT(*) AS n2w FROM big GROUP BY 1),
 tt AS (SELECT COUNT(*) AS t FROM big)
 SELECT a, b, cab, c1, n1w, n2w,
-  CAST(GREATEST({_KN_D_DEN} * cab - {_KN_D_NUM}, 0) * 1000000
-         // ({_KN_D_DEN} * c1)
+  CAST(GREATEST({_KN_D_DEN}::HUGEINT * cab - {_KN_D_NUM}, 0) * 1000000
+         // ({_KN_D_DEN}::HUGEINT * c1)
        + ({_KN_D_NUM}::HUGEINT * n1w * n2w * 1000000)
          // ({_KN_D_DEN}::HUGEINT * c1 * t) AS BIGINT) AS kn_ppm
 FROM big JOIN lft USING (a) JOIN rgt USING (b) CROSS JOIN tt

@@ -1160,10 +1160,22 @@ _BLOOM_BITS = 1 << 16  # m: bitmap size (8 KiB as 1024 int64 words)
 _BLOOM_K = 3  # hash functions per element
 
 
-def _bloom_pos_col(s: Column, j: int) -> Column:
-    """Bit position j for shingle-hash s: md5 of "s:j" folded mod m —
-    engine-identical (the shared _h48 trick re-salted per hash)."""
-    return _h48(F.concat_ws(":", s.cast("string"), F.lit(str(j)))) % _BLOOM_BITS
+def _bloom_pos_spark_sql(s: str, j: int) -> str:
+    """Bit position j for shingle-hash column s, as a Spark-SQL string:
+    md5 of "s:j" folded to 48 bits mod m. SINGLE source of truth for
+    the Spark side — both the bitmap BUILD (via _bloom_pos_col) and the
+    map-only PROBE (via _bit_sql) derive from this template (round-9
+    ADVICE: a third hand-inlined copy could drift, building the bitmap
+    with one hash and probing with another — false negatives the 'no
+    false negatives' property relies on excluding)."""
+    return (
+        f"(cast(conv(substring(md5(concat(cast({s} as string), ':{j}')), "
+        f"1, 12), 16, 10) as bigint) % {_BLOOM_BITS})"
+    )
+
+
+def _bloom_pos_col(s: str, j: int) -> Column:
+    return F.expr(_bloom_pos_spark_sql(s, j))
 
 
 def _bloom_pos_sql(s: str, j: int) -> str:
@@ -1223,7 +1235,7 @@ def train_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
         bench.select(
             F.explode(
                 F.array(
-                    *[_bloom_pos_col(F.col("s"), j) for j in range(_BLOOM_K)]
+                    *[_bloom_pos_col("s", j) for j in range(_BLOOM_K)]
                 )
             ).alias("p")
         )
@@ -1238,10 +1250,9 @@ def train_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     train = ex.where(F.col("doc_id") % 97 != 0)
 
     def _bit_sql(j: int) -> str:
-        pos = (
-            f"(cast(conv(substring(md5(concat(cast(s as string), ':{j}')), "
-            f"1, 12), 16, 10) as bigint) % {_BLOOM_BITS})"
-        )
+        # probe-side position comes from the SAME template the bitmap
+        # was built with — no third hand-written hash copy
+        pos = _bloom_pos_spark_sql("s", j)
         # signed-safe bit extract: arithmetic shiftright preserves bit b
         # at position 0 for every b in [0, 63], including the sign bit
         return (

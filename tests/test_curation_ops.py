@@ -1808,39 +1808,78 @@ def test_kmeanspp_farthest_first(spark):
     assert min_pairdist(chosen) > min_pairdist(ids[:_KPP_K])
 
 
-def test_hll_sketch_estimate(spark):
-    """Pure-Python replication of the HLL registers and estimate
-    (md5-fold, 64 buckets, leading-zero rank, alpha correction +
-    linear-counting small-range branch), plus the accuracy witness:
-    relative error within 3 standard errors (3 * 1.04/sqrt(64) ~ 39%)
-    of the exact distinct count."""
+def _hll_python_replication(spark, p):
+    """Pure-Python HLL at precision p over the events fixture: returns
+    (registers, raw, est, n_distinct) exactly as the op defines them."""
     import hashlib
     import math
 
-    from datafusion_ballista_spark.inventory.events import (
-        _HLL_ALPHA,
-        _HLL_M,
-        sketch_hll_distinct,
-    )
+    from datafusion_ballista_spark.inventory.events import _hll_alpha
 
+    m, wbits = 1 << p, 48 - p
     ev = tables(spark, SF_DIR, "events").events.select("user_id").collect()
     regs: dict[int, int] = {}
     users = set()
     for r in ev:
         users.add(r.user_id)
         h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:12], 16)
-        b, w = h % _HLL_M, h // _HLL_M
-        rho = 43 if w == 0 else 42 - int(math.floor(math.log2(w)))
+        b, w = h % m, h >> p
+        rho = wbits + 1 if w == 0 else wbits - int(math.floor(math.log2(w)))
         regs[b] = max(regs.get(b, 0), rho)
-    s = sum(2.0 ** -rho for rho in regs.values()) + (_HLL_M - len(regs))
-    raw = _HLL_ALPHA * _HLL_M * _HLL_M / s
-    v = _HLL_M - len(regs)
-    est = _HLL_M * math.log(_HLL_M / v) if (raw <= 2.5 * _HLL_M and v > 0) else raw
+    s = sum(2.0 ** -rho for rho in regs.values()) + (m - len(regs))
+    raw = _hll_alpha(m) * m * m / s
+    v = m - len(regs)
+    est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    return regs, raw, est, len(users)
+
+
+def test_hll_sketch_estimate(spark):
+    """Pure-Python replication of the HLL registers and estimate
+    (md5-fold, 64 buckets, leading-zero rank, alpha correction +
+    linear-counting small-range branch), plus the accuracy witness:
+    relative error within 3 standard errors (3 * 1.04/sqrt(64) ~ 39%)
+    of the exact distinct count."""
+    import math
+
+    from datafusion_ballista_spark.inventory.events import (
+        _HLL_P,
+        sketch_hll_distinct,
+    )
+
+    m = 1 << _HLL_P
+    regs, raw, est, n = _hll_python_replication(spark, _HLL_P)
     row = sketch_hll_distinct(spark, SF_DIR).collect()[0]
-    assert row.m == _HLL_M and row.n_buckets == len(regs)
+    assert row.m == m and row.n_buckets == len(regs)
     assert row.raw_est == round(raw, 4) and row.est == round(est, 4)
-    assert row.exact == len(users)
-    assert abs(row.est - row.exact) / row.exact < 3 * 1.04 / math.sqrt(_HLL_M)
+    assert row.exact == n
+    assert abs(row.est - row.exact) / row.exact < 3 * 1.04 / math.sqrt(m)
+
+
+def test_hll_p12_linear_counting_regime(spark):
+    """The p=12 variant (m=4096) must actually RUN the small-range
+    linear-counting branch on the fixture — empty registers present and
+    raw <= 2.5m, so est comes from m*ln(m/V), not the alpha estimate —
+    and linear counting at n << m is tight: relative error within 3
+    standard errors of the LC binomial bound sqrt(m*(exp(n/m)-n/m-1))/n
+    (Whang et al. 1990), far tighter than the HLL 1.04/sqrt(m) band."""
+    import math
+
+    from datafusion_ballista_spark.inventory.events import (
+        _HLL_P12,
+        sketch_hll_distinct_p12,
+    )
+
+    m = 1 << _HLL_P12
+    regs, raw, est, n = _hll_python_replication(spark, _HLL_P12)
+    row = sketch_hll_distinct_p12(spark, SF_DIR).collect()[0]
+    assert row.m == m and row.n_buckets == len(regs)
+    assert row.raw_est == round(raw, 4) and row.est == round(est, 4)
+    assert row.exact == n
+    # the regime claim itself: the correction branch was active
+    assert row.v_zero > 0 and row.raw_est <= 2.5 * m
+    assert row.est == round(m * math.log(m / row.v_zero), 4)
+    lc_stderr = math.sqrt(m * (math.exp(n / m) - n / m - 1)) / n
+    assert abs(row.est - row.exact) / row.exact < 3 * max(lc_stderr, 1e-3)
 
 
 def test_countmin_never_undercounts(spark):
