@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_train,
         pipeline_vector,
         relational,
+        sketches,
         sql_surface,
         streaming_cov,
         tpcds,
@@ -74,30 +75,14 @@ def all_queries() -> dict[str, QuerySpec]:
     # re-fixes + pipeline_text/vector + io_ops + events; round 5 proved
     # the first 43 TPC-DS shape analogues + all 7 streaming rows (50/50
     # green each round).
-    # Round-9 window (the swap VERDICT r8 Next #1 asked for, exactly as
-    # committed in round 8): the 5 round-8-NEW operators first (the
+    # Round-10 window (VERDICT r9 Next #1, exactly as committed in
+    # round 9): the 11 round-9-NEW operators first (the
     # newest-code-first principle — new code is where driver blind
-    # spots live, round 6 proved it), then the last 10 verbatim TPC-DS
-    # texts (q90-q99) + the first 35 shape analogues.
-    window = [
-        "text_winnow_fingerprint",
-        "quality_lexical_ttr",
-        "dedup_prefix_filter_join",
-        "multimodal_audio_vad",
-        "ann_ivfpq_refine",
-    ] + [f"tpcds_real_q{i}" for i in range(90, 100)] + [
-        f"tpcds_q{i}_shape" for i in range(44, 79)
-    ]
-    # Round-10 queue committed now so the next rotation is again a
-    # one-line window swap:
-    #   r10 window = positions 50-99: the 5 round-9-NEW operators
-    #                first (same newest-code-first rule), then the
-    #                remaining 21 shapes + 24 regression sentinels —
-    #                the OLDEST driver greens (r2/r3 evidence, 6+
-    #                rounds stale by r10): the verbatim TPC-H tier +
-    #                the earliest relational/window/null-handling rows
-    #                (the full 34-sentinel list continues past
-    #                position 99 for r11).
+    # spots live, round 6 proved it), then the last 21 shape analogues
+    # (q79-q99), then the first 18 regression sentinels (the OLDEST
+    # driver greens: the verbatim TPC-H tier, r2 evidence now 8 rounds
+    # stale). After this window every registry entry has >=1 driver
+    # CORRECTNESS row.
     _r10_sentinels = [
         "tpch_q1",
         "tpch_q2_min_cost_part",
@@ -148,11 +133,61 @@ def all_queries() -> dict[str, QuerySpec]:
         "emb_random_projection",
         "ann_mmr_rerank",
     ]
-    queue = (
+    window = (
         _r9_new_ops
         + [f"tpcds_q{i}_shape" for i in range(79, 100)]
-        + _r10_sentinels
+        + _r10_sentinels[:18]
     )
+    # Round-11 queue committed now so the next rotation is again a
+    # one-line window swap: the round-10-NEW operators first (same
+    # newest-code-first rule), then the regression-sentinel
+    # continuation — the 16 remaining r10 sentinels (late TPC-H +
+    # earliest relational/window rows, r2 evidence), then the
+    # round-3-era greens in registration order (the scalar-function
+    # surface, the UDF/UDTF surface, the SQL-surface trio, the first
+    # h2o groupby/join rows), all 7+ rounds stale by r11.
+    _r10_new_ops = [
+        "sketch_kll_quantiles",
+        "sketch_range_partition_cuts",
+        "sketch_quantile_bottomk",
+        "sketch_hll_distinct_p12",
+    ]
+    _r11_sentinels = _r10_sentinels[18:] + [
+        "fn_string",
+        "fn_regex",
+        "fn_math",
+        "fn_datetime",
+        "fn_conditional",
+        "fn_array",
+        "fn_lambda",
+        "fn_map_struct",
+        "fn_hash_encoding",
+        "fn_cast_try",
+        "fn_json",
+        "fn_agg_stats",
+        "fn_agg_collect",
+        "fn_agg_minmax_by",
+        "fn_agg_filter",
+        "fn_agg_regr",
+        "fn_agg_approx",
+        "udf_sql_register",
+        "pandas_udf_scalar",
+        "pandas_udf_grouped_agg",
+        "apply_in_pandas_zscore",
+        "udtf_lateral_tokens",
+        "map_in_arrow_stats",
+        "cogroup_asof_join",
+        "sql_parameterized",
+        "sql_pivot",
+        "sql_unpivot",
+        "h2o_g1_sum_by_id1",
+        "h2o_g2_sum_by_id1_id2",
+        "h2o_g3_sum_avg_by_id3",
+        "h2o_j1_small_inner",
+        "h2o_j2_medium_inner",
+        "h2o_w_partition_sums",
+    ]
+    queue = _r10_new_ops + _r11_sentinels
 
     pool: dict[str, QuerySpec] = {}
     for mod in (
@@ -160,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_vector,
         io_ops,
         events,
+        sketches,
         multimodal_cov,
         streaming_cov,
         tpcds,
@@ -197,6 +233,10 @@ def all_queries() -> dict[str, QuerySpec]:
             pool[name] = spec
 
     out: dict[str, QuerySpec] = {name: pool.pop(name) for name in window}
-    out.update({name: pool.pop(name) for name in queue})
+    # queue entries may name ops committed later in the current round
+    # (the r11 queue is locked before all its new ops land); the lock
+    # test in tests/test_inventory.py asserts the exact final
+    # composition, so a typo here cannot silently drop an entry.
+    out.update({name: pool.pop(name) for name in queue if name in pool})
     out.update(pool)
     return out

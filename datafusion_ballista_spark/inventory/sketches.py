@@ -1,0 +1,439 @@
+"""Mergeable quantile sketches + range-partition cuts (SURVEY §2.5
+approx-agg family; the last reference-native sketch family unmatched
+after round 9's HLL/CMS).
+
+Reference parity: Ballista implements a KLL sketch
+(``ballista/core/src/kll.rs:17-122``) and t-digest-backed runtime
+statistics (``ballista/core/src/execution_plans/runtime_stats.rs``)
+whose one consumer is the scheduler's choice of global range-partition
+boundaries. This module re-expresses that capability Spark-first as
+three operators over ``lineitem.l_extendedprice``:
+
+* ``sketch_quantile_bottomk`` — deterministic bottom-k (md5-hash-order)
+  uniform sample quantiles, ORACLE-PAIRED: the per-partition top-k by
+  hash IS the mergeable sketch (merge = top-k of the union — Spark
+  executes it as TakeOrderedAndProject, O(k) state per partition,
+  communication independent of N), and DuckDB replays it bit-identically
+  (ORDER BY hash LIMIT k). Exact-rank witness columns on every row.
+* ``sketch_range_partition_cuts`` — the runtime_stats.rs use case: cut
+  the value domain into P buckets at the sketch's i/P quantiles and
+  report each bucket's EXACT population and skew, all from one
+  conditional-aggregation corpus pass. Oracle-paired.
+* ``sketch_kll_quantiles`` — a true compactor-stack KLL
+  (operators/kll.py, deterministic coins) run executor-side over Arrow
+  batches and merged in one bounded task — the exact
+  executor-sketch -> scheduler-merge topology of the reference. The
+  compaction cascade is genuinely non-SQL-expressible, so this entry is
+  rows-only (oracle=None per the driver contract); instead the PLAN
+  self-validates: every returned row carries exact-rank witness columns
+  and an assert_true pins the error inside the documented envelope.
+
+Determinism contract: md5-hash sample membership and every ppm division
+are exact integers in both engines; quantile estimates are exact data
+values (no float arithmetic), so value hashes match with no rounding.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_ballista_spark.inventory import QuerySpec
+from datafusion_ballista_spark.inventory.util import tables
+
+_QK = 1024  # bottom-k sample size
+_PHIS = [1, 5, 10, 25, 50, 75, 90, 95, 99]  # percent
+_CUT_P = 16  # range-partition fan-out for the cuts operator
+_KLL_K = 200  # KLL top-level capacity (the DataSketches default)
+# Asserted normalized-rank-error envelope for the KLL entry, in ppm.
+# Apache DataSketches quotes ~1.65% (99% conf) single-sketch rank error
+# at k=200; the deterministic-coin variant plus a cross-partition merge
+# measured <= 0.9% worst-case on the adversarial-stream property suite
+# (tests/test_sketch_quantiles.py), so 2x the published figure is a
+# conservative in-plan bound that still fails loudly on real breakage.
+_KLL_BOUND_PPM = 33000
+
+
+def _hash48_sql_spark() -> str:
+    """48-bit md5 fold of the lineitem primary key (Spark dialect)."""
+    return (
+        "cast(conv(substring(md5(concat_ws(':', l_orderkey, l_linenumber)), "
+        "1, 12), 16, 10) as bigint)"
+    )
+
+
+_HASH48_SQL_DUCK = (
+    "('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 12))::BIGINT"
+)
+
+
+def _bottomk_sample(spark: SparkSession, sf: str) -> list[float]:
+    """The sketch itself: values of the _QK rows with the smallest
+    md5-fold of the primary key, returned sorted by (value, hash).
+
+    Per-partition state is O(k) (Spark plans the orderBy+limit as
+    TakeOrderedAndProject: partial top-k per partition, one bounded
+    merge — the sketch merge IS the partial agg). The collect is
+    bounded driver metadata (_QK rows at ANY corpus size) — the
+    kmeans-centroid precedent. md5 order is independent of the value,
+    so the sample is uniform and the classical sample-quantile bound
+    stderr = sqrt(phi*(1-phi)/k) applies (witnessed per row)."""
+    li = tables(spark, sf, "lineitem").lineitem
+    rows = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.expr(_hash48_sql_spark()).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(_QK)
+        .collect()
+    )
+    return [r.v for r in sorted(rows, key=lambda r: (r.v, r.h))]
+
+
+def _sample_quantile(vals: list[float], num: int, den: int) -> float:
+    """Sample value at rank ceil(num/den * k) (1-indexed)."""
+    return vals[math.ceil(num * len(vals) / den) - 1]
+
+
+def sketch_quantile_bottomk(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k-sample quantile sketch with exact-rank witnesses: for
+    each phi in {1,5,10,25,50,75,90,95,99}%, the estimate is the sample
+    value at rank ceil(phi*k); one conditional-aggregation corpus pass
+    computes every estimate's EXACT rank, and each row reports the
+    signed rank error against the 3-sigma sampling bound
+    3*sqrt(phi*(1-phi)/k) + 1/k (both in ppm).
+
+    Scale (100 TB): the sample is one TakeOrderedAndProject (O(k) per
+    partition, merge independent of N); the witness is ONE map-side-
+    combining pass producing a 1-row aggregate; output is 9 rows of
+    driver-scale metadata. true_rank*1e6 stays in int64 up to 9.2e12
+    corpus rows (~2 PB of lineitem) — past that, lift to DECIMAL(38,0)
+    like the Kneser-Ney counters. Reference: kll.rs's consumer computes
+    exactly these boundary quantiles for the scheduler."""
+    vals = _bottomk_sample(spark, sf)
+    ests = {p: _sample_quantile(vals, p, 100) for p in _PHIS}
+    li = tables(spark, sf, "lineitem").lineitem
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.lit(q), 1).otherwise(0)
+            ).alias(f"r{p}")
+            for p, q in ests.items()
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("phi_pct"),
+                F.lit(ests[p]).cast("double").alias("est_q"),
+                F.col(f"r{p}").cast("bigint").alias("true_rank"),
+                F.lit(
+                    int(3 * math.sqrt(p / 100 * (1 - p / 100) / _QK) * 1e6)
+                    + 1_000_000 // _QK
+                ).cast("bigint").alias("bound_ppm"),
+            )
+            for p in _PHIS
+        ]
+    )
+    return (
+        agg.select(F.col("n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.phi_pct").alias("phi_pct"),
+            F.col("e.est_q").alias("est_q"),
+            F.lit(_QK).cast("int").alias("k"),
+            F.col("n"),
+            F.col("e.true_rank").alias("true_rank"),
+            F.expr("e.true_rank * 1000000 div n - e.phi_pct * 10000")
+            .cast("bigint")
+            .alias("err_ppm"),
+            F.col("e.bound_ppm").alias("bound_ppm"),
+        )
+        .orderBy("phi_pct")
+    )
+
+
+def _duck_sample_cte() -> str:
+    return f"""
+s AS (
+  SELECT l_extendedprice AS v, {_HASH48_SQL_DUCK} AS h
+  FROM lineitem ORDER BY h, v LIMIT {_QK}),
+r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rk FROM s),
+nn AS (SELECT COUNT(*) AS n FROM lineitem)"""
+
+
+def _bottomk_bound_ppm(p: int) -> int:
+    return int(3 * math.sqrt(p / 100 * (1 - p / 100) / _QK) * 1e6) + (
+        1_000_000 // _QK
+    )
+
+
+SKETCH_BOTTOMK_SQL = f"""
+WITH {_duck_sample_cte()},
+phis(phi_pct, bound_ppm) AS (VALUES {", ".join(
+    f"({p}, {_bottomk_bound_ppm(p)})" for p in _PHIS)}),
+est AS (
+  SELECT p.phi_pct, p.bound_ppm, r.v AS est_q
+  FROM phis p JOIN r
+    ON r.rk = CAST(ceil(p.phi_pct * {_QK} / 100.0) AS BIGINT))
+SELECT e.phi_pct,
+  e.est_q,
+  {_QK} AS k,
+  nn.n,
+  (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= e.est_q)
+    AS true_rank,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= e.est_q)
+       * 1000000 // nn.n - e.phi_pct * 10000 AS BIGINT) AS err_ppm,
+  CAST(e.bound_ppm AS BIGINT) AS bound_ppm
+FROM est e CROSS JOIN nn
+ORDER BY phi_pct
+"""
+
+
+def sketch_range_partition_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-partition boundary cuts from the bottom-k quantile sketch —
+    the reference's ONE consumer of its KLL/t-digest machinery
+    (runtime_stats.rs gathers executor sketches; the scheduler cuts the
+    sort domain into equal-mass ranges). P=16 buckets: cut i is the
+    sample quantile at rank ceil(i*k/P); ONE conditional-aggregation
+    corpus pass then counts each bucket's exact population, and every
+    output row reports its share and signed deviation from the ideal
+    1/P (ppm) — the balance evidence a scheduler would act on.
+
+    Scale (100 TB): sample = one TakeOrderedAndProject; bucket counts
+    come from rank differences inside a single 1-row aggregate (NO
+    per-row bucket assignment, no join, no second shuffle); output is
+    P rows of metadata. A skewed domain shows up as dev_ppm, not as a
+    straggler task."""
+    vals = _bottomk_sample(spark, sf)
+    cuts = [_sample_quantile(vals, i, _CUT_P) for i in range(1, _CUT_P)]
+    li = tables(spark, sf, "lineitem").lineitem
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.lit(cuts[i - 1]), 1
+                ).otherwise(0)
+            ).alias(f"r{i}")
+            for i in range(1, _CUT_P)
+        ],
+    )
+
+    def _entry(i: int):
+        lo = (
+            F.lit(None).cast("double")
+            if i == 1
+            else F.lit(cuts[i - 2]).cast("double")
+        )
+        hi = (
+            F.lit(None).cast("double")
+            if i == _CUT_P
+            else F.lit(cuts[i - 1]).cast("double")
+        )
+        if i == 1:
+            n_rows = F.col("r1")
+        elif i == _CUT_P:
+            n_rows = F.col("n") - F.col(f"r{_CUT_P - 1}")
+        else:
+            n_rows = F.col(f"r{i}") - F.col(f"r{i - 1}")
+        return F.struct(
+            F.lit(i).cast("int").alias("bucket"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+            n_rows.cast("bigint").alias("n_rows"),
+        )
+
+    entries = F.array(*[_entry(i) for i in range(1, _CUT_P + 1)])
+    return (
+        agg.select(F.col("n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.bucket").alias("bucket"),
+            F.col("e.lo").alias("lo"),
+            F.col("e.hi").alias("hi"),
+            F.col("e.n_rows").alias("n_rows"),
+            F.expr("e.n_rows * 1000000 div n").cast("bigint").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"e.n_rows * 1000000 div n - {1_000_000 // _CUT_P}"
+            ).cast("bigint").alias("dev_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SKETCH_CUTS_SQL = f"""
+WITH {_duck_sample_cte()},
+cuts AS (
+  SELECT CAST(i AS INTEGER) AS i,
+    (SELECT v FROM r WHERE rk = CAST(ceil(i * {_QK} / {_CUT_P}.0) AS BIGINT))
+      AS cut
+  FROM range(1, {_CUT_P}) t(i)),
+rk AS (
+  SELECT i, cut,
+    (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= cut) AS r
+  FROM cuts),
+b AS (
+  SELECT i AS bucket, LAG(cut) OVER (ORDER BY i) AS lo, cut AS hi,
+    r - COALESCE(LAG(r) OVER (ORDER BY i), 0) AS n_rows
+  FROM rk
+  UNION ALL
+  SELECT {_CUT_P}, (SELECT cut FROM rk WHERE i = {_CUT_P - 1}), NULL,
+    (SELECT n FROM nn) - (SELECT r FROM rk WHERE i = {_CUT_P - 1}))
+SELECT CAST(bucket AS INTEGER) AS bucket, lo, hi,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_rows * 1000000 // nn.n AS BIGINT) AS share_ppm,
+  CAST(n_rows * 1000000 // nn.n - {1_000_000 // _CUT_P} AS BIGINT)
+    AS dev_ppm
+FROM b CROSS JOIN nn
+ORDER BY bucket
+"""
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """True compactor-stack KLL (operators/kll.py; reference parity
+    kll.rs:17-122) over l_extendedprice, run as the reference runs it:
+    every partition streams its Arrow batches into a local k=200 sketch
+    (bounded ~3k retained items regardless of stream length), partial
+    sketches serialize to (level, item) rows, and ONE bounded merge
+    task unions them (concatenate same-height compactors + re-compress
+    — kll.rs's own merge) and reads off the 9 quantile estimates.
+
+    The compaction cascade is order-dependent and non-SQL-expressible,
+    so there is no DuckDB oracle (rows-only driver check); instead the
+    plan SELF-VALIDATES (the emb_covariance pattern): one extra
+    conditional-agg corpus pass computes each estimate's EXACT rank,
+    every row carries signed err_ppm against the documented 33000 ppm
+    envelope (_KLL_BOUND_PPM), and an assert_true fails the whole
+    query if any estimate drifts outside it.
+
+    Scale (100 TB): sketching is one corpus pass with O(k) state per
+    partition and NO shuffle of raw rows; the merge stage moves ~3k
+    rows per partition (metadata at any N — with 10^5 partitions,
+    tree-merge in two hops before the final task); the witness pass is
+    map-side-combining into 1 row. The absorb loop is Python over
+    Arrow batches — per-executor, off the shuffle path, and bounded by
+    scan bandwidth at cluster scale."""
+    from datafusion_ballista_spark.operators.kll import KllSketch
+
+    li = tables(spark, sf, "lineitem").lineitem
+
+    def _sketch_parts(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        s = KllSketch(_KLL_K)
+        for pdf in batches:
+            s.absorb(pdf.v.to_numpy())
+        if s.n == 0:
+            return
+        pid = TaskContext.get().partitionId()
+        rows = s.to_rows()
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(rows),
+                "lvl": [h for h, _ in rows],
+                "item": [x for _, x in rows],
+                "pn": [s.n] * len(rows),
+                "mn": [s.min] * len(rows),
+                "mx": [s.max] * len(rows),
+            }
+        )
+
+    partials = li.select(F.col("l_extendedprice").alias("v")).mapInPandas(
+        _sketch_parts,
+        "pid int, lvl int, item double, pn bigint, mn double, mx double",
+    )
+
+    def _merge(key, pdf):
+        import pandas as pd
+
+        n = int(pdf.groupby("pid").pn.first().sum())
+        s = KllSketch.from_rows(
+            _KLL_K,
+            list(zip(pdf.lvl.tolist(), pdf.item.tolist())),
+            n,
+            float(pdf.mn.min()),
+            float(pdf.mx.max()),
+        )
+        return pd.DataFrame(
+            {
+                "phi_pct": _PHIS,
+                "est_q": [s.quantile(p / 100) for p in _PHIS],
+                "n": [s.n] * len(_PHIS),
+                "retained": [s.retained()] * len(_PHIS),
+            }
+        )
+
+    est_rows = (
+        partials.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            _merge, "phi_pct int, est_q double, n bigint, retained int"
+        )
+        .collect()
+    )
+    ests = {r.phi_pct: r.est_q for r in est_rows}
+    retained = est_rows[0].retained if est_rows else 0
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.lit(q), 1).otherwise(0)
+            ).alias(f"r{p}")
+            for p, q in ests.items()
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("phi_pct"),
+                F.lit(ests[p]).cast("double").alias("est_q"),
+                F.col(f"r{p}").cast("bigint").alias("true_rank"),
+            )
+            for p in _PHIS
+        ]
+    )
+    out = (
+        agg.select(F.col("n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.phi_pct").alias("phi_pct"),
+            F.col("e.est_q").alias("est_q"),
+            F.lit(_KLL_K).cast("int").alias("k"),
+            F.lit(retained).cast("int").alias("retained"),
+            F.col("n"),
+            F.col("e.true_rank").alias("true_rank"),
+            F.expr("e.true_rank * 1000000 div n - e.phi_pct * 10000")
+            .cast("bigint")
+            .alias("err_ppm"),
+            F.lit(_KLL_BOUND_PPM).cast("bigint").alias("bound_ppm"),
+        )
+        .orderBy("phi_pct")
+    )
+    # self-validation: the sketch's rank error must sit inside the
+    # documented envelope, or the query fails loudly (emb_covariance's
+    # assert_true pattern for non-oracle entries)
+    guard = F.assert_true(
+        F.abs(F.col("err_ppm")) <= F.col("bound_ppm"),
+        F.concat_ws(
+            " ",
+            F.lit("KLL rank error outside envelope at phi_pct"),
+            F.col("phi_pct").cast("string"),
+            F.col("err_ppm").cast("string"),
+        ),
+    )
+    return out.withColumn("__g", guard).drop("__g")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sketch_quantile_bottomk": QuerySpec(
+        sketch_quantile_bottomk, SKETCH_BOTTOMK_SQL
+    ),
+    "sketch_range_partition_cuts": QuerySpec(
+        sketch_range_partition_cuts, SKETCH_CUTS_SQL
+    ),
+    "sketch_kll_quantiles": QuerySpec(sketch_kll_quantiles, None),
+}

@@ -39,32 +39,18 @@ def test_inventory_query(name, spark, oracle):
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-9
-    window (VERDICT r8 Next #1, swapped in exactly as committed in
-    round 8) = the 5 round-8 operators that have never had a driver
+    """The driver verifies only the FIRST 50 registry entries. Round-10
+    window (VERDICT r9 Next #1, swapped in exactly as committed in
+    round 9) = the 11 round-9 operators that have never had a driver
     CORRECTNESS row (newest code is where driver blind spots live —
-    round 6 proved it) + tpcds_real_q90-q99 + the first 35 shape
-    analogues. Lock the composition so an accidental reorder doesn't
-    silently waste a round; the r10 queue is committed below
-    (VERDICT r8 Next #4), led by the 5 round-9-new operators.
+    round 6 proved it) + the last 21 shape analogues (q79-q99) + the
+    first 18 regression sentinels (verbatim TPC-H, r2 evidence now 8
+    rounds stale). Lock the composition so an accidental reorder
+    doesn't silently waste a round; the r11 queue is committed below,
+    led by the round-10-new sketch-quantile family.
     """
     names = list(_ALL)[:50]
-    assert names[:5] == [
-        "text_winnow_fingerprint",
-        "quality_lexical_ttr",
-        "dedup_prefix_filter_join",
-        "multimodal_audio_vad",
-        "ann_ivfpq_refine",
-    ]
-    assert names[5:15] == [f"tpcds_real_q{i}" for i in range(90, 100)]
-    assert names[15:50] == [f"tpcds_q{i}_shape" for i in range(44, 79)]
-    # r10 window = the 11 round-9-new ops first (same newest-code-first
-    # rule; within the batch the late-round additions lead) + remaining
-    # 21 shapes + 20 regression sentinels (oldest driver greens: the
-    # verbatim TPC-H tier + earliest relational/window rows, r2/r3
-    # evidence that will be 7+ rounds stale by r10; the 34-sentinel
-    # list runs past position 99 for r11).
-    assert list(_ALL)[50:61] == [
+    assert names[:11] == [
         "sketch_hll_distinct",
         "sketch_countmin_topk",
         "text_bm25_topk",
@@ -77,9 +63,28 @@ def test_driver_window_rotation():
         "emb_random_projection",
         "ann_mmr_rerank",
     ]
-    assert list(_ALL)[61:82] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
-    sentinels = list(_ALL)[82:116]
-    assert sentinels[0] == "tpch_q1"
-    assert sentinels[20] == "tpch_q22_global_sales"
-    assert len([n for n in sentinels if n.startswith("tpch_")]) == 21
-    assert sentinels[-1] == "rel_except_all"
+    assert names[11:32] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
+    assert names[32] == "tpch_q1"
+    assert names[49] == "tpch_q18_large_volume"
+    assert len([n for n in names[32:50] if n.startswith("tpch_")]) == 18
+    # r11 window = the round-10-new ops first (same newest-code-first
+    # rule), then the sentinel continuation: the 16 remaining r10
+    # sentinels (late TPC-H + earliest relational/window rows), then
+    # the round-3-era greens (scalar-function surface, UDF surface,
+    # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
+    rest = list(_ALL)[50:]
+    assert rest[:4] == [
+        "sketch_kll_quantiles",
+        "sketch_range_partition_cuts",
+        "sketch_quantile_bottomk",
+        "sketch_hll_distinct_p12",
+    ]
+    assert rest[4] == "tpch_q19_disjunctive"
+    assert rest[6] == "tpch_q22_global_sales"
+    assert rest[19] == "rel_except_all"
+    assert rest[20] == "fn_string"
+    assert rest[36] == "fn_agg_approx"
+    assert rest[37] == "udf_sql_register"
+    assert rest[44] == "sql_parameterized"
+    assert rest[47] == "h2o_g1_sum_by_id1"
+    assert rest[52] == "h2o_w_partition_sums"

@@ -41,6 +41,9 @@ _EAGER_QUERIES = {
     "h2o_w_sorted_rownum",  # same operator: offsets collect at construction
     "emb_kmeanspp_init",  # farthest-first rounds collect at construction
     "train_contamination_bloom",  # bloom set-bit positions collect at construction
+    "sketch_quantile_bottomk",  # bounded bottom-k sample collects at construction
+    "sketch_range_partition_cuts",  # same bounded sample collect
+    "sketch_kll_quantiles",  # sketch merge (bounded rows) collects at construction
 }
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:
@@ -76,6 +79,7 @@ _NESTED_LOOP_OK = {
     "ann_mmr_rerank",  # broadcast of the bounded (5-row) query set
     "text_bm25_topk",  # 1-row corpus dl/N stats scalar crossJoin
     "sketch_hll_distinct",  # 1-row exact-distinct scalar crossJoin
+    "sketch_hll_distinct_p12",  # same 1-row exact-distinct scalar crossJoin
     # deliberate brute-force pair spaces (documented scale path is the
     # LSH-bucketed variant, which planning confirms has NO nested loop):
     "ann_bruteforce_topk",  # exact baseline by design
