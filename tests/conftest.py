@@ -86,10 +86,12 @@ def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?")
     # normalization is load-bearing and the driver's own hash (which
     # may not normalize) could diverge where this gate stays green,
     # the same blind-spot class as the round-6 decimal reds. Whitelist
-    # EMPTY on purpose; note the 12sg cap legitimately absorbs 1-ULP
-    # decimal->double divergence at the sf1 STRESS gate (tpch_q1
-    # sum_charge), which uses compare_query's recorded
-    # float_strict_match field instead of this hard assert.
+    # EMPTY on purpose; the sf1 STRESS gate asserts the same contract
+    # through its own NAMED whitelist (FLOAT_ULP_SF1_WHITELIST in
+    # tools/local_correctness.py: exactly tpch_q1 + sql_unpivot, the
+    # two documented 1-ULP decimal->double edges) — a third appearance
+    # fails that gate loudly instead of blending into the recorded
+    # float_strict_match field.
     if name not in FLOAT_ULP_WHITELIST:
         _, sn_s = _normalize(s_cols, s_rows, strict_floats=True)
         _, on_s = _normalize(o_cols, o_rows, strict_floats=True)

@@ -50,6 +50,22 @@ GATE_ONLY_PREFIXES = [
 # task. 16m restores the multi-task scans a real cluster would have.
 GATE_MAXPART = os.environ.get("SPARK_GRAFT_GATE_MAXPART")
 
+# Float-strict whitelist, ASSERTED (round-9 VERDICT Next #4): a row
+# whose value hash matches only after the 9dp/12sg normalization
+# (float_strict_match: false) FAILS the gate unless named here. Exactly
+# two entries, both sf1-stress-scale 1-ULP artifacts of the documented
+# decimal->double contract (tests/conftest.py FLOAT_ULP_WHITELIST keeps
+# the sf0.01 pytest gate empty-whitelist):
+# - tpch_q1: sum_charge = SUM over 6M rows of decimal(18,2)-exact
+#   products cast to double at output; Spark and DuckDB round the SAME
+#   exact decimal to double with one final-bit difference on one group
+#   at sf1 (hash green, 12sg green) — the representation edge the
+#   decimal-output ban exists for, surfacing at the last cast.
+# - sql_unpivot: same class — the unpivoted measure column re-rounds a
+#   decimal-exact sum to double per row; one 1-ULP cell at sf1.
+# A THIRD appearance is a regression and fails loudly.
+FLOAT_ULP_SF1_WHITELIST = frozenset({"tpch_q1", "sql_unpivot"})
+
 
 from datafusion_ballista_spark.stamp import git_sha as _git_sha  # shared stamp
 
@@ -106,6 +122,17 @@ def main() -> int:
         ok = rec.get("err") is None and (
             rec.get("hash_match") or (spec.oracle is None and rec.get("rows_match"))
         )
+        if (
+            ok
+            and rec.get("float_strict_match") is False
+            and name not in FLOAT_ULP_SF1_WHITELIST
+        ):
+            ok = False
+            rec["err"] = (
+                "float_strict_match false outside FLOAT_ULP_SF1_WHITELIST: "
+                "values agree only after 9dp/12sg normalization — round in "
+                "the query on both sides, or justify a whitelist entry"
+            )
         if not ok:
             failures += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
