@@ -147,6 +147,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # surface, the UDF/UDTF surface, the SQL-surface trio, the first
     # h2o groupby/join rows), all 7+ rounds stale by r11.
     _r10_new_ops = [
+        "sketch_theta_set_ops",
+        "sketch_hll_merge_hourly",
+        "quality_token_entropy",
+        "train_pack_concat_chunks",
         "sketch_kll_quantiles",
         "sketch_range_partition_cuts",
         "sketch_quantile_bottomk",

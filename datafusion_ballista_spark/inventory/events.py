@@ -701,8 +701,136 @@ LIMIT {_CMS_TOPK}
 """
 
 
+def sketch_hll_merge_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level HLL merge, made EXPLICIT: hourly register tables
+    (groupBy(day, hour, bucket) MAX(rho) — the per-ingest-window
+    sketches a streaming pipeline persists) are merged to daily
+    estimates by ANOTHER register-wise MAX over the already-reduced
+    hourly rows. Because MAX is associative, the merged daily registers
+    are bit-identical to single-pass daily construction — the property
+    that lets a warehouse keep only per-window sketch rows and answer
+    distinct-count rollups at any coarser grain without re-reading raw
+    events. Per-day estimate (alpha + linear-counting correction, p=6)
+    beside the exact daily distinct and signed err_ppm.
+
+    Scale (100 TB): one corpus pass -> (day, hour, bucket) partial agg
+    (<= 24*64 groups/day, bounded metadata); the merge aggregates ONLY
+    sketch rows (never raw events again); the exact witness is the one
+    remaining full countDistinct pass a production rollup would drop."""
+    p = _HLL_P
+    m, wbits, alpha = 1 << p, 48 - p, _hll_alpha(1 << p)
+    ev = tables(spark, sf, "events").events
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hourly = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+            (h % m).alias("bucket"),
+            F.shiftright(h, p).alias("w"),
+        )
+        .select(
+            "day",
+            "hr",
+            "bucket",
+            F.when(F.col("w") > 0, wbits - F.floor(F.log2("w")))
+            .otherwise(wbits + 1)
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("day", "hr", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    daily = hourly.groupBy("day", "bucket").agg(F.max("rho").alias("rho"))
+    summary = daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("pow(2.0, -rho)")).alias("s_obs"),
+    )
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return (
+        summary.join(exact, "day")
+        .select(
+            "day",
+            "n_buckets",
+            F.expr(
+                f"{alpha} * {m} * {m} / (s_obs + ({m} - n_buckets))"
+            ).alias("raw"),
+            "exact",
+        )
+        .select(
+            "day",
+            "n_buckets",
+            F.round(
+                F.expr(
+                    f"CASE WHEN raw <= 2.5 * {m} AND {m} - n_buckets > 0"
+                    f" THEN {m} * ln({m} / CAST({m} - n_buckets AS DOUBLE))"
+                    f" ELSE raw END"
+                ),
+                4,
+            ).alias("est"),
+            "exact",
+        )
+        .select(
+            "day",
+            "n_buckets",
+            "est",
+            "exact",
+            F.expr(
+                "CAST(ROUND((est - exact) / exact * 1000000) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def _hll_merge_sql() -> str:
+    p = _HLL_P
+    m, wbits, alpha = 1 << p, 48 - p, _hll_alpha(1 << p)
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events),
+hourly AS (
+  SELECT day, hr, h % {m} AS bucket,
+    MAX(CASE WHEN h // {m} > 0
+         THEN CAST({wbits} - floor(log2(h // {m})) AS INTEGER)
+         ELSE {wbits + 1} END) AS rho
+  FROM h GROUP BY 1, 2, 3),
+daily AS (SELECT day, bucket, MAX(rho) AS rho FROM hourly GROUP BY 1, 2),
+summary AS (
+  SELECT day, COUNT(*) AS n_buckets, SUM(pow(2.0, -rho)) AS s_obs
+  FROM daily GROUP BY 1),
+ex AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS exact
+       FROM events GROUP BY 1),
+est0 AS (
+  SELECT s.day, s.n_buckets,
+    CAST({alpha} AS DOUBLE) * {m} * {m}
+      / (s_obs + ({m} - n_buckets)) AS raw,
+    ex.exact
+  FROM summary s JOIN ex USING (day)),
+est1 AS (
+  SELECT day, n_buckets,
+    ROUND(CASE WHEN raw <= 2.5 * {m} AND {m} - n_buckets > 0
+          THEN {m} * ln({m} / CAST({m} - n_buckets AS DOUBLE))
+          ELSE raw END, 4) AS est,
+    exact
+  FROM est0)
+SELECT day, n_buckets, est, exact,
+  CAST(ROUND((est - exact) / exact * 1000000) AS BIGINT) AS err_ppm
+FROM est1
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, SKETCH_HLL_SQL),
+    "sketch_hll_merge_hourly": QuerySpec(
+        sketch_hll_merge_hourly, _hll_merge_sql()
+    ),
     "sketch_hll_distinct_p12": QuerySpec(
         sketch_hll_distinct_p12, SKETCH_HLL_P12_SQL
     ),

@@ -3172,7 +3172,83 @@ ORDER BY lang, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# per-document token Shannon entropy (the gibberish/boilerplate filter)
+
+_ENTROPY_BOTTOMK = 20
+
+
+def quality_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token Shannon entropy, the cheap
+    gibberish/boilerplate detector quality pipelines run beside the
+    Gopher repetition rules: H = ln(n) - (1/n) * sum_t c_t*ln(c_t) in
+    exact integer micro-nats. Each (doc, token) term c*ln(c) is
+    quantized to an integer BEFORE the per-doc sum (the
+    quality_unigram_logprob discipline: the aggregation is
+    order-independent and both engines round the identical IEEE double
+    once), then H_mnat = round(ln(n)*1e6) - S div n with integer
+    division on both sides. Output: the bottom-20 lowest-entropy docs
+    (most templated/repetitive) with token totals and type counts,
+    doc_id tiebreak.
+
+    Scale (100 TB): token explode (partition-spread) -> ONE
+    (doc_id, tok) partial-agg shuffle -> ONE doc_id partial-agg shuffle
+    -> TakeOrderedAndProject bottom-k. All counting exact integers; ln
+    touched once per distinct (doc, token) and once per doc."""
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(F.col("text")), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.expr("CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)")).alias(
+            "s"
+        ),
+    )
+    return (
+        per_doc.where(F.col("n_toks") >= 1)
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_types",
+            F.expr(
+                "CAST(ROUND(ln(n_toks) * 1000000) AS BIGINT) - s DIV n_toks"
+            ).alias("entropy_mnat"),
+        )
+        .orderBy(F.asc("entropy_mnat"), F.asc("doc_id"))
+        .limit(_ENTROPY_BOTTOMK)
+    )
+
+
+QUALITY_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS tok
+  FROM documents),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks, COUNT(*) AS n_types,
+    CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM per_tok GROUP BY 1)
+SELECT doc_id, n_toks, n_types,
+  CAST(ROUND(ln(n_toks) * 1000000) AS BIGINT) - s // n_toks AS entropy_mnat
+FROM per_doc WHERE n_toks >= 1
+ORDER BY entropy_mnat, doc_id
+LIMIT {_ENTROPY_BOTTOMK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quality_token_entropy": QuerySpec(
+        quality_token_entropy, QUALITY_ENTROPY_SQL
+    ),
     "text_winnow_fingerprint": QuerySpec(
         text_winnow_fingerprint, TEXT_WINNOW_SQL
     ),

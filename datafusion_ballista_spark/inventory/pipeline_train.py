@@ -1334,7 +1334,112 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# concat-and-chunk packing (the GPT-pretraining fixed-window shape)
+
+_CHUNK_C = 256  # tokens per fixed training window
+
+
+def train_pack_concat_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk packing — the OTHER packing discipline next to
+    train_seq_packing's shard-local no-split bins: GPT-style
+    pretraining concatenates the whole corpus in a fixed order and
+    slices fixed windows of C=256 tokens, SPLITTING documents across
+    window boundaries. Each doc's global token offset comes from the
+    distributed no-PARTITION-BY running sum (operators/global_window
+    .global_running_sum: range shuffle + per-partition cumsum + bounded
+    offset stitch — never one unsplittable window task); each doc then
+    emits one row per window it overlaps, and the per-window rollup
+    reports docs touched, docs STARTING there (boundary density), and
+    the exact token occupancy — which must be exactly C everywhere but
+    the tail, pinned by test. The fragmentation statistics are what a
+    data engineer reads before picking C (how many attention windows
+    open mid-document).
+
+    Scale (100 TB): token counting is map-only; ONE range shuffle for
+    the global cumsum (offsets are per-partition metadata); the span
+    explode amplifies each doc by ceil(len/C) <= len rows feeding a
+    window-id partial agg. No Python anywhere."""
+    d = tables(spark, sf, "documents").documents
+    sz = d.select(
+        "doc_id",
+        F.size(
+            F.filter(_tokens(F.col("text")), lambda x: x != "")
+        ).cast("bigint").alias("len"),
+    ).where(F.col("len") >= 1)
+    from datafusion_ballista_spark.operators import global_running_sum
+
+    cum = global_running_sum(
+        sz, [F.asc("doc_id")], F.col("len"), out_col="cume"
+    )
+    spans = cum.select(
+        "doc_id",
+        "len",
+        (F.col("cume") - F.col("len")).alias("off"),
+    ).select(
+        "doc_id",
+        "len",
+        "off",
+        F.expr(f"off div {_CHUNK_C}").alias("c0"),
+        F.expr(f"(off + len - 1) div {_CHUNK_C}").alias("c1"),
+    )
+    ex = spans.select(
+        "doc_id",
+        "len",
+        "off",
+        F.explode(F.sequence(F.col("c0"), F.col("c1"))).alias("chunk_id"),
+    )
+    return (
+        ex.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.expr(f"off div {_CHUNK_C}") == F.col("chunk_id"), 1
+                ).otherwise(0)
+            ).alias("n_starts"),
+            F.sum(
+                F.expr(
+                    f"LEAST(off + len, (chunk_id + 1) * {_CHUNK_C})"
+                    f" - GREATEST(off, chunk_id * {_CHUNK_C})"
+                )
+            ).alias("n_tokens"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+TRAIN_CONCAT_CHUNKS_SQL = f"""
+WITH sz AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                         x -> x <> '')) AS BIGINT) AS l
+  FROM documents),
+cum AS (
+  SELECT doc_id, l,
+    SUM(l) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+  FROM sz WHERE l >= 1),
+spans AS (SELECT doc_id, l, CAST(cume - l AS BIGINT) AS off FROM cum),
+ex AS (
+  SELECT doc_id, l, off,
+    unnest(range(off // {_CHUNK_C}, (off + l - 1) // {_CHUNK_C} + 1))
+      AS chunk_id
+  FROM spans)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN off // {_CHUNK_C} = chunk_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_starts,
+  CAST(SUM(LEAST(off + l, (chunk_id + 1) * {_CHUNK_C})
+           - GREATEST(off, chunk_id * {_CHUNK_C})) AS BIGINT) AS n_tokens
+FROM ex GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "train_pack_concat_chunks": QuerySpec(
+        train_pack_concat_chunks, TRAIN_CONCAT_CHUNKS_SQL
+    ),
     "train_contamination_bloom": QuerySpec(
         train_contamination_bloom, _bloom_oracle_sql()
     ),

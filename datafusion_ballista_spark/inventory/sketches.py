@@ -428,6 +428,189 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("__g", guard).drop("__g")
 
 
+# ---------------------------------------------------------------------------
+# Theta/KMV set-operation sketch (Beyer et al. 2007 k-minimum-values;
+# Dasgupta et al. 2016 theta-sketch framework) — corpus-overlap estimation
+
+_THETA_K = 256  # KMV sample size per slice; rel. stderr ~ 1/sqrt(k-2) ~ 6.3%
+_H48_SPAN = 1 << 48  # md5 folds are uniform on [0, 2^48)
+
+
+def sketch_theta_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta/KMV sketch set operations over document shingles: how much
+    CONTENT two corpus slices share (the dedup-planning question a
+    pipeline asks before committing to a full cross-slice join). Slices
+    A/B = doc_id parity; elements = distinct 3-gram shingle md5-folds.
+    Each slice keeps its k=256 SMALLEST distinct hash values (KMV):
+    distinct-count estimate (k-1)*2^48/h_k, union = bottom-k of the
+    merged samples (the KMV merge), intersection via the theta
+    framework (theta = min of the two k-th values; count sample hashes
+    below it in BOTH sketches, scale by 1/theta). Exact counterparts
+    from ONE distinct-aggregation pass sit beside every estimate with
+    signed err_ppm (inclusion-exclusion gives the exact intersection
+    for free). Estimates are computed IN-PLAN from the deterministic
+    integer inputs (h_k thresholds, intersection tally), so the oracle
+    replays the identical IEEE division + ROUND — the HLL discipline.
+
+    Scale (100 TB): each bottom-k is a partial-agg dedup (map-side
+    combine collapses repeats) + TakeOrderedAndProject (O(k) state,
+    merge independent of N); exact side is one countDistinct shuffle.
+    A production theta sketch replaces the dedup shuffle with bounded
+    per-partition KMV state — the mapInPandas shape sketch_kll_quantiles
+    demonstrates; this entry trades that for full oracle replay."""
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _h48,
+        _shingles,
+        _spread_for_explode,
+        _tokens,
+    )
+
+    d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
+    arr = _tokens(F.col("text"))
+    base = (
+        d.where(F.size(arr) >= 3)
+        .select(
+            (F.col("doc_id") % 2).alias("sl"),
+            F.explode(_shingles(arr)).alias("s"),
+        )
+        .select("sl", _h48(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    samples = {}
+    for sl in (0, 1):
+        samples[sl] = [
+            r.h
+            for r in base.where(F.col("sl") == sl)
+            .select("h")
+            .orderBy("h")
+            .limit(_THETA_K)
+            .collect()
+        ]
+    sa, sb = set(samples[0]), set(samples[1])
+    union_k = sorted(sa | sb)[:_THETA_K]
+    theta_hk = min(max(samples[0]), max(samples[1]))
+    inter_cnt = sum(1 for h in sa & sb if h < theta_hk)
+
+    def _est(sample: list[int], exact_col: str):
+        # fewer than k distinct values -> the sketch IS the exact set
+        if len(sample) < _THETA_K:
+            return F.col(exact_col).cast("double")
+        return F.round(
+            F.lit(float(_THETA_K - 1)) * _H48_SPAN / F.lit(max(sample)), 4
+        )
+
+    exact = base.agg(
+        F.count_distinct(F.when(F.col("sl") == 0, F.col("h"))).alias(
+            "exact_a"
+        ),
+        F.count_distinct(F.when(F.col("sl") == 1, F.col("h"))).alias(
+            "exact_b"
+        ),
+        F.count_distinct(F.col("h")).alias("exact_union"),
+    ).withColumn(
+        "exact_inter",
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_union"),
+    )
+
+    def _err(est: str, exact: str):
+        return F.expr(
+            f"CAST(ROUND(({est} - {exact}) / {exact} * 1000000) AS BIGINT)"
+        )
+
+    return (
+        exact.select(
+            F.lit(_THETA_K).cast("int").alias("k"),
+            _est(samples[0], "exact_a").alias("est_a"),
+            F.col("exact_a"),
+            _est(samples[1], "exact_b").alias("est_b"),
+            F.col("exact_b"),
+            _est(union_k, "exact_union").alias("est_union"),
+            F.col("exact_union"),
+            F.round(
+                F.lit(float(inter_cnt)) * _H48_SPAN / F.lit(theta_hk), 4
+            ).alias("est_inter"),
+            F.col("exact_inter"),
+        )
+        .select(
+            "k",
+            "est_a",
+            "exact_a",
+            _err("est_a", "exact_a").alias("err_a_ppm"),
+            "est_b",
+            "exact_b",
+            _err("est_b", "exact_b").alias("err_b_ppm"),
+            "est_union",
+            "exact_union",
+            _err("est_union", "exact_union").alias("err_union_ppm"),
+            "est_inter",
+            "exact_inter",
+            _err("est_inter", "exact_inter").alias("err_inter_ppm"),
+        )
+    )
+
+
+SKETCH_THETA_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(arr)-1),
+      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks WHERE len(arr) >= 3),
+base AS (
+  SELECT DISTINCT doc_id % 2 AS sl,
+    ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+sa AS (SELECT h FROM base WHERE sl = 0 ORDER BY h LIMIT {_THETA_K}),
+sb AS (SELECT h FROM base WHERE sl = 1 ORDER BY h LIMIT {_THETA_K}),
+su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT {_THETA_K}),
+th AS (SELECT LEAST((SELECT MAX(h) FROM sa), (SELECT MAX(h) FROM sb))
+         AS theta_hk),
+ic AS (SELECT COUNT(*) AS icnt
+       FROM sa JOIN sb USING (h) CROSS JOIN th WHERE sa.h < th.theta_hk),
+ex AS (
+  SELECT
+    COUNT(DISTINCT CASE WHEN sl = 0 THEN h END) AS exact_a,
+    COUNT(DISTINCT CASE WHEN sl = 1 THEN h END) AS exact_b,
+    COUNT(DISTINCT h) AS exact_union
+  FROM base),
+est AS (
+  SELECT {_THETA_K} AS k,
+    CASE WHEN (SELECT COUNT(*) FROM sa) < {_THETA_K}
+         THEN CAST(exact_a AS DOUBLE)
+         ELSE ROUND({float(_THETA_K - 1)} * {_H48_SPAN}
+                    / (SELECT MAX(h) FROM sa), 4) END AS est_a,
+    exact_a,
+    CASE WHEN (SELECT COUNT(*) FROM sb) < {_THETA_K}
+         THEN CAST(exact_b AS DOUBLE)
+         ELSE ROUND({float(_THETA_K - 1)} * {_H48_SPAN}
+                    / (SELECT MAX(h) FROM sb), 4) END AS est_b,
+    exact_b,
+    CASE WHEN (SELECT COUNT(*) FROM su) < {_THETA_K}
+         THEN CAST(exact_union AS DOUBLE)
+         ELSE ROUND({float(_THETA_K - 1)} * {_H48_SPAN}
+                    / (SELECT MAX(h) FROM su), 4) END AS est_union,
+    exact_union,
+    ROUND(CAST((SELECT icnt FROM ic) AS DOUBLE) * {_H48_SPAN}
+          / (SELECT theta_hk FROM th), 4) AS est_inter,
+    exact_a + exact_b - exact_union AS exact_inter
+  FROM ex)
+SELECT k,
+  est_a, exact_a,
+  CAST(ROUND((est_a - exact_a) / exact_a * 1000000) AS BIGINT) AS err_a_ppm,
+  est_b, exact_b,
+  CAST(ROUND((est_b - exact_b) / exact_b * 1000000) AS BIGINT) AS err_b_ppm,
+  est_union, exact_union,
+  CAST(ROUND((est_union - exact_union) / exact_union * 1000000) AS BIGINT)
+    AS err_union_ppm,
+  est_inter, exact_inter,
+  CAST(ROUND((est_inter - exact_inter) / exact_inter * 1000000) AS BIGINT)
+    AS err_inter_ppm
+FROM est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_quantile_bottomk": QuerySpec(
         sketch_quantile_bottomk, SKETCH_BOTTOMK_SQL
@@ -436,4 +619,5 @@ QUERIES: dict[str, QuerySpec] = {
         sketch_range_partition_cuts, SKETCH_CUTS_SQL
     ),
     "sketch_kll_quantiles": QuerySpec(sketch_kll_quantiles, None),
+    "sketch_theta_set_ops": QuerySpec(sketch_theta_set_ops, SKETCH_THETA_SQL),
 }

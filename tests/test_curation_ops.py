@@ -1965,3 +1965,57 @@ def test_countmin_never_undercounts(spark):
         for r in sketch_countmin_topk(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_token_entropy_matches_python(spark):
+    """Exact replication of the bottom-20 lowest-entropy docs (counts,
+    types, integer micro-nat entropy — including the per-term
+    quantize-before-sum discipline), plus the information-theoretic
+    sanity bound 0 <= H <= ln(n_types) on every reported row."""
+    import math
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _ENTROPY_BOTTOMK,
+        quality_token_entropy,
+    )
+
+    docs = _fixture_docs(spark)
+    expect = []
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = sum(counts.values())
+        s = sum(int(round(c * math.log(c) * 1e6)) for c in counts.values())
+        h = int(round(math.log(n) * 1e6)) - s // n
+        expect.append((h, d, n, len(counts)))
+    expect.sort()
+    got = quality_token_entropy(spark, SF_DIR).collect()
+    assert len(got) == _ENTROPY_BOTTOMK
+    for row, (h, d, n, types) in zip(got, expect[:_ENTROPY_BOTTOMK]):
+        assert (row.entropy_mnat, row.doc_id) == (h, d)
+        assert (row.n_toks, row.n_types) == (n, types)
+        assert 0 <= row.entropy_mnat <= int(math.log(types) * 1e6) + 2
+
+
+def test_concat_chunks_exact_occupancy(spark):
+    """The packing invariants a training loader depends on: every chunk
+    except the last holds EXACTLY C tokens, chunk ids are contiguous
+    from 0, per-chunk doc-start counts sum to the packed doc count, and
+    total occupancy equals the corpus token total."""
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        _CHUNK_C,
+        train_pack_concat_chunks,
+    )
+
+    docs = _fixture_docs(spark)
+    lens = [len(t) for t in docs.values() if t]
+    rows = train_pack_concat_chunks(spark, SF_DIR).collect()
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == _CHUNK_C for r in rows[:-1])
+    assert 1 <= rows[-1].n_tokens <= _CHUNK_C
+    assert sum(r.n_tokens for r in rows) == sum(lens)
+    assert sum(r.n_starts for r in rows) == len(lens)
+    assert all(r.n_docs >= r.n_starts and r.n_docs >= 1 for r in rows)

@@ -73,18 +73,22 @@ def test_driver_window_rotation():
     # the round-3-era greens (scalar-function surface, UDF surface,
     # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
     rest = list(_ALL)[50:]
-    assert rest[:4] == [
+    assert rest[:8] == [
+        "sketch_theta_set_ops",
+        "sketch_hll_merge_hourly",
+        "quality_token_entropy",
+        "train_pack_concat_chunks",
         "sketch_kll_quantiles",
         "sketch_range_partition_cuts",
         "sketch_quantile_bottomk",
         "sketch_hll_distinct_p12",
     ]
-    assert rest[4] == "tpch_q19_disjunctive"
-    assert rest[6] == "tpch_q22_global_sales"
-    assert rest[19] == "rel_except_all"
-    assert rest[20] == "fn_string"
-    assert rest[36] == "fn_agg_approx"
-    assert rest[37] == "udf_sql_register"
-    assert rest[44] == "sql_parameterized"
-    assert rest[47] == "h2o_g1_sum_by_id1"
-    assert rest[52] == "h2o_w_partition_sums"
+    assert rest[8] == "tpch_q19_disjunctive"
+    assert rest[10] == "tpch_q22_global_sales"
+    assert rest[23] == "rel_except_all"
+    assert rest[24] == "fn_string"
+    assert rest[40] == "fn_agg_approx"
+    assert rest[41] == "udf_sql_register"
+    assert rest[48] == "sql_parameterized"
+    assert rest[51] == "h2o_g1_sum_by_id1"
+    assert rest[56] == "h2o_w_partition_sums"

@@ -44,6 +44,8 @@ _EAGER_QUERIES = {
     "sketch_quantile_bottomk",  # bounded bottom-k sample collects at construction
     "sketch_range_partition_cuts",  # same bounded sample collect
     "sketch_kll_quantiles",  # sketch merge (bounded rows) collects at construction
+    "sketch_theta_set_ops",  # two bounded KMV samples collect at construction
+    "train_pack_concat_chunks",  # global cumsum offsets collect at construction
 }
 
 # Nested-loop / cartesian is legitimate only for genuinely-bounded sides:

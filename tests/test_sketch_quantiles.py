@@ -181,3 +181,75 @@ def test_kll_operator_witness_and_bounded_merge(spark):
         assert abs(r.err_ppm) <= r.bound_ppm == _KLL_BOUND_PPM
         assert r.retained <= 3 * _KLL_K + 10 * MIN_LEVEL_WIDTH
         assert r.k == _KLL_K
+
+
+def test_theta_set_ops_bounds_and_coherence(spark):
+    """KMV guarantees: each distinct-count estimate within 3x the
+    classical relative stderr 1/sqrt(k-2); the estimates must also be
+    mutually coherent (union <= a+b via inclusion-exclusion on
+    estimates' exact counterparts) and the fixture must exercise a
+    NON-EMPTY intersection (otherwise the theta path is vacuous)."""
+    from datafusion_ballista_spark.inventory.sketches import (
+        _THETA_K,
+        sketch_theta_set_ops,
+    )
+
+    r = sketch_theta_set_ops(spark, SF_DIR).collect()[0]
+    rel = 3.0 / math.sqrt(_THETA_K - 2)
+    for est, exact in [
+        (r.est_a, r.exact_a),
+        (r.est_b, r.exact_b),
+        (r.est_union, r.exact_union),
+    ]:
+        assert exact > _THETA_K, "fixture too small to exercise the sketch"
+        assert abs(est - exact) / exact <= rel, (est, exact)
+    assert r.exact_inter > 0, "vacuous intersection"
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_inter
+    # intersection error scales with 1/(J*sqrt(k)); the parity slices of
+    # the synthetic corpus overlap heavily, so 3x the union band is a
+    # real check, not a tuned-to-pass margin
+    assert abs(r.est_inter - r.exact_inter) / r.exact_inter <= 3 * rel
+
+
+def test_hll_hourly_merge_is_exactly_associative(spark):
+    """The load-bearing claim of the two-level rollup: merging hourly
+    registers with MAX must give BIT-IDENTICAL daily estimates to
+    single-pass daily construction (python replication per day), and
+    each day's estimate must sit within the HLL 3-sigma band of the
+    exact daily distinct."""
+    import hashlib
+
+    from datafusion_ballista_spark.inventory.events import (
+        _HLL_P,
+        _hll_alpha,
+        sketch_hll_merge_hourly,
+    )
+    from datafusion_ballista_spark.inventory.util import tables
+
+    p = _HLL_P
+    m, wbits = 1 << p, 48 - p
+    ev = tables(spark, SF_DIR, "events").events.select(
+        "ts", "user_id"
+    ).collect()
+    regs: dict[tuple, dict[int, int]] = {}
+    users: dict[tuple, set] = {}
+    for r in ev:
+        day = r.ts.date()
+        users.setdefault(day, set()).add(r.user_id)
+        h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:12], 16)
+        b, w = h % m, h >> p
+        rho = wbits + 1 if w == 0 else wbits - int(math.floor(math.log2(w)))
+        dregs = regs.setdefault(day, {})
+        dregs[b] = max(dregs.get(b, 0), rho)
+    rows = sketch_hll_merge_hourly(spark, SF_DIR).collect()
+    assert len(rows) == len(regs) > 1
+    for row in rows:
+        dregs = regs[row.day]
+        s = sum(2.0 ** -rho for rho in dregs.values()) + (m - len(dregs))
+        raw = _hll_alpha(m) * m * m / s
+        v = m - len(dregs)
+        est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        assert row.n_buckets == len(dregs)
+        assert row.est == round(est, 4), (row.day, row.est, est)
+        assert row.exact == len(users[row.day])
+        assert abs(row.est - row.exact) / row.exact < 3 * 1.04 / math.sqrt(m)
