@@ -131,6 +131,14 @@ def main() -> None:
         # scrutiny). The 22 rows above stay method-frozen-comparable.
         "text_winnow_fingerprint",
         "dedup_prefix_filter_join",
+        # round-10 additions (tracking starts r10): the two heaviest
+        # round-10 ops — the theta/KMV set-operation sketch (shingle
+        # explode + distinct + two bounded top-k + the exact witness
+        # pass) and the KLL quantile sketch (per-partition Python
+        # compactor streams + bounded merge + the conditional-agg
+        # witness pass). The 24 rows above stay method-frozen.
+        "sketch_theta_set_ops",
+        "sketch_kll_quantiles",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]
