@@ -147,6 +147,19 @@ def all_queries() -> dict[str, QuerySpec]:
     # surface, the UDF/UDTF surface, the SQL-surface trio, the first
     # h2o groupby/join rows), all 7+ rounds stale by r11.
     _r10_new_ops = [
+        # late-round-10 batch (newest first): sliding sketch windows,
+        # corpus-health fit, fuzzy-dedup verify tier, multiprobe ANN,
+        # MRL truncation, decayed trends, shuffle/sample/moments/F2
+        "sketch_hll_sliding_3h",
+        "text_zipf_fit",
+        "dedup_edit_distance_verify",
+        "ann_lsh_multiprobe",
+        "emb_matryoshka_trunc",
+        "ev_decayed_topk",
+        "train_epoch_shuffle_shards",
+        "train_priority_sample_sum",
+        "sketch_moments_power_sums",
+        "sketch_ams_f2",
         "sketch_theta_set_ops",
         "sketch_hll_merge_hourly",
         "quality_token_entropy",

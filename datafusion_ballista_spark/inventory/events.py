@@ -826,6 +826,267 @@ ORDER BY day
 """
 
 
+_SLIDE_W = 3  # trailing window width, hours
+
+
+def sketch_hll_sliding_3h(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window distinct users from MERGED hourly HLL sketches:
+    the register table is built ONCE per hour (the sketch_hll_merge_
+    hourly topology), then every hour's trailing-3h estimate comes
+    from register-wise MAX over the hour and its two predecessors —
+    the sketch-reuse pattern that makes sliding distinct counts
+    affordable: N overlapping windows cost N sketch merges, never N
+    corpus passes.
+
+    Scale (100 TB): the corpus is touched once to build hourly
+    registers (map-side-combining groupBy, #hours x m groups); the
+    3x fan-out that implements the sliding merge runs over the
+    REGISTER TABLE (hours x m rows of metadata — at p=6, 64 rows/hour
+    regardless of corpus size), so window count and corpus size are
+    decoupled. The exact witness (explode events into the 3 windows
+    they serve + countDistinct) is the only N-dependent extra pass and
+    exists to ground err_ppm at the gate.
+
+    Determinism: same md5-fold registers as sketch_hll_distinct; the
+    2^-rho harmonic sum is exact in IEEE double, so both engines
+    replay the estimate bit-identically (rounded 4 dp for display)."""
+    p = _HLL_P
+    m, wbits, alpha = 1 << p, 48 - p, _hll_alpha(1 << p)
+    ev = _events(spark, sf)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+            (h % m).alias("bucket"),
+            F.shiftright(h, p).alias("w"),
+        )
+        .select(
+            "hb",
+            "bucket",
+            F.when(F.col("w") > 0, wbits - F.floor(F.log2("w")))
+            .otherwise(wbits + 1)
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("hb", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    hours = hourly.select("hb").distinct()
+    # sliding merge over the register table: each hourly register
+    # serves windows ending at hb, hb+1, hb+2; register-wise MAX is
+    # the HLL union. Targets clipped to hours that exist in the data.
+    merged = (
+        hourly.select(
+            F.explode(
+                F.array(*[F.col("hb") + i for i in range(_SLIDE_W)])
+            ).alias("win"),
+            "bucket",
+            "rho",
+        )
+        .join(hours.withColumnRenamed("hb", "win"), "win")
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    summary = merged.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("pow(2.0, -rho)")).alias("s_obs"),
+    )
+    exact = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr("unix_micros(ts) div 3600000000") + i
+                        for i in range(_SLIDE_W)
+                    ]
+                )
+            ).alias("win"),
+            "user_id",
+        )
+        .join(hours.withColumnRenamed("hb", "win"), "win")
+        .groupBy("win")
+        .agg(F.countDistinct("user_id").alias("exact"))
+    )
+    return (
+        summary.join(exact, "win")
+        .select(
+            F.col("win").cast("bigint").alias("win_hour"),
+            F.lit(m).alias("m"),
+            "n_buckets",
+            (F.lit(m) - F.col("n_buckets")).alias("v_zero"),
+            F.expr(
+                f"{alpha} * {m} * {m} / (s_obs + ({m} - n_buckets))"
+            ).alias("raw"),
+            "exact",
+        )
+        .select(
+            "win_hour",
+            "m",
+            "n_buckets",
+            F.round(
+                F.expr(
+                    f"CASE WHEN raw <= 2.5 * {m} AND v_zero > 0"
+                    f" THEN {m} * ln({m} / CAST(v_zero AS DOUBLE))"
+                    f" ELSE raw END"
+                ),
+                4,
+            ).alias("est"),
+            "exact",
+            F.expr(
+                f"CAST(ROUND((CASE WHEN raw <= 2.5 * {m} AND v_zero > 0"
+                f" THEN {m} * ln({m} / CAST(v_zero AS DOUBLE))"
+                f" ELSE raw END - exact) / exact * 1000000) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("win_hour")
+    )
+
+
+def _hll_sliding_sql() -> str:
+    p = _HLL_P
+    m, wbits, alpha = 1 << p, 48 - p, _hll_alpha(1 << p)
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS hb, user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events),
+hourly AS (
+  SELECT hb, h % {m} AS bucket,
+    MAX(CASE WHEN h // {m} > 0
+         THEN CAST({wbits} - floor(log2(h // {m})) AS INTEGER)
+         ELSE {wbits + 1} END) AS rho
+  FROM ev GROUP BY 1, 2),
+hours AS (SELECT DISTINCT hb FROM hourly),
+merged AS (
+  SELECT hb + o AS win, bucket, MAX(rho) AS rho
+  FROM hourly CROSS JOIN range(0, {_SLIDE_W}) t(o)
+  WHERE hb + o IN (SELECT hb FROM hours)
+  GROUP BY 1, 2),
+summary AS (
+  SELECT win, COUNT(*) AS n_buckets, SUM(pow(2.0, -rho)) AS s_obs
+  FROM merged GROUP BY win),
+ex AS (
+  SELECT hb + o AS win, COUNT(DISTINCT user_id) AS exact
+  FROM ev CROSS JOIN range(0, {_SLIDE_W}) t(o)
+  WHERE hb + o IN (SELECT hb FROM hours)
+  GROUP BY 1),
+est0 AS (
+  SELECT s.win, {m} AS m, n_buckets, {m} - n_buckets AS v_zero,
+    CAST({alpha} AS DOUBLE) * {m} * {m}
+      / (s_obs + ({m} - n_buckets)) AS raw,
+    exact
+  FROM summary s JOIN ex USING (win))
+SELECT win AS win_hour, m, n_buckets,
+  ROUND(CASE WHEN raw <= 2.5 * m AND v_zero > 0
+        THEN m * ln(m / CAST(v_zero AS DOUBLE)) ELSE raw END, 4) AS est,
+  exact,
+  CAST(ROUND((CASE WHEN raw <= 2.5 * m AND v_zero > 0
+        THEN m * ln(m / CAST(v_zero AS DOUBLE)) ELSE raw END - exact)
+       / exact * 1000000) AS BIGINT) AS err_ppm
+FROM est0
+ORDER BY win_hour
+"""
+
+
+_DECAY_SHIFT = 62  # weight = 2^(62 - age); 62 keeps day-0 inside int64
+
+
+def ev_decayed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed event-type leaderboard ("trending
+    now"): each event contributes weight 2^(-age) with age measured in
+    whole days (half-life 1 day) and, in a second lane, whole weeks
+    (half-life 7 days) — the two standard trend horizons. Ranked by the
+    1-day lane, ties by event_type.
+
+    The classic streaming formulation (Cormode et al., time-decayed
+    aggregates) needs approximation because arrival order matters;
+    batch Spark can do it EXACTLY and mergeably: anchor ages to the
+    corpus max timestamp (one 1-row broadcast), and every weight
+    2^(shift - age) is an exact power of two, summed in DECIMAL(38,0)
+    — an order-independent partial agg, bit-identical on both engines.
+    No float enters until the final display normalization.
+
+    Scale (100 TB): the anchor is a 1-row agg broadcast; ages and
+    weights are map-only codegen; the only data shuffle is the final
+    per-type aggregate (map-side combining; #groups = #event types).
+    DECIMAL(38,0) holds 2^62-weighted sums exactly up to ~2e19 events.
+    Ages beyond the shift floor to weight 0 (a 62-day lookback at
+    half-life 1d) — exactly the cutoff a trending query wants."""
+    e = _events(spark, sf)
+    anchor = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("ref_us"))
+    aged = e.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("(ref_us - unix_micros(ts)) div 86400000000").alias("age_d"),
+    )
+    w_day = F.when(
+        F.col("age_d") <= _DECAY_SHIFT,
+        F.pow(F.lit(2.0), _DECAY_SHIFT - F.col("age_d")).cast(
+            "decimal(38,0)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    w_week = F.when(
+        F.expr("age_d div 7") <= _DECAY_SHIFT,
+        F.pow(
+            F.lit(2.0),
+            _DECAY_SHIFT - F.expr("age_d div 7"),
+        ).cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    norm = float(1 << _DECAY_SHIFT)
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w_day).alias("sd"),
+            F.sum(w_week).alias("sw"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("sd").cast("double") / norm, 6).alias(
+                "score_hl1d"
+            ),
+            F.round(F.col("sw").cast("double") / norm, 6).alias(
+                "score_hl7d"
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_hl1d"), F.asc("event_type"))
+            ),
+        )
+        .orderBy("rk")
+    )
+
+
+EV_DECAYED_SQL = f"""
+WITH anchor AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+aged AS (
+  SELECT event_type,
+    (ref_us - epoch_us(ts)) // 86400000000 AS age_d
+  FROM events CROSS JOIN anchor),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CASE WHEN age_d <= {_DECAY_SHIFT}
+        THEN CAST(pow(2.0, {_DECAY_SHIFT} - age_d) AS HUGEINT)
+        ELSE 0::HUGEINT END) AS sd,
+    SUM(CASE WHEN age_d // 7 <= {_DECAY_SHIFT}
+        THEN CAST(pow(2.0, {_DECAY_SHIFT} - age_d // 7) AS HUGEINT)
+        ELSE 0::HUGEINT END) AS sw
+  FROM aged GROUP BY event_type)
+SELECT event_type, n,
+  ROUND(sd::DOUBLE / {float(1 << _DECAY_SHIFT)}, 6) AS score_hl1d,
+  ROUND(sw::DOUBLE / {float(1 << _DECAY_SHIFT)}, 6) AS score_hl7d,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY ROUND(sd::DOUBLE / {float(1 << _DECAY_SHIFT)}, 6) DESC,
+    event_type) AS INTEGER) AS rk
+FROM agg
+ORDER BY rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, SKETCH_HLL_SQL),
     "sketch_hll_merge_hourly": QuerySpec(
@@ -844,5 +1105,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ev_daily_retention": QuerySpec(ev_daily_retention, EV_RETENTION_SQL),
     "ev_range_join_bucketed": QuerySpec(
         ev_range_join_bucketed, EV_RANGE_JOIN_SQL
+    ),
+    "ev_decayed_topk": QuerySpec(ev_decayed_topk, EV_DECAYED_SQL),
+    "sketch_hll_sliding_3h": QuerySpec(
+        sketch_hll_sliding_3h, _hll_sliding_sql()
     ),
 }

@@ -3245,6 +3245,190 @@ LIMIT {_ENTROPY_BOTTOMK}
 """
 
 
+_ED_PREFIX = 32  # blocking key: first 32 normalized chars
+_ED_T = 128  # absolute edit-distance cap (banded-DP early exit)
+_ED_MAX_BLOCK = 100  # hot-block cap, the _MAX_SHINGLE_DF discipline
+
+
+def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance verification — the exactness tier fuzzy dedup
+    escalates to AFTER cheap blocking (the MinHash/SimHash families
+    here generate CANDIDATES; production pipelines confirm borderline
+    pairs with real Levenshtein before deleting data). Blocking key:
+    the first 32 normalized chars (near-identical heads are the
+    dominant template-duplication mode); every same-block pair is
+    verified with a THRESHOLDED Levenshtein and reported with its
+    normalized similarity.
+
+    Scale (100 TB): blocking is one groupBy-shuffle on a 32-char key;
+    pair space is sum of per-block C(n,2), bounded by the hot-block
+    cap (blocks larger than 100 are template boilerplate, dropped and
+    countable — the _MAX_SHINGLE_DF discipline). The verify runs
+    JVM-side: Spark's 3-arg levenshtein(l, r, t) is the banded O(n*t)
+    early-exit DP, NOT the O(n*m) full matrix — the whole point of
+    thresholding at scale. No Python anywhere.
+
+    Determinism: Levenshtein is integer-exact and engine-identical;
+    sim_ppm is integer floor arithmetic; pairs are keyed (a < b)."""
+    d = tables(spark, sf, "documents").documents.select(
+        "doc_id", _norm_text(F.col("text")).alias("t")
+    )
+    blocked = d.select(
+        "doc_id", "t", F.substring("t", 1, _ED_PREFIX).alias("blk")
+    )
+    small = (
+        blocked.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= _ED_MAX_BLOCK))
+        .select("blk")
+    )
+    b = blocked.join(F.broadcast(small), "blk")
+    a2 = b.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("t_b"),
+    )
+    pairs = (
+        b.alias("x")
+        .join(a2.alias("y"), "blk")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.length("t").alias("len_a"),
+            F.length("t_b").alias("len_b"),
+            F.levenshtein(F.col("t"), F.col("t_b"), _ED_T).alias("lev"),
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "len_a",
+        "len_b",
+        "lev",
+        F.when(
+            F.col("lev") >= 0,
+            F.expr(
+                "cast((greatest(len_a, len_b) - lev) * 1000000 "
+                "div greatest(len_a, len_b) as bigint)"
+            ),
+        )
+        .otherwise(F.lit(-1).cast("bigint"))
+        .alias("sim_ppm"),
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_EDIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+blocked AS (
+  SELECT doc_id, t, substr(t, 1, {_ED_PREFIX}) AS blk FROM d),
+small AS (
+  SELECT blk FROM blocked GROUP BY blk
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {_ED_MAX_BLOCK}),
+b AS (SELECT blocked.* FROM blocked JOIN small USING (blk)),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    length(x.t) AS len_a, length(y.t) AS len_b,
+    CASE WHEN levenshtein(x.t, y.t) <= {_ED_T}
+         THEN levenshtein(x.t, y.t) ELSE -1 END AS lev
+  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, len_a, len_b, lev,
+  CASE WHEN lev >= 0
+       THEN CAST((GREATEST(len_a, len_b) - lev) * 1000000
+            // GREATEST(len_a, len_b) AS BIGINT)
+       ELSE CAST(-1 AS BIGINT) END AS sim_ppm
+FROM pairs
+ORDER BY doc_a, doc_b
+"""
+
+
+_ZIPF_TOPV = 100  # vocabulary head the power law is fit over
+
+
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary head: regress
+    ln(frequency) on ln(rank) for the top-100 token types and report
+    the slope (a healthy natural corpus sits near -1; heavy template
+    duplication or synthetic vocabulary flattens or steepens it),
+    the fit r^2, and the head concentration (top-1 token share) — a
+    one-row corpus-health fingerprint cheap enough to run per shard
+    per ingest batch.
+
+    Scale (100 TB): token counts are ONE explode + map-side-combining
+    groupBy (the tfidf/ngram shuffle); the head is TakeOrderedAndProject
+    (k=100); the regression runs over 100 rows of metadata via the
+    built-in regr_slope/regr_r2 aggregates — nothing after the top-k
+    depends on corpus size.
+
+    Determinism: counts and ranks are exact integers; the regression
+    consumes 100 identical (ln rank, ln freq) pairs on both engines
+    and is reported rounded at 6 dp, far above double noise on a
+    100-term sum."""
+    d = tables(spark, sf, "documents").documents
+    counts = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+        F.max("f").alias("top1_f"),
+    )
+    head = (
+        counts.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(_ZIPF_TOPV)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))),
+        )
+    )
+    fit = head.agg(
+        F.expr("regr_slope(ln(f), ln(rk))").alias("slope"),
+        F.expr("regr_r2(ln(f), ln(rk))").alias("r2"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(_ZIPF_TOPV).cast("int").alias("head_k"),
+            "n_types",
+            "n_tokens",
+            F.round("slope", 6).alias("zipf_slope"),
+            F.round("r2", 6).alias("zipf_r2"),
+            F.expr("cast(top1_f * 1000000 div n_tokens as bigint)").alias(
+                "top1_share_ppm"
+            ),
+        )
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS f
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+totals AS (
+  SELECT COUNT(*) AS n_types, SUM(f) AS n_tokens, MAX(f) AS top1_f
+  FROM counts),
+head AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk
+  FROM counts ORDER BY f DESC, tok LIMIT {_ZIPF_TOPV}),
+fit AS (
+  SELECT regr_slope(ln(f), ln(rk)) AS slope,
+         regr_r2(ln(f), ln(rk)) AS r2
+  FROM head)
+SELECT {_ZIPF_TOPV} AS head_k,
+  CAST(n_types AS BIGINT) AS n_types,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(slope, 6) AS zipf_slope, ROUND(r2, 6) AS zipf_r2,
+  CAST(top1_f * 1000000 // n_tokens AS BIGINT) AS top1_share_ppm
+FROM fit CROSS JOIN totals
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "quality_token_entropy": QuerySpec(
         quality_token_entropy, QUALITY_ENTROPY_SQL
@@ -3294,4 +3478,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score": QuerySpec(quality_score, QUALITY_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_SQL),
+    "dedup_edit_distance_verify": QuerySpec(
+        dedup_edit_distance_verify, DEDUP_EDIT_SQL
+    ),
+    "text_zipf_fit": QuerySpec(text_zipf_fit, TEXT_ZIPF_SQL),
 }

@@ -1436,6 +1436,189 @@ FROM ex GROUP BY 1 ORDER BY 1
 """
 
 
+_PRIO_K = 64  # priority-sample size
+# u-granularity: u = h/2^32, so q = w*2^32 div h = floor(w/u) is the
+# DLT priority ALREADY in weight units (flooring biases tau down by
+# < 1 char — noise next to the sqrt(1/k) sampling error).
+_PRIO_SCALE = 1 << 32
+
+
+def train_priority_sample_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): one pass
+    draws a k=64 weighted-without-replacement sample of documents
+    (weight = n_chars) AND turns it into an UNBIASED estimator of the
+    corpus's total character count — the "how many tokens does this
+    slice hold" question every mixture planner asks, answered from a
+    bounded sample instead of a full scan.
+
+    Construction: priority q_i = w_i / u_i with u_i uniform; keep the
+    top k by q; let tau = the (k+1)-th priority; each kept item
+    estimates its stratum as max(w_i, tau), and sum(max(w_i, tau)) is
+    unbiased for sum(w) (the paper's Thm 1 — within a factor tied to
+    k of the best possible variance for ANY k-sparse sum estimator).
+
+    Unlike train_sample_weighted (A-ES, float pow priorities rounded
+    before ranking), the priority here is an EXACT INTEGER: u = h/2^32
+    from a 32-bit md5 fold, so q = w * 2^32 div h — floor division on
+    int64 on both engines, no float anywhere until the final err_ppm
+    report. A last-ulp divergence is structurally impossible.
+
+    Scale (100 TB): priorities are map-only codegen; top-(k+1) is
+    TakeOrderedAndProject (per-partition heaps, k-row merge,
+    communication independent of N); tau and the estimate fold inside
+    a k-row plan fragment — no collect. The exact-total witness is one
+    map-side-combining agg and exists only to ground err_ppm.
+    w * 2^32 stays in int64 up to w ~ 2e9 chars per doc (far past any
+    real document; past it, drop to a 24-bit fold or DECIMAL)."""
+    d = tables(spark, sf, "documents").documents
+    q = d.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.expr(
+            "(n_chars * 4294967296) div "
+            "(cast(conv(substring(md5(concat(cast(doc_id as string), "
+            "'#ps')), 1, 8), 16, 10) as bigint) + 1)"
+        ).alias("q"),
+    )
+    top = q.orderBy(F.desc("q"), F.asc("doc_id")).limit(_PRIO_K + 1)
+    tau = top.agg(F.min("q").alias("tau"))  # the (k+1)-th priority
+    exact = d.agg(F.sum("n_chars").alias("exact_total"))
+    kept = (
+        top.crossJoin(F.broadcast(tau))
+        .where(F.col("q") > F.col("tau"))
+        .crossJoin(F.broadcast(exact))
+    )
+    est = F.sum(
+        F.greatest(F.col("w").cast("double"), F.col("tau").cast("double"))
+    ).alias("est_total")
+    return (
+        kept.groupBy("exact_total")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(est, 4).alias("est_total"),
+        )
+        .select(
+            "k",
+            "est_total",
+            "exact_total",
+            F.expr(
+                "cast(round((est_total - exact_total) / exact_total "
+                "* 1000000) as bigint)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+TRAIN_PRIORITY_SQL = f"""
+WITH p AS (
+  SELECT doc_id, n_chars AS w,
+    (n_chars * {_PRIO_SCALE}) //
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ps'), 1, 8))::BIGINT
+       + 1) AS q
+  FROM documents),
+top AS (SELECT * FROM p ORDER BY q DESC, doc_id LIMIT {_PRIO_K + 1}),
+tau AS (SELECT MIN(q) AS tau FROM top),
+ex AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_total FROM documents),
+kept AS (
+  SELECT w, t.tau, exact_total FROM top CROSS JOIN tau t CROSS JOIN ex
+  WHERE q > t.tau),
+agg AS (
+  SELECT exact_total, COUNT(*) AS k,
+    ROUND(SUM(GREATEST(w::DOUBLE, tau::DOUBLE)), 4) AS est_total
+  FROM kept GROUP BY exact_total)
+SELECT k, est_total, exact_total,
+  CAST(ROUND((est_total - exact_total) / exact_total * 1000000) AS BIGINT)
+    AS err_ppm
+FROM agg
+"""
+
+
+_SHUF_EPOCHS = 3
+_SHUF_SHARDS = 8
+
+
+def train_epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffling + shard assignment — the "give
+    every training epoch a fresh, reproducible global order without a
+    global sort" primitive: for each epoch e, every doc gets a 48-bit
+    md5(e, doc_id) position; shard = position mod S. Re-running epoch e
+    yields the identical order on any cluster size; no rand(), no
+    seed-state, no driver coordination.
+
+    Output is the per-(epoch, shard) manifest a dataloader consumes:
+    row count, doc_id checksum, position span, and the signed deviation
+    of the shard's share from the ideal 1/S (ppm) — the balance
+    evidence that the hash is doing its job epoch over epoch.
+
+    Scale (100 TB): position + shard are MAP-ONLY codegen expressions;
+    the only shuffle is the final E*S=24-group aggregate (map-side
+    combining, communication independent of N). A real loader then
+    range-partitions each shard by position — a single shuffle whose
+    balance this manifest certifies BEFORE paying for it. All integer
+    math; sum_doc_id stays exact in DECIMAL(38,0) at any corpus."""
+    d = tables(spark, sf, "documents").documents
+    e = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SHUF_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.expr(
+            "cast(conv(substring(md5(concat_ws(':', epoch, doc_id, 'sh')), "
+            "1, 12), 16, 10) as bigint)"
+        ).alias("pos"),
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast witness
+    return (
+        e.groupBy(
+            "epoch", (F.col("pos") % _SHUF_SHARDS).cast("int").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_doc_id"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            "n_docs",
+            "sum_doc_id",
+            "min_pos",
+            "max_pos",
+            F.expr(
+                f"cast(n_docs * 1000000 div n "
+                f"- {1_000_000 // _SHUF_SHARDS} as bigint)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+TRAIN_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, CAST(t.epoch AS INTEGER) AS epoch,
+    ('0x' || substr(md5(t.epoch || ':' || doc_id || ':' || 'sh'),
+     1, 12))::BIGINT AS pos
+  FROM documents CROSS JOIN range(0, {_SHUF_EPOCHS}) t(epoch)),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT epoch, CAST(pos % {_SHUF_SHARDS} AS INTEGER) AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(doc_id::HUGEINT) AS BIGINT) AS sum_doc_id,
+  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+  CAST(COUNT(*) * 1000000 // (SELECT n FROM nn)
+       - {1_000_000 // _SHUF_SHARDS} AS BIGINT) AS dev_ppm
+FROM e
+GROUP BY 1, 2
+ORDER BY epoch, shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_pack_concat_chunks": QuerySpec(
         train_pack_concat_chunks, TRAIN_CONCAT_CHUNKS_SQL
@@ -1466,4 +1649,10 @@ QUERIES: dict[str, QuerySpec] = {
     "train_split_leakage": QuerySpec(train_split_leakage, _train_leakage_sql()),
     "train_doc_chunking": QuerySpec(train_doc_chunking, TRAIN_CHUNK_SQL),
     "train_dsir_select": QuerySpec(train_dsir_select, TRAIN_DSIR_SQL),
+    "train_priority_sample_sum": QuerySpec(
+        train_priority_sample_sum, TRAIN_PRIORITY_SQL
+    ),
+    "train_epoch_shuffle_shards": QuerySpec(
+        train_epoch_shuffle_shards, TRAIN_SHUFFLE_SQL
+    ),
 }

@@ -2591,6 +2591,224 @@ ORDER BY qid, pick
 """
 
 
+_MRL_DIM = 16  # truncated prefix dimensionality (64 -> 16)
+_MRL_K = 5  # top-k whose overlap is measured
+
+
+def emb_matryoshka_trunc(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation retrieval check (Kusupati et al. 2022,
+    MRL): retrieve with only the FIRST 16 of 64 dimensions
+    (renormalization is implicit in cosine) and report, per query, the
+    recall@5 of the truncated index against full-dimension top-5 — the
+    exact measurement a team makes before switching its ANN tier to
+    cheap prefix vectors.
+
+    Scale (100 TB): both retrieval arms are the canonical bounded-Q
+    broadcast probe (corpus never shuffles, scanned once per arm — or
+    once total if the two sims are computed in the same projection, as
+    here: ONE corpus pass emits full-dim and truncated sims together);
+    the overlap join is per-query top-k rows (metadata). The fixture
+    vectors are unit-norm in 64-d but NOT in any prefix, so the
+    truncated arm exercises the real renormalized geometry.
+
+    Determinism: the cosine-ranking discipline (round 9 dp before
+    ranking, doc-id tiebreak) on both arms and both engines."""
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    sims = (
+        e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+        .join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim_full"),
+            F.round(
+                _cos(
+                    F.slice(F.col("qv"), 1, _MRL_DIM),
+                    F.slice(F.col("nv"), 1, _MRL_DIM),
+                ),
+                9,
+            ).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("sim_full"), F.asc("nid"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim_trunc"), F.asc("nid"))
+    ranked = sims.select(
+        "qid",
+        "nid",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    return (
+        ranked.where(
+            (F.col("rk_full") <= _MRL_K) | (F.col("rk_trunc") <= _MRL_K)
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rk_full") <= _MRL_K)
+                    & (F.col("rk_trunc") <= _MRL_K),
+                    1,
+                ).otherwise(0)
+            ).alias("n_overlap")
+        )
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.lit(_MRL_K).cast("int").alias("k"),
+            F.lit(_MRL_DIM).cast("int").alias("d_trunc"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.expr(f"cast(n_overlap * 1000000 div {_MRL_K} as bigint)")
+            .alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+EMB_MRL_SQL = f"""
+WITH {{EMB_CTE}},
+q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+sims AS (
+  SELECT qid, e.vec_id AS nid,
+    round({{COS_FULL}}, 9) AS sim_full,
+    round({{COS_TRUNC}}, 9) AS sim_trunc
+  FROM q JOIN emb e ON e.vec_id <> qid),
+ranked AS (
+  SELECT qid, nid,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_full DESC, nid)
+      AS rk_full,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, nid)
+      AS rk_trunc
+  FROM sims)
+SELECT qid, {_MRL_K} AS k, {_MRL_DIM} AS d_trunc,
+  CAST(SUM(CASE WHEN rk_full <= {_MRL_K} AND rk_trunc <= {_MRL_K}
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+  CAST(SUM(CASE WHEN rk_full <= {_MRL_K} AND rk_trunc <= {_MRL_K}
+      THEN 1 ELSE 0 END) * 1000000 // {_MRL_K} AS BIGINT) AS recall_ppm
+FROM ranked
+WHERE rk_full <= {_MRL_K} OR rk_trunc <= {_MRL_K}
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+def _emb_mrl_sql() -> str:
+    cos_full = _cos_sql("qv", "e.v")
+    trunc_a, trunc_b = f"qv[1:{_MRL_DIM}]", f"e.v[1:{_MRL_DIM}]"
+    d = _DOT_SQL
+    cos_trunc = (
+        f"{d.format(a=trunc_a, b=trunc_b)} / "
+        f"(sqrt({d.format(a=trunc_a, b=trunc_a)}) * "
+        f"sqrt({d.format(a=trunc_b, b=trunc_b)}))"
+    )
+    return (
+        EMB_MRL_SQL.replace("{EMB_CTE}", _EMB_CTE)
+        .replace("{COS_FULL}", cos_full)
+        .replace("{COS_TRUNC}", cos_trunc)
+    )
+
+
+_MP_NQ = 20  # bounded query set, as ann_lsh_bucketed
+_MP_K = 3
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): instead of multiplying
+    hash TABLES to recover recall, each query probes its own sign
+    bucket plus the 8 buckets at Hamming distance 1 (one hyperplane
+    flipped) — 9 probes against a SINGLE index, ~T-fold memory saving
+    over T tables at equal recall. Probing the neighbor bucket targets
+    exactly the vectors that fell on the other side of one hyperplane —
+    the dominant LSH miss mode.
+
+    Scale (100 TB): the corpus is bucketed ONCE (map-only sign codes —
+    same single index ann_lsh_bucketed builds); the bounded query side
+    fans out 9x BEFORE the broadcast join, so the corpus still never
+    shuffles and each shard probes its own rows; candidate dedup
+    happens on (qid, nid) pairs drawn from 9 bounded buckets. Per-row
+    witness: each hit carries its probe distance (0 = home bucket,
+    1 = flipped), making the recall contribution of multi-probing
+    visible in the output itself.
+
+    Determinism: bucket codes are integer sign tests on literal
+    hyperplanes; probe fan-out is XOR on the code; ranking follows the
+    cosine-ranking discipline (round 9 dp, nid tiebreak)."""
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
+    probes = (
+        e.where(F.col("vec_id") < _MP_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket")
+        .select(
+            "qid",
+            "qv",
+            F.col("bucket").alias("home"),
+            F.explode(
+                F.array(F.lit(0), *[F.lit(1 << i) for i in range(_N_PLANES)])
+            ).alias("flip"),
+        )
+        .select(
+            "qid",
+            "qv",
+            F.expr("home ^ flip").cast("int").alias("bucket"),
+            F.when(F.col("flip") == 0, 0).otherwise(1).alias("probe_dist"),
+        )
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "bucket")
+    sims = (
+        F.broadcast(probes)
+        .join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "probe_dist",
+            F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim"),
+        )
+        # a candidate can surface from at most one probe (buckets are
+        # disjoint), so no pair-dedup is needed — asserted in tests
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _MP_K)
+        .select(
+            "qid",
+            "nid",
+            F.round("sim", 6).alias("cosine"),
+            "rk",
+            F.col("probe_dist").cast("int").alias("probe_dist"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def _mp_probe_sql() -> str:
+    return f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb),
+flips(flip) AS (VALUES (0), {", ".join(f"({1 << i})" for i in range(_N_PLANES))}),
+probes AS (
+  SELECT vec_id AS qid, v AS qv,
+    xor(bucket, flip)::INTEGER AS bucket,
+    CASE WHEN flip = 0 THEN 0 ELSE 1 END AS probe_dist
+  FROM bucketed CROSS JOIN flips WHERE vec_id < {_MP_NQ}),
+sims AS (
+  SELECT qid, c.vec_id AS nid, probe_dist,
+    round({_cos_sql('qv', 'c.v')}, 9) AS sim
+  FROM probes JOIN bucketed c USING (bucket)
+  WHERE c.vec_id <> qid),
+ranked AS (
+  SELECT qid, nid, probe_dist, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM sims)
+SELECT qid, nid, round(sim, 6) AS cosine, rk,
+  CAST(probe_dist AS INTEGER) AS probe_dist
+FROM ranked WHERE rk <= {_MP_K}
+ORDER BY qid, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_covariance": QuerySpec(emb_covariance, EMB_COV_SQL),
     "emb_pca_project": QuerySpec(emb_pca_project, _emb_pca_sql()),
@@ -2612,4 +2830,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_mmr_rerank": QuerySpec(ann_mmr_rerank, ANN_MMR_SQL),
     "ann_range_search": QuerySpec(ann_range_search, ANN_RANGE_SQL),
     "emb_kmeanspp_init": QuerySpec(emb_kmeanspp_init, _kpp_oracle_sql()),
+    "emb_matryoshka_trunc": QuerySpec(emb_matryoshka_trunc, _emb_mrl_sql()),
+    "ann_lsh_multiprobe": QuerySpec(ann_lsh_multiprobe, _mp_probe_sql()),
 }

@@ -611,6 +611,208 @@ FROM est
 """
 
 
+_AMS_R = 5  # independent estimator rows (median/mean taken across them)
+_AMS_B = 64  # buckets per row; relative stderr ~ sqrt(2/B) ~ 17.7%
+# Reported-per-row assertion envelope: 5 sigma of the AMS variance bound
+# Var(est) <= 2*F2^2/B (Alon-Matias-Szegedy 1996, Thm 2.2), in ppm.
+_AMS_BOUND_PPM = int(5 * math.sqrt(2 / _AMS_B) * 1e6)
+
+
+def sketch_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS/tug-of-war second-frequency-moment (F2) sketch over the
+    events stream (item = user_id): R=5 independent estimator rows x
+    B=64 buckets of md5-derived Rademacher signs; each event adds its
+    sign to one cell, est_r = sum_b cell^2, and the query reports every
+    row's estimate plus their mean against the EXACT F2 (one
+    per-user-count pass) with signed err_ppm and the 5-sigma AMS bound.
+
+    F2 = sum_u f_u^2 is the self-join size / skew statistic a scheduler
+    uses to pick between hash- and skew-handling join strategies — the
+    reference's runtime_stats.rs collects exactly this class of
+    statistic executor-side (alongside its t-digest) for re-planning.
+    Alon-Matias-Szegedy (STOC 1996) is the construction; the
+    Count-Sketch bucket refinement is Charikar-Chen-Farach-Colton 2002.
+
+    Scale (100 TB): the sketch IS a partial agg — each event maps to
+    (r, bucket, sign) and cell sums combine map-side, so ONE corpus
+    pass shuffles exactly R*B = 320 groups (communication independent
+    of N); squares and row sums are a 320-row driver-scale reduction.
+    The exact-F2 witness is the only N-dependent shuffle (per-user
+    counts) and exists solely to ground the error columns. Cell values
+    stay int64 until a single cell absorbs > 9.2e18 events; cell^2
+    accumulates in DECIMAL(38,0) and the fixture-scale estimates are
+    exact BIGINTs (lift est columns to DECIMAL past F2 ~ 9.2e18, the
+    bottomk true_rank precedent).
+
+    Determinism: signs and buckets are md5-derived on both engines;
+    every arithmetic step is integer-exact, so value hashes match with
+    no rounding anywhere."""
+    e = tables(spark, sf, "events").events
+    cells = (
+        e.select("user_id", F.explode(F.array(*[F.lit(r) for r in range(_AMS_R)])).alias("r"))
+        .select(
+            "r",
+            F.expr(
+                "cast(conv(substring(md5(concat_ws(':', user_id, r, 'b')), "
+                f"1, 12), 16, 10) as bigint) % {_AMS_B}"
+            ).alias("bucket"),
+            F.expr(
+                "cast(conv(substring(md5(concat_ws(':', user_id, r, 's')), "
+                "1, 1), 16, 10) as bigint) % 2 * 2 - 1"
+            ).alias("sign"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("sign").alias("cell"))
+    )
+    ests = cells.groupBy("r").agg(
+        F.sum(F.col("cell").cast("decimal(38,0)") * F.col("cell"))
+        .cast("bigint")
+        .alias("est_f2")
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+            .cast("bigint")
+            .alias("exact_f2")
+        )
+    )
+    mean = ests.agg(
+        F.avg(F.col("est_f2").cast("double")).alias("est_mean")
+    )
+    return (
+        ests.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(mean))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            "est_f2",
+            F.round(F.col("est_mean"), 4).alias("est_mean"),
+            "exact_f2",
+            F.expr(
+                "cast((est_f2 - exact_f2) * 1000000 div exact_f2 as bigint)"
+            ).alias("err_ppm"),
+            F.lit(_AMS_BOUND_PPM).cast("bigint").alias("bound_ppm"),
+        )
+        .orderBy("r")
+    )
+
+
+SKETCH_AMS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, r
+  FROM events CROSS JOIN range(0, {_AMS_R}) t(r)),
+cells AS (
+  SELECT r,
+    ('0x' || substr(md5(user_id || ':' || r || ':b'), 1, 12))::BIGINT
+      % {_AMS_B} AS bucket,
+    SUM(('0x' || substr(md5(user_id || ':' || r || ':s'), 1, 1))::BIGINT
+        % 2 * 2 - 1) AS cell
+  FROM ev GROUP BY 1, 2),
+ests AS (
+  SELECT r, CAST(SUM(cell::HUGEINT * cell) AS BIGINT) AS est_f2
+  FROM cells GROUP BY r),
+exact AS (
+  SELECT CAST(SUM(f::HUGEINT * f) AS BIGINT) AS exact_f2
+  FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id)),
+m AS (SELECT AVG(CAST(est_f2 AS DOUBLE)) AS est_mean FROM ests)
+SELECT CAST(r AS INTEGER) AS r, est_f2,
+  ROUND(m.est_mean, 4) AS est_mean, exact_f2,
+  CAST((est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS err_ppm,
+  CAST({_AMS_BOUND_PPM} AS BIGINT) AS bound_ppm
+FROM ests CROSS JOIN exact CROSS JOIN m
+ORDER BY r
+"""
+
+
+def sketch_moments_power_sums(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed column statistics — mean / stddev / skewness / excess
+    kurtosis of l_extendedprice — via EXACT integer power sums: the
+    value is lifted to cents (int64), and S1..S4 = sum(c^p) accumulate
+    in DECIMAL(38,0), the mergeable sketch (merge = add the vectors).
+    Central moments come from the raw sums at the very end, in double,
+    from a single 1-row aggregate.
+
+    This is the reference's runtime-statistics surface (column stats in
+    runtime_stats.rs feed its re-planner) done Spark-first. The classic
+    pitfall — catastrophic cancellation when raw float power sums are
+    differenced (the reason Pebay 2008 derives streaming central-moment
+    updates) — does not apply here because the sums are EXACT decimals:
+    cancellation only loses digits the inputs never had.
+
+    Scale (100 TB): ONE map-side-combining corpus pass, 1-row output,
+    zero joins. c = round(price*100) <= ~1e7, so c^4 <= 1e28 and the
+    DECIMAL(38,0) accumulators hold exactly up to ~1e10 rows (sf1000
+    lineitem is 6e9); past that, split the sum into two DECIMAL lanes
+    or shard-and-sum, same plan shape.
+
+    Determinism: every accumulator is an exact integer on both engines
+    (HUGEINT on the oracle); the final double formulas consume
+    identical exact inputs in identical order, and outputs are rounded
+    at 6 significant decimals of slack below double precision."""
+    li = tables(spark, sf, "lineitem").lineitem
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = c.cast("decimal(38,0)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * c).alias("s2"),
+        F.sum(d * c * c).alias("s3"),
+        F.sum(d * c * c * c).alias("s4"),
+    )
+    # exact decimal sums -> double only here, identical formula both sides
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "n",
+        F.round(mu / 100, 4).alias("mean"),
+        F.round(F.sqrt(m2) / 100, 4).alias("stddev"),
+        # sqrt is IEEE-exactly-rounded (pow is not): m2^1.5 as sqrt cubed
+        # guarantees the JVM and libm produce the same double here.
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias(
+            "skewness"
+        ),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    )
+
+
+SKETCH_MOMENTS_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    SUM(c::HUGEINT) AS s1, SUM(c::HUGEINT * c) AS s2,
+    SUM(c::HUGEINT * c * c) AS s3, SUM(c::HUGEINT * c * c * c) AS s4
+  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem)),
+m AS (
+  SELECT n,
+    s1::DOUBLE / n AS mu,
+    s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m2,
+    s3::DOUBLE / n - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+      + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m3,
+    s4::DOUBLE / n - 4 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+      + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+      - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+        * (s1::DOUBLE / n) AS m4
+  FROM s)
+SELECT n, ROUND(mu / 100, 4) AS mean,
+  ROUND(sqrt(m2) / 100, 4) AS stddev,
+  ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+  ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_quantile_bottomk": QuerySpec(
         sketch_quantile_bottomk, SKETCH_BOTTOMK_SQL
@@ -620,4 +822,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sketch_kll_quantiles": QuerySpec(sketch_kll_quantiles, None),
     "sketch_theta_set_ops": QuerySpec(sketch_theta_set_ops, SKETCH_THETA_SQL),
+    "sketch_ams_f2": QuerySpec(sketch_ams_f2, SKETCH_AMS_SQL),
+    "sketch_moments_power_sums": QuerySpec(
+        sketch_moments_power_sums, SKETCH_MOMENTS_SQL
+    ),
 }

@@ -47,7 +47,9 @@ def test_driver_window_rotation():
     first 18 regression sentinels (verbatim TPC-H, r2 evidence now 8
     rounds stale). Lock the composition so an accidental reorder
     doesn't silently waste a round; the r11 queue is committed below,
-    led by the round-10-new sketch-quantile family.
+    led by ALL 18 round-10-new operators (the two late-round batches
+    first, then the quantile-sketch family), so every op again gets a
+    driver row one round after landing.
     """
     names = list(_ALL)[:50]
     assert names[:11] == [
@@ -73,7 +75,17 @@ def test_driver_window_rotation():
     # the round-3-era greens (scalar-function surface, UDF surface,
     # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
     rest = list(_ALL)[50:]
-    assert rest[:8] == [
+    assert rest[:18] == [
+        "sketch_hll_sliding_3h",
+        "text_zipf_fit",
+        "dedup_edit_distance_verify",
+        "ann_lsh_multiprobe",
+        "emb_matryoshka_trunc",
+        "ev_decayed_topk",
+        "train_epoch_shuffle_shards",
+        "train_priority_sample_sum",
+        "sketch_moments_power_sums",
+        "sketch_ams_f2",
         "sketch_theta_set_ops",
         "sketch_hll_merge_hourly",
         "quality_token_entropy",
@@ -83,12 +95,12 @@ def test_driver_window_rotation():
         "sketch_quantile_bottomk",
         "sketch_hll_distinct_p12",
     ]
-    assert rest[8] == "tpch_q19_disjunctive"
-    assert rest[10] == "tpch_q22_global_sales"
-    assert rest[23] == "rel_except_all"
-    assert rest[24] == "fn_string"
-    assert rest[40] == "fn_agg_approx"
-    assert rest[41] == "udf_sql_register"
-    assert rest[48] == "sql_parameterized"
-    assert rest[51] == "h2o_g1_sum_by_id1"
-    assert rest[56] == "h2o_w_partition_sums"
+    assert rest[18] == "tpch_q19_disjunctive"
+    assert rest[20] == "tpch_q22_global_sales"
+    assert rest[33] == "rel_except_all"
+    assert rest[34] == "fn_string"
+    assert rest[50] == "fn_agg_approx"
+    assert rest[51] == "udf_sql_register"
+    assert rest[58] == "sql_parameterized"
+    assert rest[61] == "h2o_g1_sum_by_id1"
+    assert rest[66] == "h2o_w_partition_sums"

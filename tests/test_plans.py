@@ -94,6 +94,12 @@ _NESTED_LOOP_OK = {
     "train_token_budget_sample",  # 1-row total-tokens scalar crossJoin
     "train_dsir_select",  # 1-row corpus/target token-total scalar crossJoin
     "rel_salted_skew_join",  # 5-row dim x 8 salts: bounded salting fan-out
+    "sketch_ams_f2",  # 1-row exact-F2 + 1-row mean scalar crossJoins
+    "train_priority_sample_sum",  # 1-row tau + 1-row exact-total crossJoins
+    "train_epoch_shuffle_shards",  # 1-row corpus-count scalar crossJoin
+    "ev_decayed_topk",  # 1-row max-timestamp anchor crossJoin
+    "text_zipf_fit",  # 1-row corpus-totals scalar crossJoin
+    "emb_matryoshka_trunc",  # broadcast of the bounded (5-row) query set
 }
 
 _ALL = {
