@@ -71,9 +71,36 @@ class KllSketch:
         self._compress()
 
     def absorb(self, items) -> None:
-        """Bulk insert (numpy array / iterable) — the Arrow-batch path."""
-        for x in items:
-            self.insert(x)
+        """Bulk insert (numpy array / iterable) — the Arrow-batch path.
+
+        Produces state IDENTICAL to a per-item insert() loop (pinned by
+        tests/test_sketch_quantiles.py::test_absorb_equals_insert_loop):
+        between compactions, inserts only append to level 0, so filling
+        level 0 to exactly its capacity and then compressing replays
+        the same compaction history — each level's compaction sees the
+        same buffer and the same per-level coin counter. The chunked
+        form replaces ~n Python method calls with ~n/k numpy slices
+        (the 600k-row sf0.1 bench leg was dominated by call overhead)."""
+        import numpy as np
+
+        arr = np.asarray(items, dtype=np.float64)
+        if arr.size == 0:
+            return
+        lo, hi = float(arr.min()), float(arr.max())
+        self.min = lo if self.min is None or lo < self.min else self.min
+        self.max = hi if self.max is None or hi > self.max else self.max
+        pos = 0
+        while pos < arr.size:
+            take = self._capacity(0) - len(self.levels[0])
+            if take <= 0:
+                self._compress()
+                continue
+            chunk = arr[pos : pos + take]
+            self.levels[0].extend(chunk.tolist())
+            pos += chunk.size
+            if len(self.levels[0]) >= self._capacity(0):
+                self._compress()
+        self.n += int(arr.size)
 
     def _compress(self) -> None:
         h = 0

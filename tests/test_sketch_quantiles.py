@@ -253,3 +253,26 @@ def test_hll_hourly_merge_is_exactly_associative(spark):
         assert row.est == round(est, 4), (row.day, row.est, est)
         assert row.exact == len(users[row.day])
         assert abs(row.est - row.exact) / row.exact < 3 * 1.04 / math.sqrt(m)
+
+
+def test_absorb_equals_insert_loop():
+    """The chunked absorb() must replay the EXACT compaction history of
+    a per-item insert() loop — identical levels, counters, n, min/max —
+    on every adversarial stream (absorbed whole and in ragged batch
+    sizes that straddle compaction boundaries)."""
+    for name, stream in _streams().items():
+        ref = KllSketch(_KLL_K)
+        for x in stream:
+            ref.insert(x)
+        whole = KllSketch(_KLL_K)
+        whole.absorb(stream)
+        ragged = KllSketch(_KLL_K)
+        i, step = 0, 1
+        while i < len(stream):  # 1,2,3,... ragged batch sizes
+            ragged.absorb(stream[i : i + step])
+            i += step
+            step = step % 997 + 1
+        for s in (whole, ragged):
+            assert s.levels == ref.levels, name
+            assert s._compactions == ref._compactions, name
+            assert (s.n, s.min, s.max) == (ref.n, ref.min, ref.max), name
