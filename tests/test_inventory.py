@@ -75,7 +75,10 @@ def test_driver_window_rotation():
     # the round-3-era greens (scalar-function surface, UDF surface,
     # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
     rest = list(_ALL)[50:]
-    assert rest[:18] == [
+    assert rest[:21] == [
+        "train_pack_bestfit",
+        "ev_anomaly_mad",
+        "text_vocab_coverage",
         "sketch_hll_sliding_3h",
         "text_zipf_fit",
         "dedup_edit_distance_verify",
@@ -95,12 +98,12 @@ def test_driver_window_rotation():
         "sketch_quantile_bottomk",
         "sketch_hll_distinct_p12",
     ]
-    assert rest[18] == "tpch_q19_disjunctive"
-    assert rest[20] == "tpch_q22_global_sales"
-    assert rest[33] == "rel_except_all"
-    assert rest[34] == "fn_string"
-    assert rest[50] == "fn_agg_approx"
-    assert rest[51] == "udf_sql_register"
-    assert rest[58] == "sql_parameterized"
-    assert rest[61] == "h2o_g1_sum_by_id1"
-    assert rest[66] == "h2o_w_partition_sums"
+    assert rest[21] == "tpch_q19_disjunctive"
+    assert rest[23] == "tpch_q22_global_sales"
+    assert rest[36] == "rel_except_all"
+    assert rest[37] == "fn_string"
+    assert rest[53] == "fn_agg_approx"
+    assert rest[54] == "udf_sql_register"
+    assert rest[61] == "sql_parameterized"
+    assert rest[64] == "h2o_g1_sum_by_id1"
+    assert rest[69] == "h2o_w_partition_sums"

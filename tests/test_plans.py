@@ -99,6 +99,7 @@ _NESTED_LOOP_OK = {
     "train_epoch_shuffle_shards",  # 1-row corpus-count scalar crossJoin
     "ev_decayed_topk",  # 1-row max-timestamp anchor crossJoin
     "text_zipf_fit",  # 1-row corpus-totals scalar crossJoin
+    "text_vocab_coverage",  # 1-row corpus-totals scalar crossJoin
     "emb_matryoshka_trunc",  # broadcast of the bounded (5-row) query set
 }
 

@@ -255,3 +255,89 @@ def test_zipf_fit_matches_numpy_regression(spark):
     assert row.zipf_slope == pytest.approx(slope, abs=1e-5)
     assert row.zipf_r2 == pytest.approx(r * r, abs=1e-5)
     assert row.n_types >= len(counts)
+
+
+def test_bestfit_packing_matches_python_replication(spark):
+    """Full pure-python replication of the per-shard BFD + next-fit
+    accounting from the raw parquet; every output cell must match."""
+    from datafusion_ballista_spark.inventory.pipeline_train import (
+        _BFD_BUDGET,
+        _NSHARDS,
+    )
+
+    rows = {r.shard: r for r in _run(spark, "train_pack_bestfit").collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, len(string_split(trim(text), ' ')) FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    assert sorted(rows) == list(range(_NSHARDS))
+    for shard in range(_NSHARDS):
+        mine = [(d, t) for d, t in docs if d % _NSHARDS == shard]
+        fit = sorted(
+            [(d, t) for d, t in mine if t <= _BFD_BUDGET],
+            key=lambda p: (-p[1], p[0]),
+        )
+        loads: list[int] = []
+        for _, t in fit:
+            best, best_load = -1, -1
+            for i, ld in enumerate(loads):
+                if ld + t <= _BFD_BUDGET and ld > best_load:
+                    best, best_load = i, ld
+            if best < 0:
+                loads.append(t)
+            else:
+                loads[best] += t
+        nf, cur = 0, _BFD_BUDGET + 1
+        for _, t in sorted((p for p in mine if p[1] <= _BFD_BUDGET)):
+            if cur + t > _BFD_BUDGET:
+                nf, cur = nf + 1, t
+            else:
+                cur += t
+        total = sum(t for _, t in fit)
+        r = rows[shard]
+        assert r.n_docs == len(fit)
+        assert r.n_oversize == sum(1 for _, t in mine if t > _BFD_BUDGET)
+        assert r.total_tokens == total
+        assert r.bins_bfd == len(loads)
+        assert r.bins_nextfit == nf
+        assert r.bins_lower_bound == -(-total // _BFD_BUDGET)
+        assert r.max_bin_tokens == (max(loads) if loads else 0)
+        assert r.bins_lower_bound <= r.bins_bfd <= r.bins_nextfit
+
+
+def test_anomaly_mad_exhaustive_python_replication(spark):
+    """Recompute the full Hampel flag set in python: the op must emit
+    EXACTLY the anomalous (type, hour) rows — none missed, none extra."""
+    got = {
+        (r.event_type, r.hour): r
+        for r in _run(spark, "ev_anomaly_mad").collect()
+    }
+    counts = duckdb.sql(
+        f"SELECT event_type, epoch_us(ts) // 3600000000, COUNT(*) FROM "
+        f"'{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    by_type: dict[str, list] = {}
+    for et, hb, n in counts:
+        by_type.setdefault(et, []).append((hb, n))
+    expected = set()
+    for et, pairs in by_type.items():
+        med = float(np.median([n for _, n in pairs]))
+        mad = float(np.median([abs(n - med) for _, n in pairs]))
+        for hb, n in pairs:
+            if abs(n - med) > 3.0 * mad:
+                expected.add((et, hb))
+    assert set(got) == expected
+    for (et, hb), r in got.items():
+        assert r.score > 3.0
+
+
+def test_vocab_coverage_monotone_and_anchored_to_zipf(spark):
+    rows = _run(spark, "text_vocab_coverage").collect()
+    assert rows and rows[0].v == 1
+    zipf = _run(spark, "text_zipf_fit").collect()[0]
+    assert rows[0].coverage_ppm == zipf.top1_share_ppm
+    cov = [r.coverage_ppm for r in rows]
+    assert cov == sorted(cov)  # more types can only cover more
+    for r in rows:
+        assert r.head_tokens <= r.n_tokens
+        assert r.v <= r.n_types
