@@ -139,6 +139,13 @@ def main() -> None:
         # witness pass). The 24 rows above stay method-frozen.
         "sketch_theta_set_ops",
         "sketch_kll_quantiles",
+        # late-round-10 additions (tracking starts r10): the two
+        # heaviest of the 13 late-round ops (all sub-second at sf0.1)
+        # — multi-probe LSH (9x probe fan-out over one index) and the
+        # blocked+digest-short-circuited edit-distance verify tier.
+        # The 26 rows above stay method-frozen.
+        "ann_lsh_multiprobe",
+        "dedup_edit_distance_verify",
     ]
     specs = all_queries()
     names = [n for n in headline if n in specs]

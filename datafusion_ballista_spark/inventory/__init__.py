@@ -147,8 +147,11 @@ def all_queries() -> dict[str, QuerySpec]:
     # surface, the UDF/UDTF surface, the SQL-surface trio, the first
     # h2o groupby/join rows), all 7+ rounds stale by r11.
     _r10_new_ops = [
-        # final round-10 batch: no-split BFD packing, Hampel anomaly
-        # flags, vocabulary coverage curve
+        # final round-10 batch: ANN recall harness, sliding streaming
+        # windows, no-split BFD packing, Hampel anomaly flags,
+        # vocabulary coverage curve
+        "ann_recall_eval",
+        "stream_sliding_counts",
         "train_pack_bestfit",
         "ev_anomaly_mad",
         "text_vocab_coverage",

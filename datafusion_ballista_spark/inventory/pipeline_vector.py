@@ -2809,6 +2809,156 @@ ORDER BY qid, rk
 """
 
 
+_EVAL_K = 3  # recall@k measured for both index arms
+
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality evaluation harness: recall@3 of the single-bucket
+    LSH index and of the 9-probe multi-probe index against the EXACT
+    cosine top-3, per query — the measurement that decides how many
+    probes (or tables) an ANN deployment needs before shipping it.
+
+    A provable structural invariant rides along: multi-probe candidates
+    are a superset of single-bucket candidates, so any exact-top-k
+    member the single-bucket arm retrieves survives in the multi-probe
+    arm's top-k (anything that displaces it is globally better and
+    therefore also an exact-top-k member). hits_multi >= hits_single on
+    every row — asserted in tests.
+
+    Scale (100 TB): the exact arm is the bounded-Q broadcast probe
+    (corpus scanned once, never shuffled — the ann_bruteforce shape,
+    justified here because Q=20 is the evaluation sample, not a serving
+    path); the two index arms share the one map-only bucketing pass;
+    all three rankings meet in a per-query top-k join on metadata."""
+    e = _emb(spark, sf).withColumn("bucket", _bucket(F.col("v")))
+    q = e.where(F.col("vec_id") < _MP_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "bucket")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+
+    def _topk(sims: DataFrame) -> DataFrame:
+        return (
+            sims.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _EVAL_K)
+            .select("qid", "nid")
+        )
+
+    exact = _topk(
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+            "qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim")
+        )
+    )
+    single = _topk(
+        F.broadcast(q.withColumnRenamed("qb", "bucket"))
+        .join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim")
+        )
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array(F.lit(0), *[F.lit(1 << i) for i in range(_N_PLANES)])
+        ).alias("flip"),
+        F.col("qb"),
+    ).select("qid", "qv", F.expr("qb ^ flip").cast("int").alias("bucket"))
+    multi = _topk(
+        F.broadcast(probes)
+        .join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(_cos(F.col("qv"), F.col("nv")), 9).alias("sim")
+        )
+    )
+    hits_s = (
+        exact.join(single, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits_single"))
+    )
+    hits_m = (
+        exact.join(multi, ["qid", "nid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits_multi"))
+    )
+    base = exact.select("qid").distinct()
+    return (
+        base.join(hits_s, "qid", "left")
+        .join(hits_m, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.lit(_EVAL_K).cast("int").alias("k"),
+            F.coalesce("hits_single", F.lit(0)).cast("bigint").alias(
+                "hits_single"
+            ),
+            F.coalesce("hits_multi", F.lit(0)).cast("bigint").alias(
+                "hits_multi"
+            ),
+            F.expr(
+                f"cast(coalesce(hits_single, 0) * 1000000 div {_EVAL_K} "
+                "as bigint)"
+            ).alias("recall_single_ppm"),
+            F.expr(
+                f"cast(coalesce(hits_multi, 0) * 1000000 div {_EVAL_K} "
+                "as bigint)"
+            ).alias("recall_multi_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _recall_eval_sql() -> str:
+    return f"""
+WITH {_EMB_CTE},
+bucketed AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
+      FROM bucketed WHERE vec_id < {_MP_NQ}),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT qid, e.vec_id AS nid,
+      ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY round({_cos_sql('qv', 'e.v')}, 9) DESC, e.vec_id) AS rk
+    FROM q JOIN emb e ON e.vec_id <> qid)
+  WHERE rk <= {_EVAL_K}),
+single AS (
+  SELECT qid, nid FROM (
+    SELECT qid, c.vec_id AS nid,
+      ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY round({_cos_sql('qv', 'c.v')}, 9) DESC, c.vec_id) AS rk
+    FROM q JOIN bucketed c ON c.bucket = qb AND c.vec_id <> qid)
+  WHERE rk <= {_EVAL_K}),
+probes AS (
+  SELECT qid, qv, xor(qb, flip)::INTEGER AS bucket
+  FROM q CROSS JOIN (VALUES (0), {", ".join(f"({1 << i})" for i in range(_N_PLANES))}) f(flip)),
+multi AS (
+  SELECT qid, nid FROM (
+    SELECT qid, c.vec_id AS nid,
+      ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY round({_cos_sql('qv', 'c.v')}, 9) DESC, c.vec_id) AS rk
+    FROM probes p JOIN bucketed c ON c.bucket = p.bucket
+      AND c.vec_id <> qid)
+  WHERE rk <= {_EVAL_K})
+SELECT b.qid, {_EVAL_K} AS k,
+  CAST(COALESCE(s.h, 0) AS BIGINT) AS hits_single,
+  CAST(COALESCE(m.h, 0) AS BIGINT) AS hits_multi,
+  CAST(COALESCE(s.h, 0) * 1000000 // {_EVAL_K} AS BIGINT)
+    AS recall_single_ppm,
+  CAST(COALESCE(m.h, 0) * 1000000 // {_EVAL_K} AS BIGINT)
+    AS recall_multi_ppm
+FROM (SELECT DISTINCT exact.qid AS qid FROM exact) b
+LEFT JOIN (SELECT e.qid, COUNT(*) AS h
+           FROM exact e SEMI JOIN single USING (qid, nid)
+           GROUP BY e.qid) s ON s.qid = b.qid
+LEFT JOIN (SELECT e.qid, COUNT(*) AS h
+           FROM exact e SEMI JOIN multi USING (qid, nid)
+           GROUP BY e.qid) m ON m.qid = b.qid
+ORDER BY b.qid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_covariance": QuerySpec(emb_covariance, EMB_COV_SQL),
     "emb_pca_project": QuerySpec(emb_pca_project, _emb_pca_sql()),
@@ -2832,4 +2982,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_kmeanspp_init": QuerySpec(emb_kmeanspp_init, _kpp_oracle_sql()),
     "emb_matryoshka_trunc": QuerySpec(emb_matryoshka_trunc, _emb_mrl_sql()),
     "ann_lsh_multiprobe": QuerySpec(ann_lsh_multiprobe, _mp_probe_sql()),
+    "ann_recall_eval": QuerySpec(ann_recall_eval, _recall_eval_sql()),
 }

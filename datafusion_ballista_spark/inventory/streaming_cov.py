@@ -391,8 +391,51 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """SLIDING event-time windows (3h width, 1h slide) — the overlap
+    case tumbling windows can't express: every event lands in 3
+    concurrent windows, and the engine maintains all of them as
+    overlapping state. With availableNow + complete mode the emitted
+    set matches the batch semantics exactly (each event fanned into
+    its 3 windows), which the oracle replays with an explicit 0..2
+    hour-offset explode.
+
+    At scale the watermark bounds how many overlapping windows stay
+    open per key; the per-window state is a counter, so memory is
+    (#open windows x #types), independent of event volume."""
+    ev = read_events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "3 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("timestamp").alias("win_start"),
+        "event_type",
+        "n",
+    ).orderBy("win_start", "event_type")
+
+
+# every event belongs to the 3 sliding windows starting at hb-2..hb
+# (hour-aligned, epoch-anchored — Spark's window() alignment)
+STREAM_SLIDING_SQL = """
+SELECT TIMESTAMP '1970-01-01'
+         + ((epoch_us(ts) // 3600000000 - o) * 3600) * INTERVAL 1 SECOND
+         AS win_start,
+  event_type, COUNT(*) AS n
+FROM events CROSS JOIN range(0, 3) t(o)
+GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_sliding_counts": QuerySpec(
+        stream_sliding_counts, STREAM_SLIDING_SQL
+    ),
     "stream_session_windows": QuerySpec(stream_session_windows, STREAM_SESSION_SQL),
     "stream_stream_join": QuerySpec(stream_stream_join, STREAM_STREAM_JOIN_SQL),
     "stream_dedup_exact": QuerySpec(stream_dedup_exact, STREAM_DEDUP_SQL),

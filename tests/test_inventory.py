@@ -75,7 +75,9 @@ def test_driver_window_rotation():
     # the round-3-era greens (scalar-function surface, UDF surface,
     # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
     rest = list(_ALL)[50:]
-    assert rest[:21] == [
+    assert rest[:23] == [
+        "ann_recall_eval",
+        "stream_sliding_counts",
         "train_pack_bestfit",
         "ev_anomaly_mad",
         "text_vocab_coverage",
@@ -98,12 +100,12 @@ def test_driver_window_rotation():
         "sketch_quantile_bottomk",
         "sketch_hll_distinct_p12",
     ]
-    assert rest[21] == "tpch_q19_disjunctive"
-    assert rest[23] == "tpch_q22_global_sales"
-    assert rest[36] == "rel_except_all"
-    assert rest[37] == "fn_string"
-    assert rest[53] == "fn_agg_approx"
-    assert rest[54] == "udf_sql_register"
-    assert rest[61] == "sql_parameterized"
-    assert rest[64] == "h2o_g1_sum_by_id1"
-    assert rest[69] == "h2o_w_partition_sums"
+    assert rest[23] == "tpch_q19_disjunctive"
+    assert rest[25] == "tpch_q22_global_sales"
+    assert rest[38] == "rel_except_all"
+    assert rest[39] == "fn_string"
+    assert rest[55] == "fn_agg_approx"
+    assert rest[56] == "udf_sql_register"
+    assert rest[63] == "sql_parameterized"
+    assert rest[66] == "h2o_g1_sum_by_id1"
+    assert rest[71] == "h2o_w_partition_sums"

@@ -101,6 +101,7 @@ _NESTED_LOOP_OK = {
     "text_zipf_fit",  # 1-row corpus-totals scalar crossJoin
     "text_vocab_coverage",  # 1-row corpus-totals scalar crossJoin
     "emb_matryoshka_trunc",  # broadcast of the bounded (5-row) query set
+    "ann_recall_eval",  # exact arm broadcasts the bounded (20-row) query set
 }
 
 _ALL = {

@@ -341,3 +341,44 @@ def test_vocab_coverage_monotone_and_anchored_to_zipf(spark):
     for r in rows:
         assert r.head_tokens <= r.n_tokens
         assert r.v <= r.n_types
+
+
+def test_recall_eval_multiprobe_dominates_and_anchors(spark):
+    """Structural invariant: multiprobe candidates are a superset of
+    single-bucket candidates, so hits_multi >= hits_single per query;
+    recall ppm must be exactly hits/k; and the multiprobe arm must
+    agree with ann_lsh_multiprobe's own top-k overlap vs brute force."""
+    rows = _run(spark, "ann_recall_eval").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.hits_single <= r.hits_multi <= r.k
+        assert r.recall_single_ppm == r.hits_single * 1_000_000 // r.k
+        assert r.recall_multi_ppm == r.hits_multi * 1_000_000 // r.k
+    # cross-check one arm against the standalone ops' outputs
+    exact = {
+        (r.qid, r.nid)
+        for r in _run(spark, "ann_bruteforce_topk").collect()
+        if r.rk <= 3 and r.qid < 20
+    }
+    mp = {
+        (r.qid, r.nid)
+        for r in _run(spark, "ann_lsh_multiprobe").collect()
+    }
+    # qids 0..4 are shared between ann_bruteforce (Q=5) and the eval
+    for r in rows:
+        if r.qid < 5:
+            want = len(
+                {(q, n) for q, n in exact if q == r.qid}
+                & {(q, n) for q, n in mp if q == r.qid}
+            )
+            assert r.hits_multi == want
+
+
+def test_stream_sliding_counts_fanout_conservation(spark):
+    """Every event serves exactly 3 sliding windows, so the n-sum over
+    all (window, type) rows must be exactly 3x the event count."""
+    rows = _run(spark, "stream_sliding_counts").collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n for r in rows) == 3 * n_events
+    starts = sorted({r.win_start for r in rows})
+    assert len(starts) >= 3
