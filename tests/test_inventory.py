@@ -38,6 +38,16 @@ def test_inventory_query(name, spark, oracle):
         assert_query_matches(df, oracle, spec.oracle, name)
 
 
+def test_rows_only_set_is_exactly_the_documented_pair():
+    """oracle=None is the weaker driver check, so it must stay a loud,
+    named exception (the decimal/float whitelist discipline): exactly
+    the two ops whose core loop is order-dependent and therefore not
+    SQL-expressible — the KLL compaction cascade and BFD bin packing.
+    A new rows-only entry must be argued here, not slipped in."""
+    rows_only = {n for n, s in _ALL.items() if s.oracle is None}
+    assert rows_only == {"sketch_kll_quantiles", "train_pack_bestfit"}
+
+
 def test_driver_window_rotation():
     """The driver verifies only the FIRST 50 registry entries. Round-10
     window (VERDICT r9 Next #1, swapped in exactly as committed in
