@@ -3272,9 +3272,18 @@ def dedup_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
     scale. No Python anywhere.
 
     Determinism: Levenshtein is integer-exact and engine-identical;
-    sim_ppm is integer floor arithmetic; pairs are keyed (a < b)."""
-    d = tables(spark, sf, "documents").documents.select(
-        "doc_id", _norm_text(F.col("text")).alias("t")
+    sim_ppm is integer floor arithmetic; pairs are keyed (a < b).
+
+    The probe side is _spread_for_explode-rebalanced: the self-join
+    amplifies each input row ~block-size-fold and the residual DPs are
+    CPU-heavy, so a fewer-splits-than-cores scan (the sf1 fixture is
+    one file = one split) would serialize the verify stage on one core
+    — measured 17.6s -> ~2s at sf1. A no-op at real scale."""
+    d = _spread_for_explode(
+        spark,
+        tables(spark, sf, "documents").documents.select(
+            "doc_id", _norm_text(F.col("text")).alias("t")
+        ),
     )
     blocked = d.select(
         "doc_id",
