@@ -135,6 +135,45 @@ def decimal_output_columns(spark_df) -> list[str]:
     return [f.name for f in spark_df.schema.fields if has_decimal(f.dataType)]
 
 
+def complex_output_columns(spark_df) -> list[str]:
+    """Names of Spark output columns with a complex (array/map/struct)
+    top-level type.
+
+    Round-10 driver lesson: the driver canonicalizes results with a
+    pandas ``sort_values`` over ALL columns, which dies with
+    ``TypeError: unhashable type: 'list'`` on any array cell
+    (emb_random_projection was rows/schema/hash-green locally and red
+    on the driver for exactly this). Registry outputs must therefore be
+    scalar-only — flatten arrays to p0..pN columns or ``array_join``
+    them to a string before the output schema."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def driver_canon_check(cols, rows) -> None:
+    """Replicate the driver harness's canonicalization move on collected
+    Spark rows: build a pandas DataFrame and ``sort_values`` over every
+    column (the exact call that raised on round 10's array<bigint>
+    output). Raises the same exception class the driver would — running
+    this inside the local gate means a harness-shape red can never again
+    appear only in the driver window."""
+    import pandas as pd
+
+    if not cols:
+        return
+    pdf = pd.DataFrame(rows, columns=list(cols), dtype=object)
+    # mirror the driver EXACTLY: a plain multi-column sort_values (no
+    # key=), which factorizes each column via a pandas hash table — the
+    # step that is unhashable-cell-intolerant. Adding a key= here would
+    # hide exactly the failure this check exists to surface.
+    pdf.sort_values(by=list(cols))
+
+
 def fetch_oracle(rel):
     """(columns, row-tuples, hugeint column names) from a DuckDB relation,
     fetched via Arrow so type-level divergence survives into the compare."""
@@ -164,8 +203,16 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
             # known to diverge on decimal representation even when values
             # match (round-6 q12/q20/q37).
             rec["decimal_output"] = dec_cols
+        cplx_cols = complex_output_columns(spark_df)
+        if cplx_cols:
+            # Same treatment: the driver's pandas canonicalizer cannot
+            # sort complex cells (round-10 emb_random_projection).
+            rec["complex_output"] = cplx_cols
         s_rows = [tuple(r) for r in spark_df.collect()]
         rec["spark_rows"] = len(s_rows)
+        # driver-canon pre-flight: the driver's own sort_values must
+        # succeed on these rows or this records the same error it would
+        driver_canon_check(s_cols, s_rows)
         if oracle_sql is None:
             # rows-only check: executes and returns
             rec["rows_match"] = True
@@ -179,7 +226,11 @@ def compare_query(spark_df, oracle_con, oracle_sql: str | None) -> dict:
         _, sn = normalize(s_cols, s_rows)
         _, on = normalize(o_cols, o_rows)
         rec["hash_match"] = (
-            rec["rows_match"] and rec["schema_match"] and sn == on and not dec_cols
+            rec["rows_match"]
+            and rec["schema_match"]
+            and sn == on
+            and not dec_cols
+            and not cplx_cols
         )
         # Second, stricter mode recorded alongside (never gates): rows
         # hashed in RETURNED order. True for fully-ORDER-BY-determined

@@ -133,11 +133,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "emb_random_projection",
         "ann_mmr_rerank",
     ]
-    window = (
-        _r9_new_ops
-        + [f"tpcds_q{i}_shape" for i in range(79, 100)]
-        + _r10_sentinels[:18]
-    )
+    # (r10 window, kept for the rotation history: _r9_new_ops +
+    # tpcds_q79..q99 shapes + _r10_sentinels[:18].)
+    del _r9_new_ops
     # Round-11 queue committed now so the next rotation is again a
     # one-line window swap: the round-10-NEW operators first (same
     # newest-code-first rule), then the regression-sentinel
@@ -212,7 +210,24 @@ def all_queries() -> dict[str, QuerySpec]:
         "h2o_j2_medium_inner",
         "h2o_w_partition_sums",
     ]
-    queue = _r10_new_ops + _r11_sentinels
+    # Round-11 window (VERDICT r10 Next #1+#5, exactly as queued in
+    # round 10): the 23 round-10-NEW operators first (the only registry
+    # entries with no driver CORRECTNESS row yet), then
+    # emb_random_projection — the r10 red, re-windowed so the driver
+    # re-greens the flattened p0..p15 output — then the first 26 queued
+    # sentinels (late TPC-H + earliest relational/window rows + the
+    # round-3-era scalar-function surface, r2/r3 evidence now 8+ rounds
+    # stale).
+    window = _r10_new_ops + ["emb_random_projection"] + _r11_sentinels[:26]
+    # Round-12 queue committed now so the next rotation is again a
+    # one-line swap: any round-11-new ops land at the head of this list
+    # when they are added (newest-code-first), followed by the
+    # remaining round-3-era sentinels (UDF/SQL surface, h2o rows).
+    _r11_new_ops = [
+        "sql_show_functions",
+        "sql_describe_table",
+    ]
+    queue = _r11_new_ops + _r11_sentinels[26:]
 
     pool: dict[str, QuerySpec] = {}
     for mod in (

@@ -1011,7 +1011,13 @@ def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     exact halves in IEEE double (Spark percentile() and DuckDB
     quantile_cont() both linearly interpolate), so MAD and the flag
     comparison replay bit-identically; the reported score is rounded
-    at 4 dp."""
+    at 4 dp.
+
+    Degenerate case: when a type's hourly counts are perfectly regular
+    the MAD is 0 and the ad/mad score is undefined (DIVIDE_BY_ZERO
+    under ANSI mode). Standard Hampel-filter fallback: a zero-MAD
+    series is never flagged — the mad > 0 conjunct below, mirrored in
+    the oracle SQL, skips those types identically on both engines."""
     e = _events(spark, sf)
     counts = e.groupBy(
         "event_type",
@@ -1028,7 +1034,7 @@ def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .where(F.col("ad") > _MAD_K * F.col("mad"))
+        .where((F.col("mad") > 0) & (F.col("ad") > _MAD_K * F.col("mad")))
         .select(
             "event_type",
             F.col("hb").cast("bigint").alias("hour"),
@@ -1058,7 +1064,7 @@ SELECT d.event_type, CAST(hb AS BIGINT) AS hour, n,
   ROUND(med, 1) AS med, ROUND(mad, 1) AS mad,
   ROUND(ad / mad, 4) AS score
 FROM dev d JOIN mad USING (event_type)
-WHERE ad > {_MAD_K} * mad
+WHERE mad > 0 AND ad > {_MAD_K} * mad
 ORDER BY event_type, hour
 """
 

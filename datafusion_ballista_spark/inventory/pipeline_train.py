@@ -1711,13 +1711,15 @@ def train_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
         "max_bin_tokens long, waste_ppm long"
     )
     packed = toks.groupBy("shard").applyInPandas(_bfd, out_schema)
-    # in-plan witnesses: budget respected, BFD never worse than
-    # next-fit, never better than the fractional lower bound
+    # in-plan witnesses: budget respected, bin count never below the
+    # fractional lower bound. (bins_bfd <= bins_nextfit is NOT a
+    # theorem — on 11/9-worst-case BFD instances whose arrival order
+    # matches an optimal packing, next-fit can win — so it lives only
+    # as a fixture-pinned check in tests/test_round10_ops.py.)
     return packed.select(
         "*",
         F.assert_true(
             (F.col("max_bin_tokens") <= _BFD_BUDGET)
-            & (F.col("bins_bfd") <= F.col("bins_nextfit"))
             & (F.col("bins_bfd") >= F.col("bins_lower_bound")),
             F.lit("BFD packing invariant violated"),
         ).alias("_chk"),

@@ -2167,9 +2167,13 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     Embeddings are quantized to exact integer micro-units (the k-means
     precedent), each output component is an exact int64 dot with a
     +/-1 literal row, so both engines reproduce the projection
-    bit-identically. Output: vec_id, the 16 projected components, and
-    the projected squared norm (exact; |proj_j| <= 64*2e6 = 1.3e8, so
-    pnorm2 <= 16*1.6e16 ~ 2.7e17 < 2^63).
+    bit-identically. Output: vec_id, the 16 projected components as
+    SCALAR bigint columns p0..p15 (flattened — the correctness
+    harness canonicalizes by sorting every output column, so complex
+    types are banned from registry outputs; pinned by
+    tests/test_inventory_contract.py), and the projected squared norm
+    (exact; |proj_j| <= 64*2e6 = 1.3e8, so pnorm2 <= 16*1.6e16 ~
+    2.7e17 < 2^63).
 
     Scale (100 TB): MAP-ONLY — one corpus pass, 16 codegen folds per
     row, zero shuffles, no Python; the 'matrix' is 1024 sign literals
@@ -2188,7 +2192,10 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         q.select("vec_id", F.array(*projs).alias("proj"))
         .select(
             "vec_id",
-            "proj",
+            *[
+                F.col("proj")[j].alias(f"p{j}")
+                for j in range(_RP_OUT)
+            ],
             F.aggregate(
                 F.col("proj"),
                 F.lit(0).cast("bigint"),
@@ -2216,7 +2223,8 @@ proj AS (
   SELECT vec_id,
     [{", ".join(_rp_row_sql(j) for j in range(_RP_OUT))}] AS proj
   FROM q)
-SELECT vec_id, proj,
+SELECT vec_id,
+  {", ".join(f"proj[{j + 1}] AS p{j}" for j in range(_RP_OUT))},
   CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS pnorm2
 FROM proj
 ORDER BY vec_id

@@ -202,6 +202,76 @@ def sql_parameterized(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(rewrite_sql(_PARAM_SPARK), args={"lo": 0.03, "hi": 0.07})
 
 
+def sql_show_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """SHOW FUNCTIONS through the facade — reference CLI ListFunctions
+    parity (ballista-cli/src/command.rs:44-45,93,123). The Spark side
+    resolves each compat name against the LIVE function catalog
+    (catalog.functionExists); the oracle pins the committed expectation
+    (functions.NON_CATALOG_NAMES), so a pyspark-version drift in the
+    builtin surface goes red here instead of silently changing which
+    names hit a shim."""
+    register_all(spark, sf)
+    return BallistaSession(spark).sql("SHOW FUNCTIONS")
+
+
+def _show_functions_oracle_sql() -> str:
+    from datafusion_ballista_spark.functions import (
+        AGGREGATE_NAMES,
+        FUNCTIONS,
+        NON_CATALOG_NAMES,
+    )
+
+    rows = ",\n  ".join(
+        "('{}', '{}', '{}')".format(
+            n,
+            "aggregate" if n in AGGREGATE_NAMES else "scalar",
+            "NO" if n in NON_CATALOG_NAMES else "YES",
+        )
+        for n in sorted(FUNCTIONS)
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + "\n) AS t(function_name, function_type, spark_native)\n"
+        + "ORDER BY function_name"
+    )
+
+
+def sql_describe_table(spark: SparkSession, sf: str) -> DataFrame:
+    """DESCRIBE TABLE through the facade — reference CLI DescribeTable
+    parity (ballista-cli/src/command.rs:45,123). Cross-engine schema
+    check: Spark's DESCRIBE of the registered view vs DuckDB's
+    information_schema.columns over the same parquet, with the DuckDB
+    type vocabulary mapped to Spark's (VARCHAR->string,
+    TIMESTAMP->timestamp_ntz — both naive wall-clock types).
+
+    Scale: catalog metadata only, no jobs."""
+    register_all(spark, sf)
+    return (
+        BallistaSession(spark)
+        .sql("DESCRIBE TABLE lineitem")
+        .select("col_name", "data_type")
+        .orderBy("col_name")
+    )
+
+
+_DESCRIBE_ORACLE = """
+SELECT column_name AS col_name,
+  CASE data_type
+    WHEN 'BIGINT' THEN 'bigint'
+    WHEN 'INTEGER' THEN 'int'
+    WHEN 'DOUBLE' THEN 'double'
+    WHEN 'VARCHAR' THEN 'string'
+    WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+    WHEN 'DATE' THEN 'date'
+    ELSE lower(data_type)
+  END AS data_type
+FROM information_schema.columns
+WHERE table_name = 'lineitem'
+ORDER BY col_name
+"""
+
+
 def sql_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT through the parser; Spark names single-aggregate pivot columns
     after the IN-list aliases (f/o/p), which the oracle pins explicitly."""
@@ -214,4 +284,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sql_parameterized": QuerySpec(sql_parameterized, _PARAM_ORACLE),
     "sql_pivot": QuerySpec(sql_pivot, _PIVOT_ORACLE),
     "sql_unpivot": QuerySpec(_shared(_UNPIVOT_SPARK), _UNPIVOT_ORACLE),
+    "sql_show_functions": QuerySpec(
+        sql_show_functions, _show_functions_oracle_sql()
+    ),
+    "sql_describe_table": QuerySpec(sql_describe_table, _DESCRIBE_ORACLE),
 }

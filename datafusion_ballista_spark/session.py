@@ -25,6 +25,12 @@ from datafusion_ballista_spark.sql import parse_copy, rewrite_sql
 
 _SET_RE = re.compile(r"^\s*SET\s+(\S+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$", re.IGNORECASE)
 
+# SHOW FUNCTIONS [LIKE 'pattern'] — reference CLI ListFunctions
+# (ballista-cli/src/command.rs:44-45,93,123).
+_SHOW_FUNCS_RE = re.compile(
+    r"^\s*SHOW\s+FUNCTIONS\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$", re.IGNORECASE
+)
+
 # information_schema.{tables,columns,...} -> backing temp views
 # (ballista/core/src/planner.rs:167-199 enables the same surface locally).
 _INFO_SCHEMA_RE = re.compile(
@@ -105,6 +111,9 @@ class BallistaSession:
             k, v = translate(m.group(1), m.group(2).strip("'\""))
             self.spark.conf.set(k, str(v))
             return self.spark.sql("SELECT 1 AS ok").limit(0)
+        mf = _SHOW_FUNCS_RE.match(query)
+        if mf:
+            return self._show_functions(mf.group(1))
         cp = parse_copy(query)
         if cp is not None:
             return self._copy_to(cp)
@@ -114,6 +123,46 @@ class BallistaSession:
                 lambda m: f"information_schema_{m.group(1).lower()}", query
             )
         return self.spark.sql(rewrite_sql(query))
+
+    def _show_functions(self, like: str | None) -> DataFrame:
+        """``SHOW FUNCTIONS [LIKE '...']`` — the reference CLI's
+        ListFunctions command (ballista-cli/src/command.rs:44-45,93,123
+        lists registered scalar + aggregate UDFs). Output is an
+        information_schema.routines-style table over the DataFusion-name
+        compat surface (functions.py FUNCTIONS): the name, its kind
+        (scalar/aggregate), and whether Spark's live catalog resolves the
+        name natively (``spark_native``) or through a compat shim —
+        recomputed via ``catalog.functionExists`` per call, so a Spark
+        builtin-surface drift shows up here (and in the oracle gate)
+        rather than silently changing resolution.
+
+        Scale: driver-side metadata only (a ~127-row literal DataFrame);
+        no jobs, no scans."""
+        import fnmatch
+
+        from datafusion_ballista_spark.functions import (
+            AGGREGATE_NAMES,
+            FUNCTIONS,
+        )
+
+        cat = self.spark.catalog
+        names = sorted(FUNCTIONS)
+        if like is not None:
+            # SQL LIKE wildcards -> fnmatch (%/_ -> */?)
+            pat = like.replace("%", "*").replace("_", "?")
+            names = [n for n in names if fnmatch.fnmatchcase(n, pat)]
+        rows = [
+            (
+                n,
+                "aggregate" if n in AGGREGATE_NAMES else "scalar",
+                "YES" if cat.functionExists(n) else "NO",
+            )
+            for n in names
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "function_name string, function_type string, spark_native string",
+        ).orderBy("function_name")
 
     def _refresh_information_schema(self) -> None:
         """Materialize information_schema.{schemata,tables,columns,

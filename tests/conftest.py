@@ -50,6 +50,12 @@ def oracle():
 from datafusion_ballista_spark.compare import (
     decimal_output_columns as _decimal_output_columns,
 )
+from datafusion_ballista_spark.compare import (
+    complex_output_columns as _complex_output_columns,
+)
+from datafusion_ballista_spark.compare import (
+    driver_canon_check as _driver_canon_check,
+)
 from datafusion_ballista_spark.compare import fetch_oracle as _fetch_oracle
 from datafusion_ballista_spark.compare import normalize as _normalize
 
@@ -62,7 +68,16 @@ def assert_query_matches(spark_df, oracle_con, oracle_sql: str, name: str = "?")
         f"hash diverges on decimal representation even when values match "
         f"(round-6 q12/q20/q37) — pin to DOUBLE/BIGINT before output"
     )
+    cplx_cols = _complex_output_columns(spark_df)
+    assert not cplx_cols, (
+        f"[{name}] complex-typed output column(s) {cplx_cols}: the driver's "
+        f"pandas canonicalizer cannot sort array/map/struct cells (round-10 "
+        f"emb_random_projection) — flatten to scalar columns before output"
+    )
     s_rows = [tuple(r) for r in spark_df.collect()]
+    # driver-canon pre-flight (round-10 VERDICT Next #5): the exact
+    # pandas sort_values the driver runs must succeed on these rows
+    _driver_canon_check(s_cols, s_rows)
     o_cols, o_rows, hugeints = _fetch_oracle(oracle_con.sql(oracle_sql))
     assert not hugeints, (
         f"[{name}] oracle emits HUGEINT (decimal128(38,0)) column(s) "

@@ -1467,7 +1467,7 @@ def test_random_projection_preserves_geometry(spark):
     }
     s = np.array(_RP_SIGNS, dtype=np.int64)
     got = {
-        r.vec_id: (list(r.proj), r.pnorm2)
+        r.vec_id: ([r[f"p{j}"] for j in range(_RP_OUT)], r.pnorm2)
         for r in emb_random_projection(spark, SF_DIR).collect()
     }
     assert set(got) == set(qv)

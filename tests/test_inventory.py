@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from datafusion_ballista_spark.compare import decimal_output_columns
+from datafusion_ballista_spark.compare import (
+    complex_output_columns,
+    decimal_output_columns,
+    driver_canon_check,
+)
 from datafusion_ballista_spark.inventory import all_queries
 from tests.conftest import SF_DIR, assert_query_matches
 
@@ -31,9 +35,15 @@ def test_inventory_query(name, spark, oracle):
             f"driver's hash diverges on decimal representation even when "
             f"values match (round-6 q12/q20/q37) — pin to DOUBLE/BIGINT"
         )
+    cplx = complex_output_columns(df)
+    assert not cplx, (
+        f"[{name}] complex-typed output column(s) {cplx}: the driver's "
+        f"pandas canonicalizer cannot sort array/map/struct cells "
+        f"(round-10 emb_random_projection) — flatten to scalar columns"
+    )
     if spec.oracle is None:
-        rows = df.limit(10001).collect()
-        assert rows is not None  # rows-only check: executes and returns
+        rows = [tuple(r) for r in df.limit(10001).collect()]
+        driver_canon_check(list(df.columns), rows)
     else:
         assert_query_matches(df, oracle, spec.oracle, name)
 
@@ -49,43 +59,20 @@ def test_rows_only_set_is_exactly_the_documented_pair():
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-10
-    window (VERDICT r9 Next #1, swapped in exactly as committed in
-    round 9) = the 11 round-9 operators that have never had a driver
+    """The driver verifies only the FIRST 50 registry entries. Round-11
+    window (VERDICT r10 Next #1+#5, swapped in exactly as queued in
+    round 10) = the 23 round-10 operators that have never had a driver
     CORRECTNESS row (newest code is where driver blind spots live —
-    round 6 proved it) + the last 21 shape analogues (q79-q99) + the
-    first 18 regression sentinels (verbatim TPC-H, r2 evidence now 8
-    rounds stale). Lock the composition so an accidental reorder
-    doesn't silently waste a round; the r11 queue is committed below,
-    led by ALL 18 round-10-new operators (the two late-round batches
-    first, then the quantile-sketch family), so every op again gets a
-    driver row one round after landing.
+    round 6 proved it) + emb_random_projection (the r10 harness-canon
+    red, re-windowed so the flattened p0..p15 output gets its driver
+    re-green) + the first 26 queued sentinels (late TPC-H + earliest
+    relational/window rows + the round-3-era scalar-function surface).
+    Lock the composition so an accidental reorder doesn't silently
+    waste a round; the r12 queue is committed below, led by the
+    round-11-new ops.
     """
     names = list(_ALL)[:50]
-    assert names[:11] == [
-        "sketch_hll_distinct",
-        "sketch_countmin_topk",
-        "text_bm25_topk",
-        "train_contamination_bloom",
-        "ann_range_search",
-        "emb_kmeanspp_init",
-        "dedup_lines_keep_first",
-        "quality_kneser_ney_bigram",
-        "quality_ccnet_bucket",
-        "emb_random_projection",
-        "ann_mmr_rerank",
-    ]
-    assert names[11:32] == [f"tpcds_q{i}_shape" for i in range(79, 100)]
-    assert names[32] == "tpch_q1"
-    assert names[49] == "tpch_q18_large_volume"
-    assert len([n for n in names[32:50] if n.startswith("tpch_")]) == 18
-    # r11 window = the round-10-new ops first (same newest-code-first
-    # rule), then the sentinel continuation: the 16 remaining r10
-    # sentinels (late TPC-H + earliest relational/window rows), then
-    # the round-3-era greens (scalar-function surface, UDF surface,
-    # SQL surface, first h2o rows) — all 7+ rounds stale by r11.
-    rest = list(_ALL)[50:]
-    assert rest[:23] == [
+    assert names[:23] == [
         "ann_recall_eval",
         "stream_sliding_counts",
         "train_pack_bestfit",
@@ -110,12 +97,22 @@ def test_driver_window_rotation():
         "sketch_quantile_bottomk",
         "sketch_hll_distinct_p12",
     ]
-    assert rest[23] == "tpch_q19_disjunctive"
-    assert rest[25] == "tpch_q22_global_sales"
-    assert rest[38] == "rel_except_all"
-    assert rest[39] == "fn_string"
-    assert rest[55] == "fn_agg_approx"
-    assert rest[56] == "udf_sql_register"
-    assert rest[63] == "sql_parameterized"
-    assert rest[66] == "h2o_g1_sum_by_id1"
-    assert rest[71] == "h2o_w_partition_sums"
+    # the r10 red re-windowed: the driver must re-green the flattened
+    # p0..p15 output this round
+    assert names[23] == "emb_random_projection"
+    assert names[24] == "tpch_q19_disjunctive"
+    assert names[26] == "tpch_q22_global_sales"
+    assert names[39] == "rel_except_all"
+    assert names[40] == "fn_string"
+    assert names[49] == "fn_cast_try"
+    # r12 queue = round-11-new ops first (newest-code-first), then the
+    # remaining round-3-era sentinels (fn_json..agg surface, UDF/UDTF
+    # surface, SQL-surface trio, first h2o rows).
+    rest = list(_ALL)[50:]
+    assert rest[:2] == ["sql_show_functions", "sql_describe_table"]
+    assert rest[2] == "fn_json"
+    assert rest[8] == "fn_agg_approx"
+    assert rest[9] == "udf_sql_register"
+    assert rest[16] == "sql_parameterized"
+    assert rest[19] == "h2o_g1_sum_by_id1"
+    assert rest[24] == "h2o_w_partition_sums"
