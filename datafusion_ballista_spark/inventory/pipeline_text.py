@@ -2438,7 +2438,20 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("c") <= _WINNOW_MAX_DF)
         .select("h")
     )
-    fps = sel.join(ok, "h").localCheckpoint(eager=False)
+    # Pin the pair-stage parallelism (round-11 perf fix, the measured
+    # 2.17x-vs-DuckDB gap at sf1): the fingerprint table is small
+    # (~15 MB at sf1), so AQE's advisory size coalesces its shuffle to
+    # ~2 partitions — but the SELF-JOIN below then emits ~24M pair rows
+    # from those 2 partitions, leaving the pair groupBy's partial
+    # aggregate on 2 cores (and GC-bound at default heap). Repartition
+    # by h to the session's shuffle parallelism before checkpointing:
+    # the join stays co-partitioned (no extra shuffle at join time) and
+    # the pair stage fans out. Same-session A/B at sf1: pair phase
+    # 31.4 -> 13.2 s (1g heap) / 3.1 s (8g heap), output identical.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fps = (
+        sel.join(ok, "h").repartition(n_part, "h").localCheckpoint(eager=False)
+    )
     pairs = (
         fps.alias("a")
         .join(
