@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -775,6 +777,8 @@ def _train_weighted_sql() -> str:
 
 _BPE_V = 200  # word types in the training table (top-V by count)
 _BPE_R = 8  # merge rounds
+# mirrors regexp_extract_all(word, '[a-z]') for the driver-side learner
+_BPE_ALPHA_RE = re.compile(r"[a-z]")
 
 
 def train_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
@@ -819,15 +823,16 @@ def train_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
-def _bpe_fold(a: str, b: str, m: str) -> Column:
+def _bpe_fold(a: str, b: str, m: str, src: Column | str = "s") -> Column:
     """Greedy left-to-right non-overlapping application of one merge
-    (a, b) -> m to the symbol array column ``s``: append x, or replace
+    (a, b) -> m to the symbol array ``src`` (a column name or a Column
+    expression, so folds CHAIN into one select): append x, or replace
     the accumulator tail with m when (tail, x) == (a, b). The tail can
     never spuriously equal ``a`` post-merge since a||b != a for
     nonempty b."""
     al, bl, ml = F.lit(a), F.lit(b), F.lit(m)
     return F.aggregate(
-        "s",
+        src,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
             (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (x == bl),
@@ -839,37 +844,41 @@ def _bpe_fold(a: str, b: str, m: str) -> Column:
 def _learn_bpe_merges(words: DataFrame) -> list[tuple]:
     """Run the _BPE_R merge-learning rounds over a (word, cnt)
     frequency table; returns [(rank, a, b, merged, weighted_count)].
-    Each round's driver traffic is ONE 3-tuple (the argmax pair)."""
-    v = words.select(
-        "word",
-        "cnt",
-        F.expr("regexp_extract_all(word, '[a-z]', 0)").alias("s"),
-    ).localCheckpoint(eager=False)
+
+    The table is BOUNDED by construction (top-_BPE_V word types — V is
+    the scale knob, independent of corpus size), so it is collected
+    ONCE and the greedy loop runs driver-side in exact integer Python —
+    the k-means-centroid / PQ-codebook precedent. The round-11 A/B
+    motivated the switch: the previous distributed loop spent 16 tiny
+    Spark jobs (8 pair-count argmaxes + 8 fold checkpoints) on a
+    200-row table, pure fixed stage latency. Semantics are identical:
+    pair weight = sum of word counts over adjacent symbol pairs,
+    argmax tiebroken (w DESC, a ASC, b ASC), greedy left-to-right
+    non-overlapping application — the same loop the DuckDB oracle
+    unrolls and tests/test_curation_ops.py replicates independently."""
+    v = [
+        (list(_BPE_ALPHA_RE.findall(r.word)), int(r.cnt))
+        for r in words.collect()
+    ]
     merges = []
     for r in range(_BPE_R):
-        ln = F.size("s") - 1
-        pairs = v.where(F.size("s") >= 2).select(
-            "cnt",
-            F.explode(
-                F.zip_with(
-                    F.slice("s", F.lit(1), ln),
-                    F.slice("s", F.lit(2), ln),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("w"))
-            .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()[0]
-        )
-        a, b, wgt = top.a, top.b, int(top.w)
-        merges.append((r + 1, a, b, a + b, wgt))
-        v = v.select("word", "cnt", _bpe_fold(a, b, a + b).alias("s")).localCheckpoint(
-            eager=False
-        )
+        cnt: dict[tuple[str, str], int] = {}
+        for s, c in v:
+            for x, y in zip(s, s[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + c
+        (a, b), wgt = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        m = a + b
+        merges.append((r + 1, a, b, m, wgt))
+        nv = []
+        for s, c in v:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            nv.append((out, c))
+        v = nv
     return merges
 
 
@@ -965,14 +974,20 @@ def train_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_BPE_V)
     )
     merges = _learn_bpe_merges(words)
-    enc = occ.select("word").distinct().select(
-        "word", F.expr("regexp_extract_all(word, '[a-z]', 0)").alias("s")
-    )
+    # all 8 merge applications chained into ONE expression over the
+    # word-type table — a single map stage (round-11 perf fix: the
+    # previous per-round localCheckpoint ran 8 tiny jobs whose fixed
+    # stage latency dominated the sub-second fold work; the learning
+    # loop above still checkpoints per round because each round's pair
+    # statistics feed the next merge choice, which encoding never needs)
+    s_expr: Column = F.expr("regexp_extract_all(word, '[a-z]', 0)")
     for _, a, b, m, _w in merges:
-        enc = enc.select("word", _bpe_fold(a, b, m).alias("s")).localCheckpoint(
-            eager=False
-        )
-    enc = enc.select("word", F.size("s").alias("tok_len"))
+        s_expr = _bpe_fold(a, b, m, s_expr)
+    enc = (
+        occ.select("word")
+        .distinct()
+        .select("word", F.size(s_expr).alias("tok_len"))
+    )
     return (
         occ.join(enc, "word")
         .groupBy("source")
