@@ -193,16 +193,21 @@ ORDER BY s_nationkey
 
 def scan_avro(spark: SparkSession, sf: str) -> DataFrame:
     """Avro OCF scan (datafusion.proto:1155-1158) through the pure-Python
-    distributed reader — no spark-avro jar in this container. Two files are
-    written (deflate + null codec) to exercise the multi-file path and both
-    standard codecs; the aggregate hash-matches the original parquet."""
+    distributed reader — no spark-avro jar in this container. The fixture
+    is produced by the DISTRIBUTED per-partition OCF sink (round-11: the
+    previous whole-table collect feeding a driver-side writer was the
+    VERDICT-flagged 100x bottleneck); partitions alternate deflate/null
+    codecs so the multi-file path and both standard codecs are exercised;
+    the aggregate hash-matches the original parquet."""
     from datafusion_ballista_spark.session import BallistaSession
-    from datafusion_ballista_spark.sources.avro_ocf import write_avro_ocf
+    from datafusion_ballista_spark.sources.avro_ocf import write_avro_ocf_dist
 
     out_dir = _out(sf, "supplier_avro")
-    os.makedirs(out_dir, exist_ok=True)
+    # the sink appends part files by partition id; clear any prior run's
+    # layout (file names changed when the write went distributed) so the
+    # globbing reader only ever sees this run's manifest
+    shutil.rmtree(out_dir, ignore_errors=True)
     s = tables(spark, sf, "supplier").supplier
-    rows = [r.asDict() for r in s.collect()]
     schema = {
         "type": "record",
         "name": "supplier",
@@ -213,11 +218,13 @@ def scan_avro(spark: SparkSession, sf: str) -> DataFrame:
             {"name": "s_acctbal", "type": "double"},
         ],
     }
-    mid = len(rows) // 2
-    write_avro_ocf(rows[:mid], schema, os.path.join(out_dir, "part0.avro"),
-                   codec="deflate")
-    write_avro_ocf(rows[mid:], schema, os.path.join(out_dir, "part1.avro"),
-                   codec="null")
+    write_avro_ocf_dist(
+        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(2, "s_suppkey"),
+        schema,
+        out_dir,
+        codec_by_pid=lambda pid: "deflate" if pid % 2 == 0 else "null",
+    )
     back = BallistaSession(spark).read_avro(out_dir)
     return (
         back.groupBy("s_nationkey")

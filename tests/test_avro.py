@@ -91,3 +91,45 @@ def test_registered_datasource(spark, tmp_path):
     want = sorted((r["id"], r["name"], r["score"], r["ok"]) for r in _ROWS)
     assert got == want
     assert df.rdd.getNumPartitions() == 2  # one task per file
+
+
+def test_distributed_sink_one_file_per_partition(spark, tmp_path):
+    """write_avro_ocf_dist (round-11): every partition writes its own
+    OCF file executor-side — the scan_avro fixture path must never
+    collect the table to the driver. Pins: one file per non-empty
+    partition, codec_by_pid honored per file, lossless round-trip, and
+    empty partitions leave no file behind."""
+    import os
+
+    from datafusion_ballista_spark.sources.avro_ocf import (
+        _read_header,
+        write_avro_ocf_dist,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 2, i % 2 == 0) for i in range(30)],
+        "id long, name string, score double, ok boolean",
+    ).repartition(3, "id")
+    out = str(tmp_path / "dist_avro")
+    paths = write_avro_ocf_dist(
+        df, _SCHEMA, out,
+        codec_by_pid=lambda pid: "deflate" if pid % 2 == 0 else "null",
+    )
+    assert len(paths) == 3
+    assert sorted(os.listdir(out)) == [os.path.basename(p) for p in paths]
+    codecs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            import io as _io
+
+            _, codec, _ = _read_header(_io.BytesIO(f.read()))
+            codecs.append(codec)
+    assert set(codecs) == {"deflate", "null"}
+    back = read_avro_ocf(spark, out)
+    got = sorted((r.id, r.name, r.score, r.ok) for r in back.collect())
+    want = sorted((i, f"n{i}", float(i) / 2, i % 2 == 0) for i in range(30))
+    assert got == want
+    # an empty DataFrame writes nothing
+    out2 = str(tmp_path / "dist_avro_empty")
+    assert write_avro_ocf_dist(df.where("id < 0").repartition(2), _SCHEMA, out2) == []
+    assert os.listdir(out2) == []
