@@ -61,6 +61,37 @@ def register_s3(spark: SparkSession, bucket: str | None = None, **options) -> No
         hconf.set(k, v)
 
 
+# Hadoop 3 ships read-only HTTP filesystems; wiring their impl classes is
+# the Spark analogue of the reference's HttpBuilder store for http(s)://
+# URLs (object_store.rs:151-157, which also force-allows plain http).
+_HTTP_FS_IMPLS = {
+    "fs.http.impl": "org.apache.hadoop.fs.http.HttpFileSystem",
+    "fs.https.impl": "org.apache.hadoop.fs.http.HttpsFileSystem",
+}
+
+
+def http_conf(*, allow_http: bool = True) -> dict[str, str]:
+    """Conf entries enabling http(s):// table URLs — HttpBuilder parity
+    (object_store.rs:151-157: any http/https URL gets a store with
+    allow_http(true)). ``allow_http=False`` registers only the https
+    scheme, the stricter posture the reference offers for S3 endpoints
+    via ``s3.allow_http``. Pure config translation; offline-testable
+    (the impl classes ship in Spark's bundled hadoop-client)."""
+    conf = dict(_HTTP_FS_IMPLS)
+    if not allow_http:
+        del conf["fs.http.impl"]
+    return conf
+
+
+def register_http(spark: SparkSession, *, allow_http: bool = True) -> None:
+    """Apply the HTTP filesystem confs to a live session's Hadoop
+    configuration; after this, ``spark.read.csv("https://host/file.csv")``
+    resolves through Hadoop's HttpFileSystem exactly as s3a URLs do."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in http_conf(allow_http=allow_http).items():
+        hconf.set(k, v)
+
+
 def normalize_url(url: str) -> str:
     """``s3://`` (reference scheme) -> ``s3a://`` (Hadoop connector scheme);
     everything else passes through."""

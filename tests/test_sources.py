@@ -7,7 +7,9 @@ from __future__ import annotations
 import pytest
 
 from datafusion_ballista_spark.sources.object_store import (
+    http_conf,
     normalize_url,
+    register_http,
     s3_conf,
 )
 
@@ -35,6 +37,31 @@ def test_s3_conf_per_bucket_and_http():
 def test_s3_conf_rejects_unknown_option():
     with pytest.raises(ValueError, match="unknown S3 option"):
         s3_conf(access_keey="typo")
+
+
+def test_http_conf_translation():
+    """HttpBuilder parity (object_store.rs:151-157): http/https URLs get a
+    store with allow_http forced on; the strict variant drops plain http."""
+    assert http_conf() == {
+        "fs.http.impl": "org.apache.hadoop.fs.http.HttpFileSystem",
+        "fs.https.impl": "org.apache.hadoop.fs.http.HttpsFileSystem",
+    }
+    assert http_conf(allow_http=False) == {
+        "fs.https.impl": "org.apache.hadoop.fs.http.HttpsFileSystem",
+    }
+
+
+def test_register_http_wires_live_hadoop_conf(spark):
+    """Offline proof the plumbing is real: the confs land in the live
+    Hadoop configuration AND the impl classes actually ship in Spark's
+    bundled hadoop-client (a typo'd class name would only fail at first
+    read otherwise — the container has no network to catch it)."""
+    register_http(spark)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for key, cls in http_conf().items():
+        assert hconf.get(key) == cls
+        # Class.forName raises if the impl is not on Spark's classpath
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)
 
 
 def test_normalize_url():
