@@ -11,6 +11,17 @@ Reference surfaces reproduced (SURVEY.md §3):
 Spark provides parse/optimize/schedule/shuffle/AQE natively, so this layer is
 deliberately thin: its job is API parity, config translation, and SQL-dialect
 rewrites, not execution.
+
+Flight SQL / JDBC endpoint (reference: the scheduler proxies Arrow Flight
+SQL so BI tools connect over JDBC, docs/source/contributors-guide/
+architecture.md:74-78): Spark's native equivalents are the Thrift JDBC/ODBC
+server (``sbin/start-thriftserver.sh`` against the same catalog this facade
+populates) and Spark Connect (``spark-submit --class
+org.apache.spark.sql.connect.service.SparkConnectServer`` /
+``spark.api.mode=connect``), both serving the exact SQL surface
+``BallistaSession.sql`` exposes. Distribution plumbing is a SURVEY §0
+non-goal, so the facade documents the mapping rather than wrapping the
+server lifecycle; nothing in this repo assumes a particular endpoint.
 """
 
 from __future__ import annotations
