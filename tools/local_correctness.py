@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -113,11 +114,18 @@ def main() -> int:
             name.startswith(p) for p in GATE_ONLY_PREFIXES
         ):
             continue
+        # progress line BEFORE the run (round 11: a runaway oracle spilled
+        # 50 GB with no way to tell which query from the log) and timing
+        # after — flush so a stuck run shows its culprit immediately.
+        print(f"RUN {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
         try:
             df = spec.spark(spark, SF_DIR)
             rec = compare_query(df, con, spec.oracle)
         except Exception as ex:
             rec = {"err": f"{type(ex).__name__}: {ex}"[:500]}
+        rec["secs"] = round(time.time() - t0, 2)
+        print(f"  {name} {rec['secs']}s", file=sys.stderr, flush=True)
         results[name] = rec
         ok = rec.get("err") is None and (
             rec.get("hash_match") or (spec.oracle is None and rec.get("rows_match"))
