@@ -31,6 +31,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # could drift from bench.py's; one implementation now serves both).
 from datafusion_ballista_spark.stamp import git_sha as _git_sha
 
+# The heavy verbatim tier: the 8 most expensive TPC-DS texts at x100
+# (multi-channel CTEs, the q64 fact self-join DuckDB degrades on).
+# Restored in round 11 — the stamp refactor dropped this list, which is
+# why the r10 star bench could not be refreshed (NameError).
+HEAVY = [
+    "tpcds_real_q4",
+    "tpcds_real_q14",
+    "tpcds_real_q23",
+    "tpcds_real_q64",
+    "tpcds_real_q67",
+    "tpcds_real_q78",
+    "tpcds_real_q88",
+    "tpcds_real_q95",
+]
+
 
 def main() -> int:
     from datafusion_ballista_spark.inventory import all_queries
