@@ -218,13 +218,26 @@ def scan_avro(spark: SparkSession, sf: str) -> DataFrame:
             {"name": "s_acctbal", "type": "double"},
         ],
     }
-    write_avro_ocf_dist(
-        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-        .repartition(2, "s_suppkey"),
+    cols = s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    paths = write_avro_ocf_dist(
+        cols.repartition(2, "s_suppkey"),
         schema,
         out_dir,
         codec_by_pid=lambda pid: "deflate" if pid % 2 == 0 else "null",
     )
+    if len(paths) != 2:
+        # hash partitioning gives no non-empty guarantee at tiny SFs; a
+        # one-file fixture would silently drop the multi-file/multi-codec
+        # coverage this entry exists for — fall back to round-robin, which
+        # does guarantee two non-empty partitions for >=2 rows
+        shutil.rmtree(out_dir, ignore_errors=True)
+        paths = write_avro_ocf_dist(
+            cols.repartition(2),
+            schema,
+            out_dir,
+            codec_by_pid=lambda pid: "deflate" if pid % 2 == 0 else "null",
+        )
+    assert len(paths) == 2, f"avro fixture degenerated to {paths}"
     back = BallistaSession(spark).read_avro(out_dir)
     return (
         back.groupBy("s_nationkey")

@@ -159,8 +159,17 @@ class BallistaSession:
         cat = self.spark.catalog
         names = sorted(FUNCTIONS)
         if like is not None:
-            # SQL LIKE wildcards -> fnmatch (%/_ -> */?)
-            pat = like.replace("%", "*").replace("_", "?")
+            # SQL LIKE wildcards -> fnmatch (%/_ -> */?). Glob
+            # metacharacters already in the LIKE pattern are literals in
+            # SQL, so escape them ([..]-wrap) before substituting, else a
+            # literal '*'/'?'/'[' would get glob semantics.
+            pat = "".join(
+                "*" if ch == "%"
+                else "?" if ch == "_"
+                else f"[{ch}]" if ch in "*?[]"
+                else ch
+                for ch in like
+            )
             names = [n for n in names if fnmatch.fnmatchcase(n, pat)]
         rows = [
             (

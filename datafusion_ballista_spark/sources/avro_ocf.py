@@ -270,6 +270,11 @@ def write_avro_ocf_dist(
         pid = TaskContext.get().partitionId()
         rows: list[dict] = []
         for pdf in batches:
+            # pandas surfaces SQL NULLs as NaN/NaT, which the row writer's
+            # `v is None` union check would miss (int(nan) crash on long,
+            # silent NaN instead of the null branch on double) — normalize
+            # every missing value to None executor-side before encoding.
+            pdf = pdf.astype(object).where(pdf.notna(), None)
             rows.extend(pdf.to_dict("records"))
         if not rows:
             # empty partitions leave no file behind (globbing readers

@@ -133,3 +133,33 @@ def test_distributed_sink_one_file_per_partition(spark, tmp_path):
     out2 = str(tmp_path / "dist_avro_empty")
     assert write_avro_ocf_dist(df.where("id < 0").repartition(2), _SCHEMA, out2) == []
     assert os.listdir(out2) == []
+
+
+def test_distributed_sink_nullable_numeric_nulls(spark, tmp_path):
+    """SQL NULLs in nullable long/double columns survive the distributed
+    sink. pandas hands mapInPandas NaN (not None) for missing numerics;
+    the writer must normalize them back to the Avro null branch — before
+    the round-12 fix a nullable long with a NULL crashed (int(nan)) and a
+    nullable double silently round-tripped as NaN instead of NULL."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, 10, 1.5, "a"), (2, None, None, None), (3, 30, None, "c")],
+        "id long, n long, x double, s string",
+    ).repartition(2)
+    out = str(tmp_path / "nulls_avro")
+    from datafusion_ballista_spark.sources.avro_ocf import write_avro_ocf_dist
+
+    paths = write_avro_ocf_dist(df, schema, out, codec="deflate")
+    assert paths
+    back = read_avro_ocf(spark, out)
+    got = sorted((r.id, r.n, r.x, r.s) for r in back.collect())
+    assert got == [(1, 10, 1.5, "a"), (2, None, None, None), (3, 30, None, "c")]

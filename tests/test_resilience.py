@@ -148,8 +148,12 @@ try:
         while budget > 0:
             k = (rng.randrange(n_stages), rng.randrange(4))
             fails = min(budget, rng.randint(1, 2))
-            plan[k] = min(plan.get(k, 0) + fails, 3)  # < maxFailures=4
-            budget -= fails
+            # cap per-site failures below maxFailures=4; decrement the
+            # budget by the delta actually applied, so the SWEEP_TOTAL
+            # invariant holds for ANY seed, not just ones that miss the cap
+            before = plan.get(k, 0)
+            plan[k] = min(before + fails, 3)
+            budget -= plan[k] - before
         inject = lambda stage: flaky(stage, plan)
         got = [tuple(r) for r in q(inject).collect()]
         assert got == expect, f"{name}: retries changed the result"

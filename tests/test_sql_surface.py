@@ -175,3 +175,19 @@ def test_stats_drive_broadcast_promotion(bs):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         bs.spark.sql("DROP TABLE IF EXISTS bc_dim")
+
+
+def test_show_functions_like_patterns(bs):
+    """SHOW FUNCTIONS LIKE: SQL %/_ wildcards work, and glob
+    metacharacters in the pattern are literals (SQL LIKE has no glob
+    semantics — a literal '[' must not open an fnmatch char class)."""
+    all_names = {r.function_name for r in bs.sql("SHOW FUNCTIONS").collect()}
+    assert "regexp_like" in all_names
+    pre = {r.function_name for r in bs.sql("SHOW FUNCTIONS LIKE 'regexp%'").collect()}
+    assert pre and pre == {n for n in all_names if n.startswith("regexp")}
+    one = {r.function_name for r in bs.sql("SHOW FUNCTIONS LIKE 'md_'").collect()}
+    assert one == {"md5"}
+    # glob metachars are literal: no registered name contains *, ?, or [
+    for lit in ("*", "m*", "[m]d5", "?d5"):
+        got = bs.sql(f"SHOW FUNCTIONS LIKE '{lit}'").collect()
+        assert got == [], f"pattern {lit!r} should match nothing, got {got}"
