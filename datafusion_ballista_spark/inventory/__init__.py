@@ -210,24 +210,59 @@ def all_queries() -> dict[str, QuerySpec]:
         "h2o_j2_medium_inner",
         "h2o_w_partition_sums",
     ]
-    # Round-11 window (VERDICT r10 Next #1+#5, exactly as queued in
-    # round 10): the 23 round-10-NEW operators first (the only registry
-    # entries with no driver CORRECTNESS row yet), then
-    # emb_random_projection — the r10 red, re-windowed so the driver
-    # re-greens the flattened p0..p15 output — then the first 26 queued
-    # sentinels (late TPC-H + earliest relational/window rows + the
-    # round-3-era scalar-function surface, r2/r3 evidence now 8+ rounds
-    # stale).
-    window = _r10_new_ops + ["emb_random_projection"] + _r11_sentinels[:26]
-    # Round-12 queue committed now so the next rotation is again a
-    # one-line swap: any round-11-new ops land at the head of this list
-    # when they are added (newest-code-first), followed by the
-    # remaining round-3-era sentinels (UDF/SQL surface, h2o rows).
-    _r11_new_ops = [
+    # (r11 window, kept for the rotation history: _r10_new_ops +
+    # emb_random_projection + _r11_sentinels[:26] — all 50 driver-green
+    # or documented-no_oracle in CORRECTNESS_r11.json.)
+    del _r10_new_ops
+    # Round-12 window (VERDICT r11 Next #1+#6, exactly as queued in
+    # round 11 plus the round-12-touched head): the 3 ops whose code or
+    # oracle changed THIS round lead (newest-code-first —
+    # train_pack_bestfit's new WITH RECURSIVE oracle must earn a driver
+    # hash-green, and the two quality-filter perf rewrites must re-prove
+    # bit-identical output), then the 2 round-11-new SQL-surface ops
+    # (the only rows never driver-checked), then the 23 remaining
+    # round-3-era sentinels (UDF/SQL surface + h2o, r3 evidence 9 rounds
+    # stale), then 22 round-4-era pipeline_text greens in registration
+    # order (r4 evidence, the oldest in the registry).
+    _r12_head = [
+        "train_pack_bestfit",
+        "quality_repetition_gopher",
+        "quality_unigram_logprob",
         "sql_show_functions",
         "sql_describe_table",
     ]
-    queue = _r11_new_ops + _r11_sentinels[26:]
+    _r4_era_text = [
+        "text_winnow_fingerprint",
+        "quality_lexical_ttr",
+        "dedup_prefix_filter_join",
+        "dedup_cdc_chunks",
+        "quality_fasttext_hash",
+        "text_collocation_pmi",
+        "quality_bigram_logprob",
+        "dedup_exact",
+        "quality_c4_filters",
+        "dedup_substring_exact",
+        "dedup_containment",
+        "dedup_keep_best",
+        "text_ngram_topk",
+        "pii_scrub",
+        "dedup_incremental",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "dedup_simhash",
+        "text_stats",
+        "tfidf_topk_terms",
+        "lang_id",
+    ]
+    window = _r12_head + _r11_sentinels[26:] + _r4_era_text
+    # Round-13 queue committed now so the next rotation is again a
+    # one-line swap: any round-12-new ops land at the head when added
+    # (newest-code-first), then the round-4-era continuation (the rest
+    # of pipeline_text, then pipeline_vector) in registration order —
+    # which is exactly the natural pool order, so the queue list only
+    # needs entries that must jump the pool order.
+    queue: list[str] = []
 
     pool: dict[str, QuerySpec] = {}
     for mod in (

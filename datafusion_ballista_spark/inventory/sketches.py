@@ -303,8 +303,12 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     task unions them (concatenate same-height compactors + re-compress
     — kll.rs's own merge) and reads off the 9 quantile estimates.
 
-    The compaction cascade is order-dependent and non-SQL-expressible,
-    so there is no DuckDB oracle (rows-only driver check); instead the
+    The compaction cascade consumes items in physical partition/batch
+    order, so the sketch content is a function of the execution layout,
+    not of the data alone — no cross-engine replay can exist even in
+    principle (unlike train_pack_bestfit's deterministic fold, which
+    got a WITH RECURSIVE oracle in round 12). This is the single
+    registry-wide rows-only exception; instead the
     plan SELF-VALIDATES (the emb_covariance pattern): one extra
     conditional-agg corpus pass computes each estimate's EXACT rank,
     every row carries signed err_ppm against the documented 33000 ppm

@@ -48,71 +48,51 @@ def test_inventory_query(name, spark, oracle):
         assert_query_matches(df, oracle, spec.oracle, name)
 
 
-def test_rows_only_set_is_exactly_the_documented_pair():
+def test_rows_only_set_is_exactly_the_documented_exception():
     """oracle=None is the weaker driver check, so it must stay a loud,
     named exception (the decimal/float whitelist discipline): exactly
-    the two ops whose core loop is order-dependent and therefore not
-    SQL-expressible — the KLL compaction cascade and BFD bin packing.
-    A new rows-only entry must be argued here, not slipped in."""
+    one op remains — the KLL compaction cascade, whose sketch content
+    is a function of the physical partition/batch order, not the data,
+    so no cross-engine replay can exist even in principle. (BFD packing
+    left this set in round 12: its deterministic fold got a WITH
+    RECURSIVE DuckDB oracle.) A new rows-only entry must be argued
+    here, not slipped in."""
     rows_only = {n for n, s in _ALL.items() if s.oracle is None}
-    assert rows_only == {"sketch_kll_quantiles", "train_pack_bestfit"}
+    assert rows_only == {"sketch_kll_quantiles"}
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-11
-    window (VERDICT r10 Next #1+#5, swapped in exactly as queued in
-    round 10) = the 23 round-10 operators that have never had a driver
-    CORRECTNESS row (newest code is where driver blind spots live —
-    round 6 proved it) + emb_random_projection (the r10 harness-canon
-    red, re-windowed so the flattened p0..p15 output gets its driver
-    re-green) + the first 26 queued sentinels (late TPC-H + earliest
-    relational/window rows + the round-3-era scalar-function surface).
-    Lock the composition so an accidental reorder doesn't silently
-    waste a round; the r12 queue is committed below, led by the
-    round-11-new ops.
-    """
+    """The driver verifies only the FIRST 50 registry entries. Round-12
+    window (VERDICT r11 Next #1+#6, swapped in exactly as queued in
+    round 11 plus the round-12-touched head): the 3 ops whose code or
+    oracle changed this round (train_pack_bestfit's new WITH RECURSIVE
+    oracle needs its driver hash-green; the two quality-filter perf
+    rewrites must re-prove bit-identical output), the 2 round-11-new
+    SQL-surface ops (the only rows never driver-checked), the 23
+    remaining round-3-era sentinels, then 22 round-4-era pipeline_text
+    greens (the oldest driver evidence left). Lock the composition so
+    an accidental reorder doesn't silently waste a round; the r13
+    continuation is the natural pool order (pipeline_text tail, then
+    pipeline_vector)."""
     names = list(_ALL)[:50]
-    assert names[:23] == [
-        "ann_recall_eval",
-        "stream_sliding_counts",
+    assert names[:5] == [
         "train_pack_bestfit",
-        "ev_anomaly_mad",
-        "text_vocab_coverage",
-        "sketch_hll_sliding_3h",
-        "text_zipf_fit",
-        "dedup_edit_distance_verify",
-        "ann_lsh_multiprobe",
-        "emb_matryoshka_trunc",
-        "ev_decayed_topk",
-        "train_epoch_shuffle_shards",
-        "train_priority_sample_sum",
-        "sketch_moments_power_sums",
-        "sketch_ams_f2",
-        "sketch_theta_set_ops",
-        "sketch_hll_merge_hourly",
-        "quality_token_entropy",
-        "train_pack_concat_chunks",
-        "sketch_kll_quantiles",
-        "sketch_range_partition_cuts",
-        "sketch_quantile_bottomk",
-        "sketch_hll_distinct_p12",
+        "quality_repetition_gopher",
+        "quality_unigram_logprob",
+        "sql_show_functions",
+        "sql_describe_table",
     ]
-    # the r10 red re-windowed: the driver must re-green the flattened
-    # p0..p15 output this round
-    assert names[23] == "emb_random_projection"
-    assert names[24] == "tpch_q19_disjunctive"
-    assert names[26] == "tpch_q22_global_sales"
-    assert names[39] == "rel_except_all"
-    assert names[40] == "fn_string"
-    assert names[49] == "fn_cast_try"
-    # r12 queue = round-11-new ops first (newest-code-first), then the
-    # remaining round-3-era sentinels (fn_json..agg surface, UDF/UDTF
-    # surface, SQL-surface trio, first h2o rows).
+    # round-3-era sentinel continuation (fn_json..h2o)
+    assert names[5] == "fn_json"
+    assert names[11] == "fn_agg_approx"
+    assert names[12] == "udf_sql_register"
+    assert names[19] == "sql_parameterized"
+    assert names[22] == "h2o_g1_sum_by_id1"
+    assert names[27] == "h2o_w_partition_sums"
+    # round-4-era pipeline_text greens in registration order
+    assert names[28] == "text_winnow_fingerprint"
+    assert names[35] == "dedup_exact"
+    assert names[49] == "lang_id"
+    # r13 queue = natural pool order: pipeline_text tail first
     rest = list(_ALL)[50:]
-    assert rest[:2] == ["sql_show_functions", "sql_describe_table"]
-    assert rest[2] == "fn_json"
-    assert rest[8] == "fn_agg_approx"
-    assert rest[9] == "udf_sql_register"
-    assert rest[16] == "sql_parameterized"
-    assert rest[19] == "h2o_g1_sum_by_id1"
-    assert rest[24] == "h2o_w_partition_sums"
+    assert rest[0] == "quality_token_entropy"
