@@ -430,5 +430,63 @@ class BallistaSession:
     def tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
 
+    # -- serving endpoint (reference Flight SQL / JDBC entry point) ----------
+    def serve(self, port: int = 15002) -> str:
+        """Start a Spark Connect gRPC endpoint inside this session's JVM —
+        the analogue of the reference scheduler's Flight SQL service that
+        JDBC clients dial (docs/source/contributors-guide/architecture.md:
+        74-78, ballista/scheduler/src/flight_sql.rs): remote clients get a
+        network SQL entry point into the SAME running session, seeing its
+        registered views and settings.
+
+        Returns the client URL (``sc://localhost:<port>``). Any Spark
+        Connect client (``SparkSession.builder.remote(url)`` from a
+        machine with grpcio, JDBC via the Connect driver, etc.) can
+        attach. NOTE: ``spark.connect.grpc.binding.port`` is a static
+        conf — it must be set when the session is BUILT (pass it to
+        ``standalone()``/``get_session``); an already-running session
+        serves on the port it was built with, and this method raises if
+        a different ``port`` is requested so the mismatch is loud
+        instead of a silent wrong-port bind."""
+        built = int(self.spark.conf.get("spark.connect.grpc.binding.port", "15002"))
+        if port != built:
+            raise ValueError(
+                f"session was built with spark.connect.grpc.binding.port="
+                f"{built}; pass that conf at session build time to serve "
+                f"on {port}"
+            )
+        jsc = self.spark._sc._jsc.sc()
+        self.spark._sc._jvm.org.apache.spark.sql.connect.service.SparkConnectService.start(jsc)
+        return f"sc://localhost:{built}"
+
+    def stop_serving(self) -> None:
+        """Stop the Spark Connect endpoint started by :meth:`serve` (the
+        session itself stays alive — mirrors the reference scheduler
+        shutting its Flight SQL listener without killing executors)."""
+        jvm = self.spark._sc._jvm
+        none = jvm.scala.Option.empty()
+        jvm.org.apache.spark.sql.connect.service.SparkConnectService.stop(
+            none, none
+        )
+
+    # -- runtime introspection (reference scheduler REST api/routes.rs) ------
+    def status(self) -> dict:
+        """Job/stage/executor counts from the live statusTracker — the
+        honest single-process analogue of the reference scheduler's REST
+        introspection surface (ballista/scheduler/src/api/routes.rs
+        /api/jobs, /api/executors; health.rs). Driver-side metadata only,
+        no jobs launched."""
+        sc = self.spark.sparkContext
+        st = sc.statusTracker()
+        jst = self.spark._sc._jsc.sc().statusTracker()
+        return {
+            "app_id": sc.applicationId,
+            "master": sc.master,
+            "executor_count": len(jst.getExecutorInfos()),
+            "default_parallelism": sc.defaultParallelism,
+            "active_job_count": len(st.getActiveJobsIds()),
+            "active_stage_count": len(st.getActiveStageIds()),
+        }
+
     def stop(self) -> None:
         self.spark.stop()

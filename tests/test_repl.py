@@ -1,0 +1,79 @@
+"""CLI REPL (tools/repl.py) — the ballista-cli analogue.
+
+Reference surface: ballista-cli/src/command.rs:40-56,178-187 (ListTables,
+DescribeTable, ListFunctions, SearchFunctions, QuietMode, OutputFormat,
+Help, Quit) and main.rs:83-99 (--file batch mode, --format). One
+subprocess drives the whole surface over stdin exactly as a user would.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = """\
+CREATE EXTERNAL TABLE nation STORED AS PARQUET LOCATION '/root/testdata/sf0.001/nation.parquet';
+\\d
+\\d nation
+SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey;
+\\pset format csv
+SELECT n_name FROM nation WHERE n_nationkey = 0;
+\\h regexp_like
+\\h definitely_not_a_function
+\\quiet on
+SET ballista.shuffle.partitions = 7;
+\\quiet off
+\\?
+\\q
+SELECT should_never_run;
+"""
+
+
+def _run(*argv: str, stdin: str | None = None) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "tools/repl.py", "--cpus", "2", *argv],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+
+
+def test_repl_drives_full_command_surface(tmp_path):
+    proc = _run(stdin=_SCRIPT)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    # \\d after CREATE EXTERNAL TABLE lists the registered table
+    assert "| nation" in out
+    # \\d nation describes its columns
+    assert "n_nationkey" in out and "n_regionkey | int" in out
+    # SQL result in table format with row-count/timing footer
+    assert "| n_regionkey | n" in out.replace("  ", " ")
+    assert "row(s) in set. Query took" in out
+    # \\pset format csv switches rendering
+    assert "Output format is csv." in out
+    assert "n_name\nNATION_0" in out
+    # \\h NAME searches functions; a miss says so (command.rs:130-132)
+    assert "regexp_like" in out
+    assert "definitely_not_a_function is not a supported function" in out
+    # \\quiet toggles the footer (no footer printed while quiet)
+    assert "Quiet mode set to true" in out and "Quiet mode set to false" in out
+    # \\? prints the command table
+    assert "\\pset [NAME [VALUE]]" in out
+    # \\q stops processing: the statement after it never runs
+    assert "should_never_run" not in out
+
+
+def test_repl_file_batch_mode(tmp_path):
+    f = tmp_path / "batch.sql"
+    f.write_text(
+        "CREATE EXTERNAL TABLE region STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/region.parquet';\n"
+        "SELECT COUNT(*) AS n FROM region;\n"
+    )
+    proc = _run("--file", str(f), "--format", "json", "--quiet")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert '{"n": "5"}' in proc.stdout or '{"n": 5}' in proc.stdout
+    # quiet: no banner, no timing footer
+    assert "Query took" not in proc.stdout

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""ballista-cli analogue: an interactive SQL REPL over BallistaSession.
+
+Maps the reference CLI's command surface (ballista-cli/src/command.rs:40-56,
+178-187 and main.rs flags) onto the session facade:
+
+  \\q                 quit                      (command.rs:219)
+  \\?                 help: list commands       (command.rs:222)
+  \\d                 list tables               (command.rs:220 -> SHOW TABLES)
+  \\d NAME            describe table            (command.rs:221 -> DESCRIBE)
+  \\h                 list functions            (command.rs:223 -> SHOW FUNCTIONS)
+  \\h NAME            search functions          (command.rs:224 -> ... LIKE)
+  \\quiet [on|off]    print or set quiet mode   (command.rs:225-231)
+  \\pset format FMT   set output format         (command.rs:232; table/csv/tsv/json)
+
+plus plain SQL (semicolon-terminated, like the reference); SET/SHOW/DDL all
+ride the facade's dialect rewrites. Flags mirror main.rs: ``--file`` (execute
+statements from file(s), then exit — main.rs:83), ``--format`` (main.rs:99),
+``--quiet``, ``--maxrows``. No TUI (command.rs OpenTui is feature-gated in
+the reference too).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HELP_ROWS = [
+    ("\\d", "list tables"),
+    ("\\d name", "describe table"),
+    ("\\q", "quit ballista-cli"),
+    ("\\?", "help"),
+    ("\\h", "function list"),
+    ("\\h function", "search function"),
+    ("\\quiet (true|false)?", "print or set quiet mode"),
+    ("\\pset [NAME [VALUE]]", "set table output option (format)"),
+]
+
+FORMATS = ("table", "csv", "tsv", "json")
+
+
+class Repl:
+    def __init__(self, session, fmt: str = "table", quiet: bool = False,
+                 maxrows: int = 1000, out=sys.stdout):
+        self.bs = session
+        self.fmt = fmt
+        self.quiet = quiet
+        self.maxrows = maxrows
+        self.out = out
+
+    # -- rendering -----------------------------------------------------------
+
+    def _render(self, df) -> int:
+        rows = df.limit(self.maxrows + 1).collect()
+        clipped = len(rows) > self.maxrows
+        rows = rows[: self.maxrows]
+        cols = df.columns
+        if not cols:
+            return 0  # DDL/commands with no result schema render nothing
+        w = self.out
+        if self.fmt == "table":
+            cells = [[("" if v is None else str(v)) for v in r] for r in rows]
+            widths = [
+                max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+                for i, c in enumerate(cols)
+            ]
+            sep = "+" + "+".join("-" * (x + 2) for x in widths) + "+"
+            print(sep, file=w)
+            print(
+                "| " + " | ".join(c.ljust(x) for c, x in zip(cols, widths)) + " |",
+                file=w,
+            )
+            print(sep, file=w)
+            for row in cells:
+                print(
+                    "| " + " | ".join(v.ljust(x) for v, x in zip(row, widths)) + " |",
+                    file=w,
+                )
+            print(sep, file=w)
+        elif self.fmt in ("csv", "tsv"):
+            d = "," if self.fmt == "csv" else "\t"
+            print(d.join(cols), file=w)
+            for r in rows:
+                print(d.join("" if v is None else str(v) for v in r), file=w)
+        elif self.fmt == "json":
+            import json
+
+            for r in rows:
+                print(json.dumps(dict(zip(cols, r)), default=str), file=w)
+        if clipped:
+            print(f"(output clipped at {self.maxrows} rows)", file=w)
+        return len(rows)
+
+    def _print_literal(self, cols, rows) -> None:
+        df = self.bs.spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+        self._render(df)
+
+    # -- one statement -------------------------------------------------------
+
+    def execute(self, stmt: str) -> bool:
+        """Run one command/statement; returns False on quit."""
+        stmt = stmt.strip().rstrip(";").strip()
+        if not stmt:
+            return True
+        if stmt.startswith("\\"):
+            return self._command(stmt[1:])
+        t0 = time.time()
+        try:
+            n = self._render(self.bs.sql(stmt))
+        except Exception as ex:  # surface analysis errors, keep the REPL alive
+            print(f"Error: {type(ex).__name__}: {ex}", file=self.out)
+            return True
+        if not self.quiet:
+            print(
+                f"{n} row(s) in set. Query took {time.time() - t0:.3f} seconds.",
+                file=self.out,
+            )
+        return True
+
+    def _command(self, c: str) -> bool:
+        name, _, arg = c.partition(" ")
+        arg = arg.strip()
+        if name == "q":
+            return False
+        if name == "?":
+            self._print_literal(["Command", "Description"], HELP_ROWS)
+        elif name == "d" and not arg:
+            self._render(self.bs.sql("SHOW TABLES"))
+        elif name == "d":
+            self._render(self.bs.sql(f"DESCRIBE TABLE {arg}"))
+        elif name == "h" and not arg:
+            self._render(self.bs.sql("SHOW FUNCTIONS"))
+        elif name == "h":
+            n = self._render(self.bs.sql(f"SHOW FUNCTIONS LIKE '%{arg}%'"))
+            if n == 0:
+                print(f"{arg} is not a supported function", file=self.out)
+        elif name == "quiet":
+            if arg in ("true", "t", "yes", "y", "on"):
+                self.quiet = True
+            elif arg in ("false", "f", "no", "n", "off"):
+                self.quiet = False
+            elif arg:
+                print(f"Error: invalid quiet value {arg!r}", file=self.out)
+                return True
+            state = "true" if self.quiet else "false"
+            verb = "set to" if arg else "is"
+            print(f"Quiet mode {verb} {state}", file=self.out)
+        elif name == "pset":
+            sub, _, val = arg.partition(" ")
+            val = val.strip().lower()
+            if sub == "format" and val in FORMATS:
+                self.fmt = val
+                print(f"Output format is {self.fmt}.", file=self.out)
+            elif sub == "format" and not val:
+                print(f"Output format is {self.fmt}.", file=self.out)
+            else:
+                print(f"Error: unsupported pset {arg!r}", file=self.out)
+        else:
+            print(f"Error: unknown command \\{c}", file=self.out)
+        return True
+
+    # -- statement stream (semicolon-terminated SQL, one-line \\commands) ----
+
+    def run_lines(self, lines) -> None:
+        buf: list[str] = []
+        for line in lines:
+            line = line.rstrip("\n")
+            if not buf and line.lstrip().startswith("\\"):
+                if not self.execute(line.lstrip()):
+                    return
+                continue
+            buf.append(line)
+            if line.rstrip().endswith(";"):
+                if not self.execute("\n".join(buf)):
+                    return
+                buf = []
+        if buf:
+            self.execute("\n".join(buf))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="ballista-cli analogue (PySpark)")
+    ap.add_argument("--file", action="append", default=[],
+                    help="execute statements from file(s), then exit")
+    ap.add_argument("--format", choices=FORMATS, default="table")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--maxrows", type=int, default=1000)
+    ap.add_argument("--cpus", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from datafusion_ballista_spark.session import BallistaSession
+
+    bs = BallistaSession.standalone(cpus=args.cpus)
+    repl = Repl(bs, fmt=args.format, quiet=args.quiet, maxrows=args.maxrows)
+    if not args.quiet:
+        print("Ballista (PySpark) CLI — \\? for help", file=repl.out)
+    try:
+        if args.file:
+            for f in args.file:
+                with open(f) as fh:
+                    repl.run_lines(fh)
+        else:
+            repl.run_lines(sys.stdin)
+    finally:
+        bs.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
