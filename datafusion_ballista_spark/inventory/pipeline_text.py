@@ -512,12 +512,17 @@ pairs AS (
   SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-edges AS (
+edges AS MATERIALIZED (
   SELECT da, db FROM pairs
   JOIN sizes sa ON da = sa.doc_id
   JOIN sizes sb ON db = sb.doc_id
   WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
-sym AS (
+sym AS MATERIALIZED (
+  -- MATERIALIZED (round 12): DuckDB re-evaluates non-materialized CTEs
+  -- inside a recursive term on EVERY iteration — here that re-ran the
+  -- whole shingle explode + pair self-join per BFS step (the 28-minute
+  -- sf1 gate row); pinning the edge list makes each step a join against
+  -- a materialized table. Results identical, evaluation strategy only.
   SELECT da AS src, db AS dst FROM edges
   UNION ALL
   SELECT db AS src, da AS dst FROM edges),
@@ -1829,12 +1834,17 @@ pairs AS (
   SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-edges AS (
+edges AS MATERIALIZED (
   SELECT da, db FROM pairs
   JOIN sizes sa ON da = sa.doc_id
   JOIN sizes sb ON db = sb.doc_id
   WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5),
-sym AS (
+sym AS MATERIALIZED (
+  -- MATERIALIZED (round 12): DuckDB re-evaluates non-materialized CTEs
+  -- inside a recursive term on EVERY iteration — here that re-ran the
+  -- whole shingle explode + pair self-join per BFS step (the 28-minute
+  -- sf1 gate row); pinning the edge list makes each step a join against
+  -- a materialized table. Results identical, evaluation strategy only.
   SELECT da AS src, db AS dst FROM edges
   UNION ALL
   SELECT db AS src, da AS dst FROM edges),

@@ -23,6 +23,7 @@ SELECT n_name FROM nation WHERE n_nationkey = 0;
 \\quiet on
 SET ballista.shuffle.partitions = 7;
 \\quiet off
+\\status
 \\?
 \\q
 SELECT should_never_run;
@@ -59,6 +60,8 @@ def test_repl_drives_full_command_surface(tmp_path):
     assert "definitely_not_a_function is not a supported function" in out
     # \\quiet toggles the footer (no footer printed while quiet)
     assert "Quiet mode set to true" in out and "Quiet mode set to false" in out
+    # \\status renders the introspection dict (api/routes.rs analogue)
+    assert "active_job_count" in out and "executor_count" in out
     # \\? prints the command table
     assert "\\pset [NAME [VALUE]]" in out
     # \\q stops processing: the statement after it never runs

@@ -38,6 +38,7 @@ HELP_ROWS = [
     ("\\h function", "search function"),
     ("\\quiet (true|false)?", "print or set quiet mode"),
     ("\\pset [NAME [VALUE]]", "set table output option (format)"),
+    ("\\status", "session status (jobs/stages/executors)"),
 ]
 
 FORMATS = ("table", "csv", "tsv", "json")
@@ -149,6 +150,13 @@ class Repl:
             state = "true" if self.quiet else "false"
             verb = "set to" if arg else "is"
             print(f"Quiet mode {verb} {state}", file=self.out)
+        elif name == "status":
+            # scheduler REST introspection analogue (api/routes.rs),
+            # rendered as a 2-column table like the reference's \? output
+            st = self.bs.status()
+            self._print_literal(
+                ["key", "value"], [(k, str(v)) for k, v in st.items()]
+            )
         elif name == "pset":
             sub, _, val = arg.partition(" ")
             val = val.strip().lower()
