@@ -1159,8 +1159,8 @@ def quality_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     executor makes scoring map-only and the whole query two shuffles
     (uni agg + per-doc agg) instead of three. AQE converts the join to
     broadcast on its own at runtime, but only AFTER materializing the
-    full token-stream shuffle the hint avoids (sf1 A/B min-draw 1.15 ->
-    1.02 s, output bit-identical; a corpus whose vocab outgrew the
+    full token-stream shuffle the hint avoids (sf1 A/B under noop write
+    2.3-2.8 -> 2.23-2.27 s, output bit-identical; a corpus whose vocab outgrew the
     broadcast budget would drop the hint and fall back to that
     AQE-converted shuffle join with skew splitting — same results). The
     grand total is a 1-row broadcast. No global sort except the gate's
@@ -1245,11 +1245,13 @@ def quality_repetition_gopher(spark: SparkSession, sf: str) -> DataFrame:
     more than the two partial-aggregated shuffles it saves. Round-12:
     fused the separate bigram frame + doc_id join into the main
     aggregate as above — removes a scan, a join shuffle, and a stage at
-    every scale (executed plan: 1 FileScan, 0 joins); isolated sf1 A/B
-    min-draw 0.87 -> 0.84 s warm and ~1.04x same-scale DuckDB (the
-    VERDICT's 2.47x row was measured inside the busy 28-query bench
-    session, where the extra scan+stage cost more), output
-    bit-identical over all 50k rows.)"""
+    every scale (executed plan: 1 FileScan, 0 joins). A/B lesson: time
+    fusions under noop WRITE, not count() — count() let Catalyst prune
+    the array_distinct column entirely and made every variant look
+    equal; under real materialization the old join plan is 2.4-2.7 s at
+    sf1, the naive fusion (stats in the explode's projection) is 7.2 s
+    (the Generate-placement trap in the comment below), and this
+    two-projection form is 1.8-2.6 s, output bit-identical.)"""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     base = d.select(
         "doc_id",
@@ -1258,12 +1260,19 @@ def quality_repetition_gopher(spark: SparkSession, sf: str) -> DataFrame:
     bg = F.expr(
         "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
     )
-    ex = base.select(
+    # Two selects on purpose: putting the bigram expressions in the SAME
+    # projection as explode() makes ExtractGenerator place the Generate
+    # BELOW them — array_distinct then runs once per token (~500x
+    # amplification; measured 7.2 s vs 1.8 s at sf1 under noop write).
+    # With the stats in their own projection, Generate sits above it and
+    # the bigram work runs once per document.
+    pre = base.select(
         "doc_id",
         F.size(bg).alias("n_bi"),
         F.size(F.array_distinct(bg)).alias("n_bi_d"),
-        F.explode("t").alias("tok"),
+        "t",
     )
+    ex = pre.select("doc_id", "n_bi", "n_bi_d", F.explode("t").alias("tok"))
     us = (
         ex.groupBy("doc_id", "tok")
         .agg(
