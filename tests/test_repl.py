@@ -75,8 +75,25 @@ def test_repl_file_batch_mode(tmp_path):
         "LOCATION '/root/testdata/sf0.001/region.parquet';\n"
         "SELECT COUNT(*) AS n FROM region;\n"
     )
-    proc = _run("--file", str(f), "--format", "json", "--quiet")
+    proc = _run("--file", str(f), "--format", "ndjson", "--quiet")
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert '{"n": "5"}' in proc.stdout or '{"n": 5}' in proc.stdout
+    assert '{"n": 5}' in proc.stdout
     # quiet: no banner, no timing footer
     assert "Query took" not in proc.stdout
+
+
+def test_repl_json_array_and_automatic(tmp_path):
+    f = tmp_path / "batch.sql"
+    f.write_text(
+        "CREATE EXTERNAL TABLE region STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/region.parquet';\n"
+        "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 2;\n"
+        "\\pset format automatic\n"
+        "SELECT COUNT(*) AS n FROM region;\n"
+    )
+    proc = _run("--file", str(f), "--format", "json", "--quiet")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # json renders one array per result set (datafusion-cli PrintFormat)
+    assert '[{"r_regionkey": 0}, {"r_regionkey": 1}]' in proc.stdout
+    # automatic resolves to the table renderer
+    assert "| n" in proc.stdout and "| 5" in proc.stdout

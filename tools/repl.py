@@ -41,7 +41,10 @@ HELP_ROWS = [
     ("\\status", "session status (jobs/stages/executors)"),
 ]
 
-FORMATS = ("table", "csv", "tsv", "json")
+# datafusion-cli's PrintFormat vocabulary (the reference CLI reuses it:
+# main.rs:98-99): automatic resolves to table here (no TTY detection
+# offline), json is an array, ndjson one object per line.
+FORMATS = ("table", "csv", "tsv", "json", "ndjson", "automatic")
 
 
 class Repl:
@@ -63,7 +66,8 @@ class Repl:
         if not cols:
             return 0  # DDL/commands with no result schema render nothing
         w = self.out
-        if self.fmt == "table":
+        fmt = "table" if self.fmt == "automatic" else self.fmt
+        if fmt == "table":
             cells = [[("" if v is None else str(v)) for v in r] for r in rows]
             widths = [
                 max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
@@ -82,12 +86,19 @@ class Repl:
                     file=w,
                 )
             print(sep, file=w)
-        elif self.fmt in ("csv", "tsv"):
-            d = "," if self.fmt == "csv" else "\t"
+        elif fmt in ("csv", "tsv"):
+            d = "," if fmt == "csv" else "\t"
             print(d.join(cols), file=w)
             for r in rows:
                 print(d.join("" if v is None else str(v) for v in r), file=w)
-        elif self.fmt == "json":
+        elif fmt == "json":
+            import json
+
+            print(
+                json.dumps([dict(zip(cols, r)) for r in rows], default=str),
+                file=w,
+            )
+        elif fmt == "ndjson":
             import json
 
             for r in rows:
