@@ -97,3 +97,28 @@ def test_repl_json_array_and_automatic(tmp_path):
     assert '[{"r_regionkey": 0}, {"r_regionkey": 1}]' in proc.stdout
     # automatic resolves to the table renderer
     assert "| n" in proc.stdout and "| 5" in proc.stdout
+
+
+def test_repl_data_path_rc_and_batch_size(tmp_path):
+    """--data-path registers every parquet by stem on startup
+    (main.rs:51), --rc runs startup files before the stream
+    (main.rs:92), --batch-size reaches the session conf (main.rs:55)."""
+    rc = tmp_path / "startup.sql"
+    rc.write_text("\\pset format csv\n")
+    script = (
+        "SELECT COUNT(*) AS n FROM nation;\n"
+        "SELECT COUNT(*) AS r FROM region;\n"
+        "SET ballista.shuffle.partitions;\n"
+        "\\q\n"
+    )
+    proc = _run(
+        "--data-path", "/root/testdata/sf0.001",
+        "--rc", str(rc),
+        "--batch-size", "777",
+        "--quiet",
+        stdin=script,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # rc file switched the format before the stdin statements ran
+    assert "n\n25" in proc.stdout
+    assert "r\n5" in proc.stdout

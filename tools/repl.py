@@ -204,20 +204,52 @@ class Repl:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="ballista-cli analogue (PySpark)")
     ap.add_argument("--file", action="append", default=[],
-                    help="execute statements from file(s), then exit")
+                    help="execute statements from file(s), then exit "
+                         "(main.rs:83)")
+    ap.add_argument("--rc", action="append", default=[],
+                    help="run the provided file(s) on startup, then stay "
+                         "interactive (main.rs:92)")
     ap.add_argument("--format", choices=FORMATS, default="table")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--maxrows", type=int, default=1000)
-    ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument("--cpus", "--vcores", dest="cpus", type=int, default=4,
+                    help="local executor cores (main.rs --vcores)")
+    ap.add_argument("--master", default=None,
+                    help="attach to a running cluster master URL instead of "
+                         "local mode — the --host/--port scheduler flags "
+                         "(main.rs:101-105)")
+    ap.add_argument("--data-path", default=None,
+                    help="directory whose *.parquet files are registered as "
+                         "tables by file stem on startup (main.rs:51)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="columnar batch row count (main.rs:55; maps to "
+                         "parquet columnarReaderBatchSize + Arrow "
+                         "maxRecordsPerBatch)")
     args = ap.parse_args(argv)
 
     from datafusion_ballista_spark.session import BallistaSession
 
-    bs = BallistaSession.standalone(cpus=args.cpus)
+    conf: dict[str, str] = {}
+    if args.batch_size:
+        conf["spark.sql.parquet.columnarReaderBatchSize"] = str(args.batch_size)
+        conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(args.batch_size)
+    if args.master:
+        bs = BallistaSession.remote(args.master, **conf)
+    else:
+        bs = BallistaSession.standalone(cpus=args.cpus, **conf)
+    if args.data_path:
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(args.data_path, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            bs.register_parquet(name, p)
     repl = Repl(bs, fmt=args.format, quiet=args.quiet, maxrows=args.maxrows)
     if not args.quiet:
         print("Ballista (PySpark) CLI — \\? for help", file=repl.out)
     try:
+        for f in args.rc:
+            with open(f) as fh:
+                repl.run_lines(fh)
         if args.file:
             for f in args.file:
                 with open(f) as fh:
