@@ -2641,9 +2641,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
     integer Jaccard (inter*1e6 DIV union >= 8e5). Complements
     dedup_minhash_lsh (probabilistic, trades recall) and
     dedup_ngram_jaccard (df-capped buckets, trades completeness on hot
-    shingles): this one is EXACT with no cap and no recall loss —
-    every filter is a proven non-match pruner, property-pinned against
-    brute-force all-pairs.
+    shingles): this one has no cap and no recall loss — every filter is
+    a proven non-match pruner, property-pinned against brute-force
+    all-pairs. Shingles are folded to the shared 48-bit md5 int
+    (``_h48``, bit-identical in DuckDB) right after the explode
+    (round 12): 8-byte keys instead of ~30-byte strings through the
+    df/prefix/candidate shuffles, and the prefix ORDER (df asc, hash
+    asc) is still a common total order so the lemma holds unchanged; a
+    48-bit collision (odds ~n²/2⁴⁹) would inflate one intersection in
+    both engines identically — the minhash/contamination precedent.
 
     Scale (100 TB): df table is one partial-agg shuffle over distinct
     (doc, shingle); per-doc prefix selection is one row_number window
@@ -2652,15 +2658,24 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
     run INSIDE the join before the distinct (measured at sf1: 41M ->
     1.5M candidates, 27x — the filters are what makes the exact join
     survive a corpus whose synthetic vocabulary is too small for
-    rarity alone); verification joins the two candidate docs' full
-    sets, linear in candidate count. No quadratic pair space."""
+    rarity alone). Verification (round 12) joins each candidate pair
+    to the two docs' SORTED HASH ARRAYS and counts
+    size(array_intersect) in codegen — per-doc state bounded by doc
+    length, pair rows stay 1:1 — instead of re-exploding both sets
+    through a (doc, shingle)-keyed join whose intermediate was
+    ~800M rows at sf1 (pairs x avg set size; profiled at 19.6 s of the
+    24.8 s total). Fold + array verification A/B at sf1 under noop
+    write: 18.4-22.1 -> 9.8-10.1 s, top-k output identical. No
+    quadratic pair space."""
     d = _spread_for_explode(spark, tables(spark, sf, "documents").documents)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("arr")).where(
         F.size("arr") >= 3
     )
-    sets = toks.select(
-        "doc_id", F.explode(_shingles(F.col("arr"))).alias("s")
-    ).localCheckpoint(eager=False)  # reused: df, prefix, verify x2
+    sets = (
+        toks.select("doc_id", F.explode(_shingles(F.col("arr"))).alias("s0"))
+        .select("doc_id", _h48(F.col("s0")).alias("s"))
+        .localCheckpoint(eager=False)
+    )  # reused: df, prefix, verify arrays
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sets.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -2710,31 +2725,24 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        cand.join(
-            sets.select(
-                F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
-            ),
-            "doc_b",
-        )
-        .where(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    arrs = sets.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("av")
     )
     scored = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("av").alias("aa")),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("av").alias("ab")),
             "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("aa", "ab")).alias("inter"),
+            F.size("aa").alias("sza"),
+            F.size("ab").alias("szb"),
         )
         .select(
             "doc_a",
@@ -2752,14 +2760,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(_PPJ_TOPK)
 
 
+# Shingles folded to the shared 48-bit md5 int BEFORE every shuffle-side
+# step, and verification via list arrays — both mirroring the Spark plan
+# exactly so any 48-bit collision lands identically in both engines.
 DEDUP_PPJOIN_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents
   WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
-sets AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(arr)-1),
-      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS s
-  FROM toks),
+sets AS MATERIALIZED (
+  SELECT doc_id,
+    ('0x' || substr(md5(s0), 1, 12))::BIGINT AS s
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(arr)-1),
+        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS s0
+    FROM toks)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
 dfreq AS (SELECT s, COUNT(*) AS df FROM sets GROUP BY 1),
 ranked AS (
@@ -2778,18 +2792,18 @@ cand AS (
     AND LEAST(a.sz - a.idx, b.sz - b.idx) + 1
         >= ({_PPJ_NUM} * (a.sz + b.sz) + {_PPJ_NUM + _PPJ_DEN - 1})
            // {_PPJ_NUM + _PPJ_DEN}),
+arrs AS MATERIALIZED (SELECT doc_id, list(s) AS av FROM sets GROUP BY 1),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(aa.av, ab.av)) AS i,
+    len(aa.av) AS sza, len(ab.av) AS szb
   FROM cand c
-  JOIN sets sa ON sa.doc_id = c.doc_a
-  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-  GROUP BY 1, 2)
+  JOIN arrs aa ON aa.doc_id = c.doc_a
+  JOIN arrs ab ON ab.doc_id = c.doc_b)
 SELECT doc_a, doc_b,
-  CAST(i * 1000000 // (za.sz + zb.sz - i) AS BIGINT) AS jaccard_ppm
+  CAST(i * 1000000 // (sza + szb - i) AS BIGINT) AS jaccard_ppm
 FROM inter
-JOIN sizes za ON za.doc_id = doc_a
-JOIN sizes zb ON zb.doc_id = doc_b
-WHERE i * 1000000 // (za.sz + zb.sz - i) >= {1_000_000 * _PPJ_NUM // _PPJ_DEN}
+WHERE i * 1000000 // (sza + szb - i) >= {1_000_000 * _PPJ_NUM // _PPJ_DEN}
 ORDER BY jaccard_ppm DESC, doc_a, doc_b
 LIMIT {_PPJ_TOPK}
 """
