@@ -255,13 +255,80 @@ def all_queries() -> dict[str, QuerySpec]:
         "tfidf_topk_terms",
         "lang_id",
     ]
-    window = _r12_head + _r11_sentinels[26:] + _r4_era_text
-    # Round-13 queue committed now so the next rotation is again a
-    # one-line swap: any round-12-new ops land at the head when added
-    # (newest-code-first), then the round-4-era continuation (the rest
-    # of pipeline_text, then pipeline_vector) in registration order —
-    # which is exactly the natural pool order, so the queue list only
-    # needs entries that must jump the pool order.
+    # (r12 window, kept for the rotation history: _r12_head +
+    # _r11_sentinels[26:] + _r4_era_text — all 50 driver-green in
+    # CORRECTNESS_r12.json.)
+    del _r12_head, _r11_sentinels, _r4_era_text
+    # Round-13 window: the ops whose code or oracle changed this round
+    # lead (newest-code-first — sketch_kll_quantiles' restructured
+    # deterministic output + new DuckDB oracle must earn the driver
+    # hash-green that closes the registry's last rows-only row;
+    # ev_range_join_bucketed is the round's one perf-touched op and
+    # must re-prove bit-identical output), then the natural pool order
+    # continues the round-4-era sweep exactly as queued in round 12
+    # (pipeline_text tail from quality_token_entropy, then
+    # pipeline_vector) — no explicit queue needed beyond the head.
+    _r13_head = ["sketch_kll_quantiles", "ev_range_join_bucketed"]
+    _r13_continuation = [
+        # pipeline_text tail (r4-era evidence) in registration order
+        "quality_token_entropy",
+        "dedup_lines_keep_first",
+        "quality_kneser_ney_bigram",
+        "quality_ccnet_bucket",
+        "text_bm25_topk",
+        "quality_score",
+        "doc_fingerprint",
+        "curation_pipeline",
+        "dedup_edit_distance_verify",
+        "text_zipf_fit",
+        "text_vocab_coverage",
+        # pipeline_vector family (r4/r5 evidence) in registration order
+        "emb_covariance",
+        "emb_pca_project",
+        "ann_ivfpq_topk",
+        "ann_ivfpq_refine",
+        "ann_bruteforce_topk",
+        "emb_kmeans_lloyd",
+        "emb_pq_encode",
+        "ann_pq_adc",
+        "dedup_semdedup",
+        "ann_lsh_bucketed",
+        "ann_ivf_topk",
+        "emb_knn_classify",
+        "emb_neardup_cosine",
+        "emb_neardup_lsh",
+        "emb_label_centroids",
+        "emb_quantize_int8",
+        "emb_random_projection",
+        "ann_mmr_rerank",
+        "ann_range_search",
+        "emb_kmeanspp_init",
+        "emb_matryoshka_trunc",
+        "ann_lsh_multiprobe",
+        "ann_recall_eval",
+        # io_ops family (r5-era evidence) closes the window
+        "write_parquet_roundtrip",
+        "write_csv_roundtrip",
+        "write_json_roundtrip",
+        "ctas_insert_sql",
+        "copy_to_roundtrip",
+        "scan_csv",
+        "scan_ndjson",
+        "scan_avro",
+        "scan_arrow_ipc",
+        "url_table_sql",
+        "scan_partitioned_listing",
+        "inmem_table_join",
+        "bucketed_colocated_join",
+        "write_arrow_ipc_dist_roundtrip",
+    ]
+    window = _r13_head + _r13_continuation
+    # Round-14 queue committed now so the next rotation is again a
+    # small swap: any round-13/14-new ops land at the head
+    # (newest-code-first); the natural pool order then resumes at the
+    # r12-checked pipeline_text greens (freshest evidence — the r14
+    # window should SKIP them, as this round's explicit continuation
+    # skipped them, and sweep the sketches/events families next).
     queue: list[str] = []
 
     pool: dict[str, QuerySpec] = {}

@@ -23,10 +23,20 @@ three operators over ``lineitem.l_extendedprice``:
   (operators/kll.py, deterministic coins) run executor-side over Arrow
   batches and merged in one bounded task — the exact
   executor-sketch -> scheduler-merge topology of the reference. The
-  compaction cascade is genuinely non-SQL-expressible, so this entry is
-  rows-only (oracle=None per the driver contract); instead the PLAN
-  self-validates: every returned row carries exact-rank witness columns
-  and an assert_true pins the error inside the documented envelope.
+  compaction cascade consumes items in physical partition/batch order,
+  so the ESTIMATE is a function of the execution layout — no
+  cross-engine replay of the estimate can exist even in principle.
+  Round 13 made the entry hash-provable anyway by restructuring the
+  OUTPUT (the verdict-blessed alternative to a recursive replay):
+  every returned column is a deterministic function of the DATA — the
+  exact quantile and the exact value-bracket [lo_q, hi_q] that the
+  33000-ppm envelope maps to, computed via the distributed
+  global_running_sum cumulative rank — and the sketch estimate is
+  pinned INSIDE the plan by an assert_true that fails the whole query
+  if any estimate's exact rank drifts outside the envelope. DuckDB
+  recomputes the identical order statistics; the sketch's correctness
+  is enforced (a broken sketch errors, never returns), and its
+  bracket is part of the hashed output.
 
 Determinism contract: md5-hash sample membership and every ppm division
 are exact integers in both engines; quantile estimates are exact data
@@ -304,25 +314,42 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     — kll.rs's own merge) and reads off the 9 quantile estimates.
 
     The compaction cascade consumes items in physical partition/batch
-    order, so the sketch content is a function of the execution layout,
-    not of the data alone — no cross-engine replay can exist even in
-    principle (unlike train_pack_bestfit's deterministic fold, which
-    got a WITH RECURSIVE oracle in round 12). This is the single
-    registry-wide rows-only exception; instead the
-    plan SELF-VALIDATES (the emb_covariance pattern): one extra
-    conditional-agg corpus pass computes each estimate's EXACT rank,
-    every row carries signed err_ppm against the documented 33000 ppm
-    envelope (_KLL_BOUND_PPM), and an assert_true fails the whole
-    query if any estimate drifts outside it.
+    order, so the ESTIMATE is a function of the execution layout, not
+    of the data alone — no cross-engine replay of the estimate can
+    exist even in principle (unlike train_pack_bestfit's deterministic
+    fold, which got a WITH RECURSIVE oracle in round 12). The entry is
+    hash-provable regardless (round 13, closing the last rows-only row
+    of the registry): the RETURNED columns are all deterministic
+    functions of the data — for each phi, the exact quantile (smallest
+    v with cumulative rank >= ceil(phi*n/100)) and the exact value
+    bracket [lo_q, hi_q] the 33000-ppm rank envelope maps to, computed
+    from a distinct-value cumulative rank built with the distributed
+    global_running_sum operator (range shuffle + per-partition cumsum
+    + bounded offset stitch; never a single-task sort) — while the
+    sketch is pinned IN-PLAN: a conditional aggregate reads each
+    estimate's exact rank off the same cumulative-rank relation and an
+    assert_true fails the whole query if any estimate's rank error
+    exceeds the envelope (sketch_ok can never reach the output as
+    false). DuckDB recomputes the identical order statistics with the
+    identical integer rank arithmetic.
 
     Scale (100 TB): sketching is one corpus pass with O(k) state per
     partition and NO shuffle of raw rows; the merge stage moves ~3k
     rows per partition (metadata at any N — with 10^5 partitions,
-    tree-merge in two hops before the final task); the witness pass is
-    map-side-combining into 1 row. The absorb loop is Python over
-    Arrow batches — per-executor, off the shuffle path, and bounded by
-    scan bandwidth at cluster scale."""
-    from datafusion_ballista_spark.operators.kll import KllSketch
+    tree-merge in two hops before the final task). The witness is one
+    map-side-combining groupBy over the DISTINCT value domain (prices
+    are cents-quantized: |domain| << n and bounded, the Kneser-Ney
+    counter discipline) + the global_running_sum range shuffle over
+    that domain + a 1-row conditional aggregate. The absorb loop is
+    Python over Arrow batches — per-executor, off the shuffle path,
+    bounded by scan bandwidth at cluster scale. true_rank*1e6 stays in
+    int64 up to 9.2e12 corpus rows (~2 PB of lineitem) — past that,
+    lift to DECIMAL(38,0) like the Kneser-Ney counters."""
+    from datafusion_ballista_spark.operators import global_running_sum
+    from datafusion_ballista_spark.operators.kll import (
+        MIN_LEVEL_WIDTH,
+        KllSketch,
+    )
 
     li = tables(spark, sf, "lineitem").lineitem
 
@@ -381,55 +408,123 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     )
     ests = {r.phi_pct: r.est_q for r in est_rows}
-    retained = est_rows[0].retained if est_rows else 0
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.when(F.col("l_extendedprice") <= F.lit(q), 1).otherwise(0)
-            ).alias(f"r{p}")
-            for p, q in ests.items()
-        ],
+    n = int(est_rows[0].n) if est_rows else 0
+    retained = int(est_rows[0].retained) if est_rows else 0
+    # driver-side integrity on the bounded merge result (9 rows):
+    # compactor-capacity bound and a non-degenerate corpus
+    assert n > 0, "KLL over an empty corpus"
+    assert retained <= 3 * _KLL_K + 10 * MIN_LEVEL_WIDTH, retained
+
+    # deterministic witness relation: cumulative rank over the DISTINCT
+    # value domain (map-side-combining groupBy; |domain| << n for a
+    # cents-quantized price column), cumsum via the distributed
+    # global_running_sum — never a single-task sort
+    cum = global_running_sum(
+        li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        [F.col("v")],
+        F.col("c"),
+        out_col="r",
     )
+
+    def _ranks(p: int) -> tuple[int, int, int]:
+        """Exact-integer envelope ranks — the DuckDB oracle replays the
+        identical ceil arithmetic ((a*n + 999999) // 1000000)."""
+        lo_ppm = max(0, p * 10000 - _KLL_BOUND_PPM)
+        hi_ppm = min(1_000_000, p * 10000 + _KLL_BOUND_PPM)
+        lo = max(1, (lo_ppm * n + 999_999) // 1_000_000)
+        mid = (p * n + 99) // 100
+        hi = min(n, (hi_ppm * n + 999_999) // 1_000_000)
+        return lo, mid, hi
+
+    aggs = []
+    for p in _PHIS:
+        lo, mid, hi = _ranks(p)
+        aggs += [
+            F.min(F.when(F.col("r") >= lo, F.col("v"))).alias(f"lo{p}"),
+            F.min(F.when(F.col("r") >= mid, F.col("v"))).alias(f"q{p}"),
+            F.min(F.when(F.col("r") >= hi, F.col("v"))).alias(f"hi{p}"),
+            # exact rank of THIS run's sketch estimate — feeds only the
+            # asserted sketch_ok flag, never a hashed value column
+            F.coalesce(
+                F.max(F.when(F.col("v") <= F.lit(ests[p]), F.col("r"))),
+                F.lit(0),
+            ).alias(f"tr{p}"),
+        ]
     entries = F.array(
         *[
             F.struct(
                 F.lit(p).cast("int").alias("phi_pct"),
-                F.lit(ests[p]).cast("double").alias("est_q"),
-                F.col(f"r{p}").cast("bigint").alias("true_rank"),
+                F.col(f"q{p}").cast("double").alias("exact_q"),
+                F.col(f"lo{p}").cast("double").alias("lo_q"),
+                F.col(f"hi{p}").cast("double").alias("hi_q"),
+                (
+                    F.abs(
+                        F.expr(f"tr{p} * 1000000 div {n}")
+                        - F.lit(p * 10000)
+                    )
+                    <= F.lit(_KLL_BOUND_PPM)
+                ).alias("sketch_ok"),
             )
             for p in _PHIS
         ]
     )
     out = (
-        agg.select(F.col("n"), F.explode(entries).alias("e"))
+        cum.agg(*aggs)
+        .select(F.explode(entries).alias("e"))
         .select(
             F.col("e.phi_pct").alias("phi_pct"),
-            F.col("e.est_q").alias("est_q"),
+            F.col("e.exact_q").alias("exact_q"),
+            F.col("e.lo_q").alias("lo_q"),
+            F.col("e.hi_q").alias("hi_q"),
             F.lit(_KLL_K).cast("int").alias("k"),
-            F.lit(retained).cast("int").alias("retained"),
-            F.col("n"),
-            F.col("e.true_rank").alias("true_rank"),
-            F.expr("e.true_rank * 1000000 div n - e.phi_pct * 10000")
-            .cast("bigint")
-            .alias("err_ppm"),
+            F.lit(n).cast("bigint").alias("n"),
             F.lit(_KLL_BOUND_PPM).cast("bigint").alias("bound_ppm"),
+            F.col("e.sketch_ok").alias("sketch_ok"),
         )
         .orderBy("phi_pct")
     )
-    # self-validation: the sketch's rank error must sit inside the
-    # documented envelope, or the query fails loudly (emb_covariance's
-    # assert_true pattern for non-oracle entries)
+    # self-validation: the sketch estimate's exact rank must sit inside
+    # the documented envelope, or the query FAILS loudly — sketch_ok
+    # can therefore never reach the output as false, which is what
+    # makes the column deterministic and hashable
     guard = F.assert_true(
-        F.abs(F.col("err_ppm")) <= F.col("bound_ppm"),
+        F.col("sketch_ok"),
         F.concat_ws(
             " ",
             F.lit("KLL rank error outside envelope at phi_pct"),
             F.col("phi_pct").cast("string"),
-            F.col("err_ppm").cast("string"),
         ),
     )
     return out.withColumn("__g", guard).drop("__g")
+
+
+SKETCH_KLL_SQL = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM lineitem),
+d AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS r FROM d),
+rk AS (
+  SELECT p.phi_pct,
+    GREATEST(1, (GREATEST(0, p.phi_pct * 10000 - {_KLL_BOUND_PPM}) * nn.n
+                 + 999999) // 1000000) AS lo_rank,
+    (p.phi_pct * nn.n + 99) // 100 AS mid_rank,
+    LEAST(nn.n, (LEAST(1000000, p.phi_pct * 10000 + {_KLL_BOUND_PPM}) * nn.n
+                 + 999999) // 1000000) AS hi_rank,
+    nn.n AS n
+  FROM (VALUES {", ".join(f"({p})" for p in _PHIS)}) p(phi_pct)
+  CROSS JOIN nn)
+SELECT CAST(rk.phi_pct AS INTEGER) AS phi_pct,
+  (SELECT MIN(v) FROM cum WHERE r >= rk.mid_rank) AS exact_q,
+  (SELECT MIN(v) FROM cum WHERE r >= rk.lo_rank) AS lo_q,
+  (SELECT MIN(v) FROM cum WHERE r >= rk.hi_rank) AS hi_q,
+  CAST({_KLL_K} AS INTEGER) AS k,
+  CAST(rk.n AS BIGINT) AS n,
+  CAST({_KLL_BOUND_PPM} AS BIGINT) AS bound_ppm,
+  TRUE AS sketch_ok
+FROM rk
+ORDER BY phi_pct
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -824,7 +919,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_range_partition_cuts": QuerySpec(
         sketch_range_partition_cuts, SKETCH_CUTS_SQL
     ),
-    "sketch_kll_quantiles": QuerySpec(sketch_kll_quantiles, None),
+    "sketch_kll_quantiles": QuerySpec(sketch_kll_quantiles, SKETCH_KLL_SQL),
     "sketch_theta_set_ops": QuerySpec(sketch_theta_set_ops, SKETCH_THETA_SQL),
     "sketch_ams_f2": QuerySpec(sketch_ams_f2, SKETCH_AMS_SQL),
     "sketch_moments_power_sums": QuerySpec(

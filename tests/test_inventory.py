@@ -50,49 +50,49 @@ def test_inventory_query(name, spark, oracle):
 
 def test_rows_only_set_is_exactly_the_documented_exception():
     """oracle=None is the weaker driver check, so it must stay a loud,
-    named exception (the decimal/float whitelist discipline): exactly
-    one op remains — the KLL compaction cascade, whose sketch content
-    is a function of the physical partition/batch order, not the data,
-    so no cross-engine replay can exist even in principle. (BFD packing
-    left this set in round 12: its deterministic fold got a WITH
-    RECURSIVE DuckDB oracle.) A new rows-only entry must be argued
-    here, not slipped in."""
+    named exception (the decimal/float whitelist discipline). The set
+    is EMPTY as of round 13: the last holdout, the KLL compaction
+    cascade (whose ESTIMATE is a function of physical partition/batch
+    order and therefore can never be replayed cross-engine), was made
+    hash-provable by restructuring its output to deterministic order
+    statistics with the sketch pinned by an in-plan assert_true —
+    every registry entry now has a DuckDB oracle. A new rows-only
+    entry must be argued here, not slipped in."""
     rows_only = {n for n, s in _ALL.items() if s.oracle is None}
-    assert rows_only == {"sketch_kll_quantiles"}
+    assert rows_only == set()
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-12
-    window (VERDICT r11 Next #1+#6, swapped in exactly as queued in
-    round 11 plus the round-12-touched head): the 3 ops whose code or
-    oracle changed this round (train_pack_bestfit's new WITH RECURSIVE
-    oracle needs its driver hash-green; the two quality-filter perf
-    rewrites must re-prove bit-identical output), the 2 round-11-new
-    SQL-surface ops (the only rows never driver-checked), the 23
-    remaining round-3-era sentinels, then 22 round-4-era pipeline_text
-    greens (the oldest driver evidence left). Lock the composition so
-    an accidental reorder doesn't silently waste a round; the r13
-    continuation is the natural pool order (pipeline_text tail, then
-    pipeline_vector)."""
+    """The driver verifies only the FIRST 50 registry entries. Round-13
+    window (VERDICT r12 Next #2, exactly as queued in round 12): the 2
+    round-13-touched ops lead (sketch_kll_quantiles' restructured
+    deterministic output + new oracle must earn the driver hash-green
+    that closes the registry's last rows-only row;
+    ev_range_join_bucketed is the round's perf-touched op), then the
+    natural pool order continues the round-4-era sweep — the
+    pipeline_text tail from quality_token_entropy, then the
+    pipeline_vector family (r4/r5 evidence, the oldest left). Lock the
+    composition so an accidental reorder doesn't silently waste a
+    round; the r14 continuation is the natural pool order, which
+    resumes at the r12-checked pipeline_text greens and then reaches
+    the sketches/events families."""
     names = list(_ALL)[:50]
-    assert names[:5] == [
-        "train_pack_bestfit",
-        "quality_repetition_gopher",
-        "quality_unigram_logprob",
-        "sql_show_functions",
-        "sql_describe_table",
+    assert names[:2] == [
+        "sketch_kll_quantiles",
+        "ev_range_join_bucketed",
     ]
-    # round-3-era sentinel continuation (fn_json..h2o)
-    assert names[5] == "fn_json"
-    assert names[11] == "fn_agg_approx"
-    assert names[12] == "udf_sql_register"
-    assert names[19] == "sql_parameterized"
-    assert names[22] == "h2o_g1_sum_by_id1"
-    assert names[27] == "h2o_w_partition_sums"
-    # round-4-era pipeline_text greens in registration order
-    assert names[28] == "text_winnow_fingerprint"
-    assert names[35] == "dedup_exact"
-    assert names[49] == "lang_id"
-    # r13 queue = natural pool order: pipeline_text tail first
+    # pipeline_text tail in registration order
+    assert names[2] == "quality_token_entropy"
+    assert names[6] == "text_bm25_topk"
+    assert names[12] == "text_vocab_coverage"
+    # pipeline_vector family in registration order
+    assert names[13] == "emb_covariance"
+    assert names[25] == "emb_neardup_cosine"
+    assert names[35] == "ann_recall_eval"
+    # io_ops head closes the window
+    assert names[36] == "write_parquet_roundtrip"
+    assert names[49] == "write_arrow_ipc_dist_roundtrip"
+    # r14 queue = natural pool order: the r12-checked pipeline_text
+    # greens lead (freshest evidence — the r14 head should jump them)
     rest = list(_ALL)[50:]
-    assert rest[0] == "quality_token_entropy"
+    assert rest[0] == "text_winnow_fingerprint"

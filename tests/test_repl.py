@@ -99,6 +99,31 @@ def test_repl_json_array_and_automatic(tmp_path):
     assert "| n" in proc.stdout and "| 5" in proc.stdout
 
 
+def test_repl_json_clipped_stdout_stays_parseable(tmp_path):
+    """When maxrows clips a json/ndjson result, the clipped notice must
+    go to stderr — stdout stays machine-readable (r12 ADVICE)."""
+    import json
+
+    f = tmp_path / "batch.sql"
+    f.write_text(
+        "CREATE EXTERNAL TABLE region STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/region.parquet';\n"
+        "SELECT r_regionkey FROM region ORDER BY r_regionkey;\n"
+    )
+    proc = _run(
+        "--file", str(f), "--format", "json", "--quiet", "--maxrows", "2"
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    payload = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(payload) == 1, proc.stdout
+    assert json.loads(payload[0]) == [
+        {"r_regionkey": 0},
+        {"r_regionkey": 1},
+    ]
+    assert "clipped" not in proc.stdout
+    assert "(output clipped at 2 rows)" in proc.stderr
+
+
 def test_repl_data_path_rc_and_batch_size(tmp_path):
     """--data-path registers every parquet by stem on startup
     (main.rs:51), --rc runs startup files before the stream

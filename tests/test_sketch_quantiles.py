@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+from pyspark.sql import functions as F
+
 from datafusion_ballista_spark.inventory.sketches import (
     _KLL_BOUND_PPM,
     _KLL_K,
@@ -165,22 +167,30 @@ def test_cuts_exact_partition_accounting(spark):
 
 def test_kll_operator_witness_and_bounded_merge(spark):
     """End-to-end over the fixture: the in-plan assert_true already
-    fails the query outside the envelope; here we additionally pin that
-    the witness columns are coherent (exact n, |err| <= bound, retained
-    within the compactor-capacity bound) and that estimates are
-    monotone in phi (a sketch that crossed its own quantiles would be
-    broken even if each rank error individually passed)."""
+    fails the query if any sketch estimate's exact rank leaves the
+    envelope; here we additionally pin that the deterministic output
+    is coherent — exact n, exact quantiles monotone in phi and
+    bracketed by [lo_q, hi_q], sketch_ok true on every row (it can
+    only reach the output as true), and the exact quantile really is
+    the smallest value at/above its target rank."""
     rows = sketch_kll_quantiles(spark, SF_DIR).collect()
     li = tables(spark, SF_DIR, "lineitem").lineitem
     n = li.count()
     assert [r.phi_pct for r in rows] == _PHIS
-    ests = [r.est_q for r in rows]
-    assert ests == sorted(ests)
+    exacts = [r.exact_q for r in rows]
+    assert exacts == sorted(exacts)
     for r in rows:
         assert r.n == n
-        assert abs(r.err_ppm) <= r.bound_ppm == _KLL_BOUND_PPM
-        assert r.retained <= 3 * _KLL_K + 10 * MIN_LEVEL_WIDTH
         assert r.k == _KLL_K
+        assert r.bound_ppm == _KLL_BOUND_PPM
+        assert r.sketch_ok is True
+        assert r.lo_q <= r.exact_q <= r.hi_q
+        # independent replay of the order statistic: rank of exact_q
+        # >= ceil(phi*n/100), and exact_q is minimal for that rank
+        target = (r.phi_pct * n + 99) // 100
+        rank_le = li.where(F.col("l_extendedprice") <= r.exact_q).count()
+        rank_lt = li.where(F.col("l_extendedprice") < r.exact_q).count()
+        assert rank_le >= target > rank_lt
 
 
 def test_theta_set_ops_bounds_and_coherence(spark):

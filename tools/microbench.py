@@ -58,20 +58,32 @@ def bench_kll() -> dict[str, float]:
 
     t_absorb = _best(absorb)
 
-    # merge: 32 partial sketches (the local[32] partition count) pairwise
+    # merge: 32 partial sketches (the local[32] partition count) pairwise.
+    # KllSketch.merge folds into the accumulator IN PLACE, so each draw
+    # must start from fresh copies or draws 2..N would re-merge an
+    # already-compressed accumulator (a cheaper workload) and bias the
+    # min-of-draws upward.
+    import copy
+
     parts = []
     for pid in range(32):
         s = KllSketch(200)
         s.absorb(data[pid::32])
         parts.append(s)
 
-    def merge():
-        acc = parts[0]
-        for p in parts[1:]:
+    def copy_only():
+        return [copy.deepcopy(p) for p in parts]
+
+    def copy_and_merge():
+        fresh = copy_only()
+        acc = fresh[0]
+        for p in fresh[1:]:
             acc = acc.merge(p)
         return acc
 
-    t_merge = _best(merge)
+    # subtract the copy baseline so the reported figure times the same
+    # fresh 31-way merge every draw, not the deepcopy overhead
+    t_merge = max(1e-9, _best(copy_and_merge) - _best(copy_only))
     return {
         "kll_absorb_mb_per_sec": round(mb / t_absorb, 2),
         "kll_merge32_sketches_per_sec": round(31 / t_merge, 2),

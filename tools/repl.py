@@ -104,7 +104,15 @@ class Repl:
             for r in rows:
                 print(json.dumps(dict(zip(cols, r)), default=str), file=w)
         if clipped:
-            print(f"(output clipped at {self.maxrows} rows)", file=w)
+            # machine-readable formats keep stdout parseable: the notice
+            # goes to stderr instead of trailing the JSON payload
+            notice_stream = (
+                sys.stderr if fmt in ("json", "ndjson") else w
+            )
+            print(
+                f"(output clipped at {self.maxrows} rows)",
+                file=notice_stream,
+            )
         return len(rows)
 
     def _print_literal(self, cols, rows) -> None:
