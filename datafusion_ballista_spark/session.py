@@ -488,5 +488,71 @@ class BallistaSession:
             "active_stage_count": len(st.getActiveStageIds()),
         }
 
+    def metrics(self) -> dict:
+        """CUMULATIVE job/stage/task/query counters plus per-query wall
+        time — the analogue of the reference scheduler's
+        SchedulerMetricsCollector (ballista/scheduler/src/metrics/
+        mod.rs:30-45: job submitted/completed/failed events; the
+        optional Prometheus exporter in metrics/prometheus.rs renders
+        the same counters). Spark's own always-on listeners
+        (AppStatusListener, SQLAppStatusListener) already accumulate
+        these into the driver's status stores; this reads those stores
+        directly — no callback server, no extra listener registration,
+        and unlike :meth:`status` (instantaneous counts, the REST
+        /api/jobs analogue) the totals never reset while the session
+        lives. Driver-side metadata only; no jobs launched."""
+        store = self.spark._sc._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        job_counts = {"succeeded": 0, "failed": 0, "running": 0}
+        tasks_completed = tasks_failed = 0
+        stage_counts = {
+            "complete": 0,
+            "failed": 0,
+            "active": 0,
+            "skipped": 0,
+        }
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            key = {
+                "SUCCEEDED": "succeeded",
+                "FAILED": "failed",
+            }.get(j.status().toString(), "running")
+            job_counts[key] += 1
+            tasks_completed += j.numCompletedTasks()
+            tasks_failed += j.numFailedTasks()
+            stage_counts["complete"] += j.numCompletedStages()
+            stage_counts["failed"] += j.numFailedStages()
+            stage_counts["active"] += j.numActiveStages()
+            stage_counts["skipped"] += j.numSkippedStages()
+        # per-SQL-execution wall clock from the SQL status store (the
+        # SQLAppStatusListener feed behind the Spark UI's SQL tab)
+        execs = self.spark._jsparkSession.sharedState().statusStore().executionsList()
+        q_completed = q_failed = q_running = 0
+        wall_ms: list[int] = []
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            err = e.errorMessage()
+            if err.isDefined() and err.get():
+                q_failed += 1
+            elif e.completionTime().isDefined():
+                q_completed += 1
+                wall_ms.append(
+                    e.completionTime().get().getTime() - e.submissionTime()
+                )
+            else:
+                q_running += 1
+        return {
+            "jobs": job_counts,
+            "stages": stage_counts,
+            "tasks": {"completed": tasks_completed, "failed": tasks_failed},
+            "queries": {
+                "completed": q_completed,
+                "failed": q_failed,
+                "running": q_running,
+                "total_wall_ms": int(sum(wall_ms)),
+                "max_wall_ms": int(max(wall_ms)) if wall_ms else 0,
+            },
+        }
+
     def stop(self) -> None:
         self.spark.stop()

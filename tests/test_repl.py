@@ -61,7 +61,10 @@ def test_repl_drives_full_command_surface(tmp_path):
     # \\quiet toggles the footer (no footer printed while quiet)
     assert "Quiet mode set to true" in out and "Quiet mode set to false" in out
     # \\status renders the introspection dict (api/routes.rs analogue)
+    # plus the cumulative metrics counters (metrics/mod.rs analogue)
     assert "active_job_count" in out and "executor_count" in out
+    assert "jobs.succeeded" in out and "queries.completed" in out
+    assert "tasks.completed" in out
     # \\? prints the command table
     assert "\\pset [NAME [VALUE]]" in out
     # \\q stops processing: the statement after it never runs

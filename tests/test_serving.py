@@ -95,6 +95,81 @@ def test_serve_speaks_http2_and_stops():
         assert marker in proc.stdout, f"missing {marker}\n{proc.stdout}"
 
 
+def test_connect_client_round_trip():
+    """A REAL Spark Connect client attaches to serve()'s URL and runs
+    queries — the reference behavior (JDBC clients actually dial the
+    scheduler's Flight SQL endpoint, architecture.md:74-78). grpcio is
+    absent in the offline container, so this self-upgrades the moment
+    the environment gains the Connect client deps; until then it skips
+    and the socket-level HTTP/2 check above stands in.
+
+    Connect gives each remote client its OWN session state, so plain
+    temp views registered server-side are invisible by design; the
+    JVM-shared surfaces are what a client can see — a global temp view
+    and the shared catalog — and that is what this exercises."""
+    import pytest
+
+    pytest.importorskip("grpc")
+    pytest.importorskip("grpc_status")
+    pytest.importorskip("google.protobuf")
+
+    import select
+
+    port = 15996
+    server_script = f"""
+import sys
+from datafusion_ballista_spark.session import BallistaSession
+
+bs = BallistaSession.standalone(
+    cpus=2, **{{"spark.connect.grpc.binding.port": "{port}"}}
+)
+nation = bs.spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+nation.createGlobalTempView("nation_shared")
+url = bs.serve(port={port})
+print("READY " + url, flush=True)
+sys.stdin.read()  # hold the endpoint open until the parent closes stdin
+bs.stop()
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", server_script],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        ready, _, _ = select.select([proc.stdout], [], [], 240)
+        assert ready, "server never became ready"
+        line = proc.stdout.readline()
+        assert line.startswith("READY "), (line, proc.stderr.read())
+        url = line.split()[1]
+
+        from pyspark.sql import SparkSession
+
+        client = SparkSession.builder.remote(url).getOrCreate()
+        try:
+            # plan round-trip with a literal
+            assert client.sql("SELECT 1 AS one").collect()[0].one == 1
+            # JVM-shared global temp view registered before serve()
+            n = client.sql(
+                "SELECT COUNT(*) AS n FROM global_temp.nation_shared"
+            ).collect()[0].n
+            assert n == 25
+            # full scan plan shipped from the client side
+            assert (
+                client.read.parquet(
+                    "/root/testdata/sf0.001/region.parquet"
+                ).count()
+                == 5
+            )
+        finally:
+            client.stop()
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=120)
+
+
 def test_status_shape(spark):
     from datafusion_ballista_spark.session import BallistaSession
 
@@ -109,3 +184,38 @@ def test_status_shape(spark):
     }
     assert st["executor_count"] >= 1
     assert st["active_job_count"] == 0
+
+
+def test_metrics_counters_advance(spark):
+    """The SchedulerMetricsCollector analogue (metrics/mod.rs:30-45):
+    cumulative job/task/query counters must ADVANCE across queries and
+    record per-query wall time; a failing query must land in
+    queries.failed — the collector's job-failed event."""
+    import pytest
+
+    from datafusion_ballista_spark.session import BallistaSession
+
+    bs = BallistaSession(spark)
+    m0 = bs.metrics()
+    bs.sql("SELECT SUM(id) AS s FROM range(100000)").collect()
+    m1 = bs.metrics()
+    assert m1["jobs"]["succeeded"] > m0["jobs"]["succeeded"]
+    assert m1["tasks"]["completed"] > m0["tasks"]["completed"]
+    assert m1["queries"]["completed"] > m0["queries"]["completed"]
+    assert (
+        m1["queries"]["total_wall_ms"] >= m0["queries"]["total_wall_ms"] >= 0
+    )
+    assert m1["stages"]["complete"] > m0["stages"]["complete"]
+
+    bs.sql("SELECT COUNT(DISTINCT id) AS d FROM range(100000)").collect()
+    m2 = bs.metrics()
+    assert m2["queries"]["completed"] > m1["queries"]["completed"]
+    assert m2["queries"]["max_wall_ms"] >= 0
+
+    with pytest.raises(Exception):
+        bs.sql(
+            "SELECT assert_true(id > 50, 'boom') FROM range(100)"
+        ).collect()
+    m3 = bs.metrics()
+    assert m3["queries"]["failed"] > m2["queries"]["failed"]
+    assert m3["jobs"]["failed"] >= m2["jobs"]["failed"]

@@ -170,12 +170,16 @@ class Repl:
             verb = "set to" if arg else "is"
             print(f"Quiet mode {verb} {state}", file=self.out)
         elif name == "status":
-            # scheduler REST introspection analogue (api/routes.rs),
-            # rendered as a 2-column table like the reference's \? output
-            st = self.bs.status()
-            self._print_literal(
-                ["key", "value"], [(k, str(v)) for k, v in st.items()]
-            )
+            # scheduler REST introspection analogue (api/routes.rs) plus
+            # the cumulative SchedulerMetricsCollector counters
+            # (metrics/mod.rs), rendered as a 2-column table like the
+            # reference's \? output
+            rows = [(k, str(v)) for k, v in self.bs.status().items()]
+            for fam, counters in self.bs.metrics().items():
+                rows += [
+                    (f"{fam}.{k}", str(v)) for k, v in counters.items()
+                ]
+            self._print_literal(["key", "value"], rows)
         elif name == "pset":
             sub, _, val = arg.partition(" ")
             val = val.strip().lower()
