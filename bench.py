@@ -222,6 +222,15 @@ def main() -> None:
 
     total = round(sum(steady.values()), 3)
     duck_total = round(sum(duck.values()), 3) if duck else None
+    # Watched per-query same-scale ratios (round-12 VERDICT Next #7):
+    # the two ops whose rewrites carry explicit sf1 ratio claims get
+    # their spark/duckdb ratio surfaced in the one-line summary so a
+    # regression is visible without opening the full payload.
+    watched = {
+        n: round(steady[n] / duck[n], 2)
+        for n in ("dedup_prefix_filter_join", "ev_range_join_bucketed")
+        if n in steady and duck.get(n)
+    }
     # Stamp BEFORE writing the full-payload file, so writing it cannot
     # self-dirty the stamp.
     sha = _git_sha()
@@ -237,6 +246,7 @@ def main() -> None:
         "bench_vs_duckdb": (
             round(total / duck_total, 3) if duck_total else None
         ),
+        "watched_ratios": watched,
         "sha": sha,
     }
     if n_draws > 1:
@@ -270,6 +280,7 @@ def main() -> None:
             round(total / duck_total, 3) if duck_total else None
         ),
         "draws_sec": [d["value"] for d in draws],
+        "watched_ratios": watched,
         "full_payload": out_path,
         "sha": sha,
     }

@@ -328,13 +328,24 @@ def ev_range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("be") >= F.col("bs"))
         & (F.col("be") < F.col("bs") + _RANGE_W_US)
     )
+    # Final presentation sort WITHOUT a global orderBy: orderBy spends
+    # two extra AQE rounds (range-boundary sampling + range shuffle) on
+    # a result that is metadata-sized, ~35% of the whole query's wall
+    # time at sf1 (r13 noop-write A/B: 0.93 -> 0.64 s min-draw,
+    # bit-identical). coalesce(1) is scale-safe HERE because it
+    # collapses only the FINAL distinct-count merge stage, whose input
+    # is the per-incident partials from the pair-dedup exchange —
+    # bounded by #incidents x #shuffle-partitions (the same
+    # boundedness that justifies broadcasting the interval side); the
+    # pair dedup and partial aggregation below stay fully parallel.
     return (
         joined.groupBy("incident_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("users"),
         )
-        .orderBy("incident_id")
+        .coalesce(1)
+        .sortWithinPartitions("incident_id")
     )
 
 
