@@ -502,8 +502,9 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 SKETCH_KLL_SQL = f"""
 WITH nn AS (SELECT COUNT(*) AS n FROM lineitem),
-d AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
-cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS r FROM d),
+d AS MATERIALIZED (
+  SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+cum AS MATERIALIZED (SELECT v, SUM(c) OVER (ORDER BY v) AS r FROM d),
 rk AS (
   SELECT p.phi_pct,
     GREATEST(1, (GREATEST(0, p.phi_pct * 10000 - {_KLL_BOUND_PPM}) * nn.n

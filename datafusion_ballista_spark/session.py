@@ -500,13 +500,29 @@ class BallistaSession:
         directly — no callback server, no extra listener registration,
         and unlike :meth:`status` (instantaneous counts, the REST
         /api/jobs analogue) the totals never reset while the session
-        lives. Driver-side metadata only; no jobs launched."""
+        lives. Driver-side metadata only; no jobs launched.
+
+        Eviction semantics: the stores retain only the last
+        ``spark.ui.retainedJobs`` / ``spark.sql.ui.retainedExecutions``
+        entries (1000 each by default), so per-entry counters
+        (failed/running splits, task counts, wall-time sums) are
+        WINDOWED by that retention — the Spark UI's own semantics. The
+        headline totals are eviction-proof: completed job/stage counts
+        come from the store's appSummary (a plain counter), and
+        ``queries.submitted_total`` derives from the monotonically
+        increasing SQL execution id."""
         store = self.spark._sc._jsc.sc().statusStore()
+        summary = store.appSummary()
         jobs = store.jobsList(None)
-        job_counts = {"succeeded": 0, "failed": 0, "running": 0}
+        job_counts = {
+            # true cumulative total, survives store eviction
+            "succeeded": summary.numCompletedJobs(),
+            "failed": 0,
+            "running": 0,
+        }
         tasks_completed = tasks_failed = 0
         stage_counts = {
-            "complete": 0,
+            "complete": summary.numCompletedStages(),  # eviction-proof
             "failed": 0,
             "active": 0,
             "skipped": 0,
@@ -517,10 +533,10 @@ class BallistaSession:
                 "SUCCEEDED": "succeeded",
                 "FAILED": "failed",
             }.get(j.status().toString(), "running")
-            job_counts[key] += 1
+            if key != "succeeded":
+                job_counts[key] += 1
             tasks_completed += j.numCompletedTasks()
             tasks_failed += j.numFailedTasks()
-            stage_counts["complete"] += j.numCompletedStages()
             stage_counts["failed"] += j.numFailedStages()
             stage_counts["active"] += j.numActiveStages()
             stage_counts["skipped"] += j.numSkippedStages()
@@ -528,9 +544,11 @@ class BallistaSession:
         # SQLAppStatusListener feed behind the Spark UI's SQL tab)
         execs = self.spark._jsparkSession.sharedState().statusStore().executionsList()
         q_completed = q_failed = q_running = 0
+        max_exec_id = -1
         wall_ms: list[int] = []
         for i in range(execs.size()):
             e = execs.apply(i)
+            max_exec_id = max(max_exec_id, e.executionId())
             err = e.errorMessage()
             if err.isDefined() and err.get():
                 q_failed += 1
@@ -546,6 +564,9 @@ class BallistaSession:
             "stages": stage_counts,
             "tasks": {"completed": tasks_completed, "failed": tasks_failed},
             "queries": {
+                # execution ids are assigned monotonically, so the max id
+                # counts every SQL execution ever submitted — eviction-proof
+                "submitted_total": max_exec_id + 1,
                 "completed": q_completed,
                 "failed": q_failed,
                 "running": q_running,

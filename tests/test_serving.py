@@ -190,7 +190,12 @@ def test_metrics_counters_advance(spark):
     """The SchedulerMetricsCollector analogue (metrics/mod.rs:30-45):
     cumulative job/task/query counters must ADVANCE across queries and
     record per-query wall time; a failing query must land in
-    queries.failed — the collector's job-failed event."""
+    queries.failed — the collector's job-failed event. The advance
+    assertions use the EVICTION-PROOF totals (appSummary counters,
+    max execution id): the per-entry counters are windowed by
+    spark.ui.retainedJobs and plateau at 1000 in a long shared session
+    (exactly the failure mode that bit the first version of this
+    test)."""
     import pytest
 
     from datafusion_ballista_spark.session import BallistaSession
@@ -200,16 +205,20 @@ def test_metrics_counters_advance(spark):
     bs.sql("SELECT SUM(id) AS s FROM range(100000)").collect()
     m1 = bs.metrics()
     assert m1["jobs"]["succeeded"] > m0["jobs"]["succeeded"]
-    assert m1["tasks"]["completed"] > m0["tasks"]["completed"]
-    assert m1["queries"]["completed"] > m0["queries"]["completed"]
-    assert (
-        m1["queries"]["total_wall_ms"] >= m0["queries"]["total_wall_ms"] >= 0
-    )
     assert m1["stages"]["complete"] > m0["stages"]["complete"]
+    assert (
+        m1["queries"]["submitted_total"] > m0["queries"]["submitted_total"]
+    )
+    # windowed counters stay coherent even when the store is at cap
+    assert m1["tasks"]["completed"] > 0
+    assert m1["queries"]["completed"] > 0
+    assert m1["queries"]["total_wall_ms"] >= 0
 
     bs.sql("SELECT COUNT(DISTINCT id) AS d FROM range(100000)").collect()
     m2 = bs.metrics()
-    assert m2["queries"]["completed"] > m1["queries"]["completed"]
+    assert (
+        m2["queries"]["submitted_total"] > m1["queries"]["submitted_total"]
+    )
     assert m2["queries"]["max_wall_ms"] >= 0
 
     with pytest.raises(Exception):
@@ -217,5 +226,8 @@ def test_metrics_counters_advance(spark):
             "SELECT assert_true(id > 50, 'boom') FROM range(100)"
         ).collect()
     m3 = bs.metrics()
-    assert m3["queries"]["failed"] > m2["queries"]["failed"]
-    assert m3["jobs"]["failed"] >= m2["jobs"]["failed"]
+    # the failure just happened, so it is inside the retention window
+    assert m3["queries"]["failed"] >= 1
+    assert (
+        m3["queries"]["submitted_total"] > m2["queries"]["submitted_total"]
+    )
