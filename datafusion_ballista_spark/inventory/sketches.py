@@ -29,14 +29,12 @@ three operators over ``lineitem.l_extendedprice``:
   Round 13 made the entry hash-provable anyway by restructuring the
   OUTPUT (the verdict-blessed alternative to a recursive replay):
   every returned column is a deterministic function of the DATA — the
-  exact quantile and the exact value-bracket [lo_q, hi_q] that the
-  33000-ppm envelope maps to, computed via the distributed
-  global_running_sum cumulative rank — and the sketch estimate is
+  md5-bottom-k sample quantiles with their exact corpus ranks, raw
+  data values and exact integers only — and the sketch estimate is
   pinned INSIDE the plan by an assert_true that fails the whole query
-  if any estimate's exact rank drifts outside the envelope. DuckDB
-  recomputes the identical order statistics; the sketch's correctness
-  is enforced (a broken sketch errors, never returns), and its
-  bracket is part of the hashed output.
+  if any estimate's exact rank drifts outside the 33000-ppm envelope.
+  DuckDB replays the identical sample and ranks; the sketch's
+  correctness is enforced (a broken sketch errors, never returns).
 
 Determinism contract: md5-hash sample membership and every ppm division
 are exact integers in both engines; quantile estimates are exact data
@@ -320,32 +318,32 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     fold, which got a WITH RECURSIVE oracle in round 12). The entry is
     hash-provable regardless (round 13, closing the last rows-only row
     of the registry): the RETURNED columns are all deterministic
-    functions of the data — for each phi, the exact quantile (smallest
-    v with cumulative rank >= ceil(phi*n/100)) and the exact value
-    bracket [lo_q, hi_q] the 33000-ppm rank envelope maps to, computed
-    from a distinct-value cumulative rank built with the distributed
-    global_running_sum operator (range shuffle + per-partition cumsum
-    + bounded offset stitch; never a single-task sort) — while the
-    sketch is pinned IN-PLAN: a conditional aggregate reads each
-    estimate's exact rank off the same cumulative-rank relation and an
-    assert_true fails the whole query if any estimate's rank error
-    exceeds the envelope (sketch_ok can never reach the output as
-    false). DuckDB recomputes the identical order statistics with the
-    identical integer rank arithmetic.
+    functions of the data — for each phi, the md5-bottom-k sample
+    quantile (the module's deterministic, oracle-replayable sample:
+    hash-order top-k IS a mergeable sketch, TakeOrderedAndProject)
+    and its EXACT corpus rank from one conditional-aggregation pass —
+    while the KLL sketch is pinned IN-PLAN: the same single aggregate
+    also reads each KLL estimate's exact rank, and an assert_true
+    fails the whole query if any estimate's rank error exceeds the
+    33000-ppm envelope (sketch_ok can never reach the output as
+    false). Every hashed value is either a raw data value or an exact
+    integer, so the oracle replays bit-identically with no float
+    arithmetic at all. (A first r13 cut computed exact quantiles via a
+    distinct-value global cumsum instead — correct, but the extra
+    groupBy + range shuffle + checkpoint cost ~4 s at sf1 on a 1.7 s
+    query; the sample witness pins the sketch equally hard for ~0.5 s.)
 
     Scale (100 TB): sketching is one corpus pass with O(k) state per
     partition and NO shuffle of raw rows; the merge stage moves ~3k
     rows per partition (metadata at any N — with 10^5 partitions,
     tree-merge in two hops before the final task). The witness is one
-    map-side-combining groupBy over the DISTINCT value domain (prices
-    are cents-quantized: |domain| << n and bounded, the Kneser-Ney
-    counter discipline) + the global_running_sum range shuffle over
-    that domain + a 1-row conditional aggregate. The absorb loop is
-    Python over Arrow batches — per-executor, off the shuffle path,
-    bounded by scan bandwidth at cluster scale. true_rank*1e6 stays in
-    int64 up to 9.2e12 corpus rows (~2 PB of lineitem) — past that,
-    lift to DECIMAL(38,0) like the Kneser-Ney counters."""
-    from datafusion_ballista_spark.operators import global_running_sum
+    bounded top-k (O(k)=1024 state per partition, merge independent
+    of N) + ONE map-side-combining corpus pass producing a 1-row
+    aggregate. The absorb loop is Python over Arrow batches —
+    per-executor, off the shuffle path, bounded by scan bandwidth at
+    cluster scale. rank*1e6 stays in int64 up to 9.2e12 corpus rows
+    (~2 PB of lineitem) — past that, lift to DECIMAL(38,0) like the
+    Kneser-Ney counters."""
     from datafusion_ballista_spark.operators.kll import (
         MIN_LEVEL_WIDTH,
         KllSketch,
@@ -415,73 +413,59 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     assert n > 0, "KLL over an empty corpus"
     assert retained <= 3 * _KLL_K + 10 * MIN_LEVEL_WIDTH, retained
 
-    # deterministic witness relation: cumulative rank over the DISTINCT
-    # value domain (map-side-combining groupBy; |domain| << n for a
-    # cents-quantized price column), cumsum via the distributed
-    # global_running_sum — never a single-task sort
-    cum = global_running_sum(
-        li.groupBy(F.col("l_extendedprice").alias("v")).agg(
-            F.count(F.lit(1)).alias("c")
-        ),
-        [F.col("v")],
-        F.col("c"),
-        out_col="r",
+    # deterministic witness values: the module's md5-bottom-k sample
+    # quantiles (one bounded TakeOrderedAndProject job, replayed
+    # bit-identically by the oracle's ORDER BY hash LIMIT k)
+    vals = _bottomk_sample(spark, sf)
+    sample_qs = {p: _sample_quantile(vals, p, 100) for p in _PHIS}
+
+    # ONE conditional-aggregation corpus pass: exact ranks of the
+    # deterministic sample quantiles (hashed) AND of this run's KLL
+    # estimates (feeds only the asserted sketch_ok flag)
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.lit(sample_qs[p]), 1
+                ).otherwise(0)
+            ).alias(f"sr{p}")
+            for p in _PHIS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.lit(ests[p]), 1)
+                .otherwise(0)
+            ).alias(f"tr{p}")
+            for p in _PHIS
+        ],
     )
-
-    def _ranks(p: int) -> tuple[int, int, int]:
-        """Exact-integer envelope ranks — the DuckDB oracle replays the
-        identical ceil arithmetic ((a*n + 999999) // 1000000)."""
-        lo_ppm = max(0, p * 10000 - _KLL_BOUND_PPM)
-        hi_ppm = min(1_000_000, p * 10000 + _KLL_BOUND_PPM)
-        lo = max(1, (lo_ppm * n + 999_999) // 1_000_000)
-        mid = (p * n + 99) // 100
-        hi = min(n, (hi_ppm * n + 999_999) // 1_000_000)
-        return lo, mid, hi
-
-    aggs = []
-    for p in _PHIS:
-        lo, mid, hi = _ranks(p)
-        aggs += [
-            F.min(F.when(F.col("r") >= lo, F.col("v"))).alias(f"lo{p}"),
-            F.min(F.when(F.col("r") >= mid, F.col("v"))).alias(f"q{p}"),
-            F.min(F.when(F.col("r") >= hi, F.col("v"))).alias(f"hi{p}"),
-            # exact rank of THIS run's sketch estimate — feeds only the
-            # asserted sketch_ok flag, never a hashed value column
-            F.coalesce(
-                F.max(F.when(F.col("v") <= F.lit(ests[p]), F.col("r"))),
-                F.lit(0),
-            ).alias(f"tr{p}"),
-        ]
     entries = F.array(
         *[
             F.struct(
                 F.lit(p).cast("int").alias("phi_pct"),
-                F.col(f"q{p}").cast("double").alias("exact_q"),
-                F.col(f"lo{p}").cast("double").alias("lo_q"),
-                F.col(f"hi{p}").cast("double").alias("hi_q"),
-                (
-                    F.abs(
-                        F.expr(f"tr{p} * 1000000 div {n}")
-                        - F.lit(p * 10000)
-                    )
-                    <= F.lit(_KLL_BOUND_PPM)
-                ).alias("sketch_ok"),
+                F.lit(sample_qs[p]).cast("double").alias("sample_q"),
+                F.col(f"sr{p}").cast("bigint").alias("sample_rank"),
+                F.expr(f"abs(tr{p} * 1000000 div n - {p * 10000})")
+                .cast("bigint")
+                .alias("kll_err"),
             )
             for p in _PHIS
         ]
     )
     out = (
-        cum.agg(*aggs)
-        .select(F.explode(entries).alias("e"))
+        agg.select(F.col("n"), F.explode(entries).alias("e"))
         .select(
             F.col("e.phi_pct").alias("phi_pct"),
-            F.col("e.exact_q").alias("exact_q"),
-            F.col("e.lo_q").alias("lo_q"),
-            F.col("e.hi_q").alias("hi_q"),
-            F.lit(_KLL_K).cast("int").alias("k"),
-            F.lit(n).cast("bigint").alias("n"),
+            F.col("e.sample_q").alias("sample_q"),
+            F.lit(_QK).cast("int").alias("sample_k"),
+            F.col("e.sample_rank").alias("sample_rank"),
+            F.col("n"),
+            F.lit(_KLL_K).cast("int").alias("kll_k"),
             F.lit(_KLL_BOUND_PPM).cast("bigint").alias("bound_ppm"),
-            F.col("e.sketch_ok").alias("sketch_ok"),
+            (F.col("e.kll_err") <= F.lit(_KLL_BOUND_PPM)).alias(
+                "sketch_ok"
+            ),
         )
         .orderBy("phi_pct")
     )
@@ -501,29 +485,22 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SKETCH_KLL_SQL = f"""
-WITH nn AS (SELECT COUNT(*) AS n FROM lineitem),
-d AS MATERIALIZED (
-  SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
-cum AS MATERIALIZED (SELECT v, SUM(c) OVER (ORDER BY v) AS r FROM d),
-rk AS (
-  SELECT p.phi_pct,
-    GREATEST(1, (GREATEST(0, p.phi_pct * 10000 - {_KLL_BOUND_PPM}) * nn.n
-                 + 999999) // 1000000) AS lo_rank,
-    (p.phi_pct * nn.n + 99) // 100 AS mid_rank,
-    LEAST(nn.n, (LEAST(1000000, p.phi_pct * 10000 + {_KLL_BOUND_PPM}) * nn.n
-                 + 999999) // 1000000) AS hi_rank,
-    nn.n AS n
-  FROM (VALUES {", ".join(f"({p})" for p in _PHIS)}) p(phi_pct)
-  CROSS JOIN nn)
-SELECT CAST(rk.phi_pct AS INTEGER) AS phi_pct,
-  (SELECT MIN(v) FROM cum WHERE r >= rk.mid_rank) AS exact_q,
-  (SELECT MIN(v) FROM cum WHERE r >= rk.lo_rank) AS lo_q,
-  (SELECT MIN(v) FROM cum WHERE r >= rk.hi_rank) AS hi_q,
-  CAST({_KLL_K} AS INTEGER) AS k,
-  CAST(rk.n AS BIGINT) AS n,
+WITH {_duck_sample_cte()},
+phis(phi_pct) AS (VALUES {", ".join(f"({p})" for p in _PHIS)}),
+est AS (
+  SELECT p.phi_pct, r.v AS sample_q
+  FROM phis p JOIN r
+    ON r.rk = CAST(ceil(p.phi_pct * {_QK} / 100.0) AS BIGINT))
+SELECT CAST(e.phi_pct AS INTEGER) AS phi_pct,
+  e.sample_q,
+  CAST({_QK} AS INTEGER) AS sample_k,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= e.sample_q)
+       AS BIGINT) AS sample_rank,
+  nn.n,
+  CAST({_KLL_K} AS INTEGER) AS kll_k,
   CAST({_KLL_BOUND_PPM} AS BIGINT) AS bound_ppm,
   TRUE AS sketch_ok
-FROM rk
+FROM est e CROSS JOIN nn
 ORDER BY phi_pct
 """
 
