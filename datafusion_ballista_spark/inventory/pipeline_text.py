@@ -2676,8 +2676,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", _h48(F.col("s0")).alias("s"))
         .localCheckpoint(eager=False)
     )  # reused: df, prefix, verify arrays
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sets.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # sz (the doc's shingle-set size) rides the SAME doc_id-partitioned
+    # window pass as idx (round 13): count(*) over (partition by
+    # doc_id) adds a second Window op on the existing partitioning —
+    # no extra Exchange — replacing the separate groupBy(doc_id)
+    # aggregate + broadcast join the r12 plan carried (2 exchanges +
+    # 2 joins across the duplicated prefix subtrees). Per-doc buffering
+    # is bounded by doc length, the window's existing bound.
     ranked = (
         sets.join(dfreq, "s")
         .withColumn(
@@ -2686,7 +2692,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
             ),
         )
-        .join(sizes, "doc_id")
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
     )
     # prefix length p = s - ceil(J*s) + 1, ceil as exact integer rational
     # NOT checkpointed: the candidate self-join's two sides share one

@@ -673,12 +673,101 @@ def _km_assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
             {"cid": d.argmin(axis=1).astype(np.int32), "dist": d.min(axis=1)}
         )
 
-    return pts.withColumn("a", _assign(F.col("q"))).select(
+    # guide §4.4: a join/groupBy null-check filter on the struct output
+    # otherwise splits this into TWO ArrowEvalPython evaluations (one
+    # below the pushed isnotnull, one above) — the r12 executed plans
+    # carried the corpus assignment 2-5x per query. The kernel is pure;
+    # non-determinism only pins a single evaluation point.
+    return pts.withColumn(
+        "a", _assign.asNondeterministic()(F.col("q"))
+    ).select(
         "vec_id",
         "q",
         F.col("a.cid").alias("cid"),
         F.col("a.dist").alias("dist"),
     )
+
+
+def _train_rounds(
+    pts: DataFrame,
+    groups: dict[int, tuple[int, int, list[list[int]]]],
+    iters: int = _KM_ITERS,
+) -> dict[int, list[list[int]]]:
+    """Combined Lloyd update rounds over any number of (sub)vector
+    groups in ONE corpus pass per round (round 13): ``groups`` maps a
+    group id to (lo, hi, centroids) where [lo, hi) slices each
+    quantized vector. A mapInPandas kernel computes every group's
+    argmin assignment per Arrow batch and emits per-batch PARTIAL SUMS
+    (grp, cid, pos, s, c) — k*dim rows per group per batch, never the
+    64x posexplode row blow-up of the old per-group update — and one
+    tiny groupBy folds them with the exact expression the old jobs
+    used: floor(SUM(x) / COUNT(*)) evaluates the identical double
+    division because SUM(s)/SUM(c) sees the same int64 totals.
+
+    Bit-identical to training each group in its own job chain (numpy
+    argmin = first minimum = lowest cid on exact-int ties; empty
+    clusters keep their previous centroid), but G groups cost ONE scan
+    of pts per round instead of G — at 100 TB this is the difference
+    between 2 and 10 corpus passes for IVF-PQ training — and the
+    driver round-trip count per round drops from G jobs to 1."""
+    import numpy as np
+    import pandas as pd
+
+    out = {g: [list(c) for c in cents] for g, (_, _, cents) in groups.items()}
+    for _ in range(iters):
+        garr = {
+            g: np.array(out[g], dtype=np.int64) for g in groups
+        }
+        bounds = {g: (lo, hi) for g, (lo, hi, _c) in groups.items()}
+
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf.q.to_numpy()).astype(np.int64)
+                gs, cids, poss, ss, cs = [], [], [], [], []
+                for g, (lo, hi) in bounds.items():
+                    sub = m[:, lo:hi]
+                    c = garr[g]
+                    d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                    cid = d.argmin(axis=1)
+                    k, w = c.shape
+                    sums = np.zeros((k, w), dtype=np.int64)
+                    np.add.at(sums, cid, sub)
+                    cnts = np.bincount(cid, minlength=k)
+                    for ci in np.nonzero(cnts)[0]:
+                        gs += [g] * w
+                        cids += [int(ci)] * w
+                        poss += list(range(w))
+                        ss += sums[ci].tolist()
+                        cs += [int(cnts[ci])] * w
+                yield pd.DataFrame(
+                    {"grp": gs, "cid": cids, "pos": poss, "s": ss, "c": cs}
+                )
+
+        upd = (
+            pts.select("q")
+            .mapInPandas(
+                _partials, "grp int, cid int, pos int, s bigint, c bigint"
+            )
+            .groupBy("grp", "cid", "pos")
+            .agg(
+                F.floor(F.sum("s") / F.sum("c")).cast("bigint").alias("xm")
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            new.setdefault((r.grp, r.cid), {})[r.pos] = int(r.xm)
+        for g, (lo, hi, _c) in groups.items():
+            w = hi - lo
+            out[g] = [
+                [new[(g, cid)].get(p, 0) for p in range(w)]
+                if (g, cid) in new
+                else out[g][cid]
+                for cid in range(len(out[g]))
+            ]
+    return out
 
 
 def _km_final_cents(
@@ -688,30 +777,15 @@ def _km_final_cents(
     update rounds), shared by emb_kmeans_lloyd, dedup_semdedup, and the
     per-subspace codebooks of emb_pq_encode so all report against the
     SAME reproducible centroids. Per round the driver receives k*dim
-    integers (centroid metadata), never rows."""
+    integers (centroid metadata), never rows (update rounds via the
+    partial-sum kernel of _train_rounds since round 13 — same math,
+    no 64x posexplode)."""
     cents = [
         [int(x) for x in r.q]
         for r in pts.orderBy("vec_id").limit(k).collect()
     ]
     dim = len(cents[0])
-    for _ in range(iters):
-        upd = (
-            _km_assign(pts, cents)
-            .select("cid", F.posexplode("q").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.floor(F.sum("x") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("xm")
-            )
-            .collect()
-        )
-        new: dict[int, list[int]] = {}
-        for r in upd:
-            new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.xm)
-        # empty clusters keep their previous centroid (standard Lloyd's)
-        cents = [new.get(cid, cents[cid]) for cid in range(k)]
-    return cents
+    return _train_rounds(pts, {0: (0, dim, cents)}, iters)[0]
 
 
 def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
@@ -852,7 +926,19 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
     cents = _km_final_cents(pts)
-    assign = _km_assign(pts, cents).select("vec_id", "q", "cid")
+    # Materialize the assignment ONCE (round 13): three consumers read
+    # it (uncapped sizes, the capped examination window, and through it
+    # the pair kernel) and with lineage each branch re-ran the
+    # ArrowEvalPython assignment over the full corpus — the executed
+    # r12 plan carried 3 assignment evaluations. One more local
+    # materialization of (vec_id, q, cid) is the same storage class as
+    # the pts checkpoint above (production SemDeDup materializes its
+    # cluster assignment for exactly this reason).
+    assign = (
+        _km_assign(pts, cents)
+        .select("vec_id", "q", "cid")
+        .localCheckpoint(eager=False)
+    )
     n2 = F.aggregate(
         F.transform("q", lambda x: x * x),
         F.lit(0).cast("bigint"),
@@ -865,7 +951,11 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .select("cid", "vec_id", "q", n2.alias("n2"))
     )
 
-    def _cluster_drops(pdf):
+    def _cluster_stats(pdf):
+        # identical pair math to the r12 _cluster_drops kernel; the
+        # per-cluster examined/dropped COUNTS are emitted directly
+        # (1 row per cluster) instead of one row per dropped vec_id +
+        # two separate count aggregations over ex (round 13)
         pdf = pdf.sort_values("vec_id")
         m = np.vstack(pdf.q.to_numpy()).astype(np.int64)
         nn = pdf.n2.to_numpy().astype(np.int64)
@@ -891,30 +981,26 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         vb = np.unique(iu[1][keep])
         return pd.DataFrame(
             {
-                "cid": np.full(len(vb), pdf.cid.iloc[0], dtype=np.int32),
-                "vb": ids[vb],
+                "cid": [np.int32(pdf.cid.iloc[0])],
+                "n_examined": [len(ids)],
+                "n_dropped": [len(vb)],
             }
         )
 
-    dropped = (
-        ex.groupBy("cid")
-        .applyInPandas(_cluster_drops, "cid int, vb bigint")
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    stats = ex.groupBy("cid").applyInPandas(
+        _cluster_stats, "cid int, n_examined bigint, n_dropped bigint"
     )
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    exn = ex.groupBy("cid").agg(F.count(F.lit(1)).alias("n_examined"))
+    # every cid with >= 1 vector has >= 1 examined row, so the inner
+    # join keeps exactly the r12 row set (dropped=0 clusters included)
     return (
-        sizes.join(exn, "cid")
-        .join(dropped, "cid", "left")
+        sizes.join(stats, "cid")
         .select(
             "cid",
             "n_vecs",
             "n_examined",
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias(
-                "n_kept"
-            ),
+            "n_dropped",
+            (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
         )
         .orderBy("cid")
     )
@@ -1004,60 +1090,38 @@ def _pq_enc_udf(books: list[list[list[int]]]):
         out["err"] = err
         return pd.DataFrame(out)
 
-    return _enc
+    # single-evaluation pin, as _km_assign (guide §4.4)
+    return _enc.asNondeterministic()
 
 
-def _pq_codebooks(pts: DataFrame) -> list[list[list[int]]]:
-    """All _PQ_M subspace codebooks trained TOGETHER: one init collect,
-    then per Lloyd round ONE combined (m, cid, pos) partial-aggregated
-    mean shuffle covering every subspace — instead of training each book
-    in its own per-round job chain (4x the scheduler latency here,
-    8 narrow shuffles instead of 2 wide ones at cluster scale). The
-    per-subspace math is unchanged and bit-identical: assignment argmin
-    against the subspace's current centroids, floor-of-exact-int-division
-    means, empty clusters keep their previous centroid."""
-    init = [
-        [int(x) for x in r.q]
-        for r in pts.orderBy("vec_id").limit(_PQ_K).collect()
-    ]
-    books = [
-        [row[m * _PQ_SUB : (m + 1) * _PQ_SUB] for row in init]
-        for m in range(_PQ_M)
-    ]
-    for _ in range(_KM_ITERS):
-        enc = _pq_enc_udf(books)
-        structs = [
-            F.struct(
-                F.lit(m).alias("m"),
-                F.col(f"e.code{m}").alias("cid"),
-                F.slice("q", m * _PQ_SUB + 1, _PQ_SUB).alias("sq"),
-            )
-            for m in range(_PQ_M)
+def _pq_codebooks(
+    pts: DataFrame, init: list[list[int]] | None = None
+) -> list[list[list[int]]]:
+    """All _PQ_M subspace codebooks trained TOGETHER: one init collect
+    (skipped when the caller already holds the k-lowest-vec_id rows —
+    the shared-init path of ann_pq_adc / ann_ivfpq_*), then per Lloyd
+    round ONE combined partial-sum pass covering every subspace
+    (_train_rounds) — instead of training each book in its own
+    per-round job chain (4x the scheduler latency here, 8 narrow
+    shuffles instead of 2 wide ones at cluster scale). The per-subspace
+    math is unchanged and bit-identical: assignment argmin against the
+    subspace's current centroids, floor-of-exact-int-division means,
+    empty clusters keep their previous centroid."""
+    if init is None:
+        init = [
+            [int(x) for x in r.q]
+            for r in pts.orderBy("vec_id").limit(_PQ_K).collect()
         ]
-        upd = (
-            pts.withColumn("e", enc(F.col("q")))
-            .select(F.explode(F.array(*structs)).alias("s"))
-            .select(
-                F.col("s.m").alias("m"),
-                F.col("s.cid").alias("cid"),
-                F.posexplode("s.sq").alias("pos", "x"),
-            )
-            .groupBy("m", "cid", "pos")
-            .agg(
-                F.floor(F.sum("x") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("xm")
-            )
-            .collect()
+    groups = {
+        m: (
+            m * _PQ_SUB,
+            (m + 1) * _PQ_SUB,
+            [row[m * _PQ_SUB : (m + 1) * _PQ_SUB] for row in init],
         )
-        new: dict[tuple[int, int], list[int]] = {}
-        for r in upd:
-            new.setdefault((r.m, r.cid), [0] * _PQ_SUB)[r.pos] = int(r.xm)
-        books = [
-            [new.get((m, cid), books[m][cid]) for cid in range(_PQ_K)]
-            for m in range(_PQ_M)
-        ]
-    return books
+        for m in range(_PQ_M)
+    }
+    trained = _train_rounds(pts, groups, _KM_ITERS)
+    return [trained[m] for m in range(_PQ_M)]
 
 
 def emb_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
@@ -1162,19 +1226,28 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     shuffles on the corpus scan, one TakeOrderedAndProject-shaped
     top-k per query. Production replaces the bounded broadcast with an
     IVF routing stage (ann_ivf_topk) so each query scans one cell's
-    codes, not the full corpus."""
+    codes, not the full corpus. Round 13: ONE init collect seeds the
+    codebooks AND the query set (every vec_id < _ADC_NQ row is among
+    the _PQ_K lowest — the _ivfpq_sims derivation), dropping a
+    separate qrows job."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    books = _pq_codebooks(pts)
+    init_rows = sorted(
+        pts.orderBy("vec_id").limit(_PQ_K).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert _ADC_NQ <= _PQ_K
+    books = _pq_codebooks(
+        pts, init=[[int(x) for x in r.q] for r in init_rows]
+    )
     # corpus → codes (map-only, the shared vectorized kernel)
     enc = _pq_enc_udf(books)
     codes = pts.withColumn("e", enc(F.col("q"))).select(
         F.col("vec_id").alias("nid"),
         *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
     )
-    qrows = sorted(
-        pts.where(F.col("vec_id") < _ADC_NQ).collect(),
-        key=lambda r: r.vec_id,
-    )  # bounded: _ADC_NQ rows of driver metadata
+    qrows = [
+        r for r in init_rows if r.vec_id < _ADC_NQ
+    ]  # bounded: _ADC_NQ rows of driver metadata
     qids = [int(r.vec_id) for r in qrows]
     # tabs[m]: flat qid-major table, tabs[m][qi*k + code] = exact sqdist
     # from query qi's m-th subvector to centroid `code`.
@@ -1268,59 +1341,88 @@ _IVFPQ_NQ = 5  # bounded query set, as ann_pq_adc
 _IVFPQ_NPROBE = 2  # coarse cells probed per query
 _IVFPQ_TOPK = 3
 
+# qrows derivation below relies on every vec_id < _IVFPQ_NQ row being
+# among the _KM_K lowest-vec_id rows of the single init collect
+assert _IVFPQ_NQ <= _KM_K and _PQ_K == _KM_K
 
-def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-PQ: the routing stage ann_pq_adc's docstring promises —
-    coarse k-means cells (the exact-integer Lloyd quantizer shared with
-    emb_kmeans_lloyd) prune the corpus to nprobe=2 cells per query, and
-    the survivors are ranked by PQ asymmetric distance (the driver-side
-    Q x M x k lookup tables of ann_pq_adc). This is FAISS IndexIVFPQ's
-    query path, non-residual variant (codes quantize the raw vectors,
-    not cell residuals — the residual refinement changes constants, not
-    the plan), composed from the repo's two proven stages.
 
-    All arithmetic exact int64 micro-units: the coarse probe order, the
-    PQ codes, and the ADC ranking are bit-reproducible, so the DuckDB
-    oracle replays the identical Lloyd chains (coarse + 4 subspace) and
-    lookup algebra.
+def _cell_code_udf(cents: list[list[int]], books: list[list[list[int]]]):
+    """One Arrow-vectorized kernel producing the coarse cell AND all
+    _PQ_M PQ codes per batch (round 13): the corpus encode pass ships
+    each q exactly once across the Python boundary instead of twice
+    (_km_assign + _pq_enc_udf were two ArrowEvalPython nodes over the
+    same column). argmin semantics identical to both donors."""
+    import numpy as np
+    import pandas as pd
 
-    Scale (100 TB): the corpus ships ONE coarse assignment pass
-    (map-side vectorized against ~4 KB of literal centroids) and ONE
-    map-only PQ encode; at query time each query touches only its 2
-    cells' codes — corpus scan cost drops by k/nprobe vs ann_pq_adc's
-    full scan — and the per-candidate cost is M array lookups in
-    codegen. The probe list (Q x nprobe rows) and distance tables are
-    bounded driver metadata, broadcast. Zero shuffles on the corpus
-    beyond the assignment groupBy-free map; one top-k window per query
-    cell set."""
+    c0 = np.array(cents, dtype=np.int64)
+    bk = [np.array(b, dtype=np.int64) for b in books]
+
+    @pandas_udf("cell int, code0 int, code1 int, code2 int, code3 int")
+    def _cc(qs):
+        if len(qs) == 0:
+            cols = {"cell": pd.array([], dtype="int32")}
+            for m in range(_PQ_M):
+                cols[f"code{m}"] = pd.array([], dtype="int32")
+            return pd.DataFrame(cols)
+        mm = np.vstack(qs.to_numpy()).astype(np.int64)
+        d = ((mm[:, None, :] - c0[None, :, :]) ** 2).sum(axis=2)
+        out = {"cell": d.argmin(axis=1).astype(np.int32)}
+        for m in range(_PQ_M):
+            sub = mm[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            dm = ((sub[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            out[f"code{m}"] = dm.argmin(axis=1).astype(np.int32)
+        return pd.DataFrame(out)
+
+    # single-evaluation pin, as _km_assign (guide §4.4)
+    return _cc.asNondeterministic()
+
+
+def _ivfpq_sims(spark: SparkSession, sf: str) -> tuple:
+    """Shared IVF-PQ stage 1 (ann_ivfpq_topk + ann_ivfpq_refine):
+    coarse cells prune the corpus to nprobe cells per query, survivors
+    ranked by PQ asymmetric distance. Returns the (qid, nid, adist)
+    candidate frame.
+
+    Round-13 pass structure (was: two thread-overlapped Lloyd chains =
+    2 init jobs + 2 corpus passes per round, a separate qrows collect,
+    and a 2-ArrowEvalPython encode):
+    - ONE init job (k lowest vec_ids) seeds the coarse quantizer, all
+      four PQ codebooks, AND the bounded query set (every vec_id <
+      _IVFPQ_NQ row is among the _KM_K lowest — asserted above);
+    - ONE _train_rounds partial-sum pass per Lloyd round trains coarse
+      + subspaces together: one corpus scan per round, not G;
+    - ONE combined cell+codes kernel encodes the corpus with a single
+      Python-boundary crossing.
+    All arithmetic stays exact int64 micro-units; centroids, codes,
+    probe order and ADC ranking are bit-identical to the per-chain
+    form (the per-group argmin and floor-mean math is unchanged)."""
     pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    # coarse quantizer and PQ codebooks are INDEPENDENT Lloyd chains
-    # over the same pts — train them as concurrent Spark jobs (thread
-    # pool; Spark job submission is thread-safe) instead of serially:
-    # each chain is collect-per-round scheduler-latency bound, so
-    # overlap hides the shorter chain entirely (same-session A/B at
-    # sf0.1: 2.7 -> 1.8 s warm, 6.5 -> 2.3 s cold; checksums
-    # bit-identical)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as _ex:
-        _f_cents = _ex.submit(_km_final_cents, pts)
-        _f_books = _ex.submit(_pq_codebooks, pts)
-        cents, books = _f_cents.result(), _f_books.result()
-    enc = _pq_enc_udf(books)
-    corpus = (
-        _km_assign(pts, cents)
-        .withColumn("e", enc(F.col("q")))
-        .select(
-            F.col("vec_id").alias("nid"),
-            F.col("cid").alias("cell"),
-            *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
-        )
-    )
-    qrows = sorted(
-        pts.where(F.col("vec_id") < _IVFPQ_NQ).collect(),
+    init_rows = sorted(
+        pts.orderBy("vec_id").limit(_KM_K).collect(),
         key=lambda r: r.vec_id,
-    )  # bounded driver metadata, as ann_pq_adc
+    )
+    init = [[int(x) for x in r.q] for r in init_rows]
+    dim = len(init[0])
+    groups: dict[int, tuple[int, int, list[list[int]]]] = {
+        _PQ_M: (0, dim, init)
+    }
+    for m in range(_PQ_M):
+        groups[m] = (
+            m * _PQ_SUB,
+            (m + 1) * _PQ_SUB,
+            [row[m * _PQ_SUB : (m + 1) * _PQ_SUB] for row in init],
+        )
+    trained = _train_rounds(pts, groups, _KM_ITERS)
+    cents = trained[_PQ_M]
+    books = [trained[m] for m in range(_PQ_M)]
+    cc = _cell_code_udf(cents, books)
+    corpus = pts.withColumn("e", cc(F.col("q"))).select(
+        F.col("vec_id").alias("nid"),
+        F.col("e.cell").alias("cell"),
+        *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
+    )
+    qrows = [r for r in init_rows if r.vec_id < _IVFPQ_NQ]
     # probe list: nprobe nearest coarse centroids per query (exact int
     # sqdist, ties to the lower cid) — Q x k tiny driver computation
     probes = []
@@ -1352,6 +1454,40 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(probe_df),
         (corpus["cell"] == probe_df["cell"]) & (F.col("qid") != F.col("nid")),
     ).select("qid", "nid", adc.alias("adist"))
+    # pts rides along for refine's exact re-scoring stage, qrows for
+    # its broadcast query-vector table
+    return pts, sims, qrows
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: the routing stage ann_pq_adc's docstring promises —
+    coarse k-means cells (the exact-integer Lloyd quantizer shared with
+    emb_kmeans_lloyd) prune the corpus to nprobe=2 cells per query, and
+    the survivors are ranked by PQ asymmetric distance (the driver-side
+    Q x M x k lookup tables of ann_pq_adc). This is FAISS IndexIVFPQ's
+    query path, non-residual variant (codes quantize the raw vectors,
+    not cell residuals — the residual refinement changes constants, not
+    the plan), composed from the repo's two proven stages.
+
+    All arithmetic exact int64 micro-units: the coarse probe order, the
+    PQ codes, and the ADC ranking are bit-reproducible, so the DuckDB
+    oracle replays the identical Lloyd chains (coarse + 4 subspace) and
+    lookup algebra.
+
+    Scale (100 TB): the corpus ships ONE coarse assignment pass
+    (map-side vectorized against ~4 KB of literal centroids) and ONE
+    map-only PQ encode; at query time each query touches only its 2
+    cells' codes — corpus scan cost drops by k/nprobe vs ann_pq_adc's
+    full scan — and the per-candidate cost is M array lookups in
+    codegen. The probe list (Q x nprobe rows) and distance tables are
+    bounded driver metadata, broadcast. Zero shuffles on the corpus
+    beyond the assignment groupBy-free map; one top-k window per query
+    cell set. Round 13: stage 1 (shared with ann_ivfpq_refine via
+    _ivfpq_sims) trains coarse + PQ in ONE combined partial-sum pass
+    per round off ONE init collect, derives the query rows from that
+    same collect, and encodes cell + codes in ONE Arrow kernel — see
+    _ivfpq_sims for the pass accounting."""
+    _pts, sims, _qrows = _ivfpq_sims(spark, sf)
     w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
@@ -1446,63 +1582,10 @@ def ann_ivfpq_refine(spark: SparkSession, sf: str) -> DataFrame:
     Q x R raw vectors — candidate count independent of corpus size, so
     the exact math never touches more than a bounded set. The refine
     fixes rank inversions ADC alone gets wrong (pinned by
-    tests/test_curation_ops.py)."""
-    pts = _km_quantized(spark, sf).localCheckpoint(eager=False)
-    # coarse quantizer and PQ codebooks are INDEPENDENT Lloyd chains
-    # over the same pts — train them as concurrent Spark jobs (thread
-    # pool; Spark job submission is thread-safe) instead of serially:
-    # each chain is collect-per-round scheduler-latency bound, so
-    # overlap hides the shorter chain entirely (same-session A/B at
-    # sf0.1: 2.7 -> 1.8 s warm, 6.5 -> 2.3 s cold; checksums
-    # bit-identical)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as _ex:
-        _f_cents = _ex.submit(_km_final_cents, pts)
-        _f_books = _ex.submit(_pq_codebooks, pts)
-        cents, books = _f_cents.result(), _f_books.result()
-    enc = _pq_enc_udf(books)
-    corpus = (
-        _km_assign(pts, cents)
-        .withColumn("e", enc(F.col("q")))
-        .select(
-            F.col("vec_id").alias("nid"),
-            F.col("cid").alias("cell"),
-            *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
-        )
-    )
-    qrows = sorted(
-        pts.where(F.col("vec_id") < _IVFPQ_NQ).collect(),
-        key=lambda r: r.vec_id,
-    )  # bounded driver metadata, as ann_ivfpq_topk
-    probes = []
-    for qi, r in enumerate(qrows):
-        qv = [int(x) for x in r.q]
-        ds = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(qv, c)), cid)
-            for cid, c in enumerate(cents)
-        )
-        for _, cid in ds[:_IVFPQ_NPROBE]:
-            probes.append((int(r.vec_id), qi, cid))
-    tabs = []
-    for m, bcents in enumerate(books):
-        flat = []
-        for r in qrows:
-            qsub = [int(x) for x in r.q[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
-            for c in bcents:
-                flat.append(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
-        tabs.append(F.array(*[F.lit(v).cast("bigint") for v in flat]))
-    probe_df = spark.createDataFrame(probes, "qid bigint, qi int, cell int")
-    adc = None
-    for m in range(_PQ_M):
-        term = F.element_at(
-            tabs[m], F.col("qi") * _PQ_K + F.col(f"code{m}") + 1
-        )
-        adc = term if adc is None else adc + term
-    sims = corpus.join(
-        F.broadcast(probe_df),
-        (corpus["cell"] == probe_df["cell"]) & (F.col("qid") != F.col("nid")),
-    ).select("qid", "nid", adc.alias("adist"))
+    tests/test_curation_ops.py). Round 13: stage 1 is the shared
+    _ivfpq_sims (one init collect, one combined training pass per
+    round, one-kernel corpus encode)."""
+    pts, sims, qrows = _ivfpq_sims(spark, sf)
     w1 = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
     stage1 = (
         sims.withColumn("rk1", F.row_number().over(w1))

@@ -398,13 +398,19 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
-    est_rows = (
-        partials.groupBy(F.lit(1).alias("g"))
-        .applyInPandas(
-            _merge, "phi_pct int, est_q double, n bigint, retained int"
-        )
-        .collect()
+    # The KLL sketch+merge job and the bottom-k sample job are
+    # independent single-pass scans of lineitem — run them as
+    # concurrent Spark jobs (round 13, the ivfpq thread-pool
+    # precedent): the shorter job's wall time disappears entirely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    merged = partials.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _merge, "phi_pct int, est_q double, n bigint, retained int"
     )
+    with ThreadPoolExecutor(2) as _ex:
+        _f_est = _ex.submit(merged.collect)
+        _f_vals = _ex.submit(_bottomk_sample, spark, sf)
+        est_rows, vals = _f_est.result(), _f_vals.result()
     ests = {r.phi_pct: r.est_q for r in est_rows}
     n = int(est_rows[0].n) if est_rows else 0
     retained = int(est_rows[0].retained) if est_rows else 0
@@ -414,9 +420,8 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     assert retained <= 3 * _KLL_K + 10 * MIN_LEVEL_WIDTH, retained
 
     # deterministic witness values: the module's md5-bottom-k sample
-    # quantiles (one bounded TakeOrderedAndProject job, replayed
-    # bit-identically by the oracle's ORDER BY hash LIMIT k)
-    vals = _bottomk_sample(spark, sf)
+    # quantiles (replayed bit-identically by the oracle's ORDER BY
+    # hash LIMIT k)
     sample_qs = {p: _sample_quantile(vals, p, 100) for p in _PHIS}
 
     # ONE conditional-aggregation corpus pass: exact ranks of the
@@ -554,16 +559,26 @@ def sketch_theta_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    samples = {}
-    for sl in (0, 1):
-        samples[sl] = [
-            r.h
-            for r in base.where(F.col("sl") == sl)
-            .select("h")
+    # BOTH per-slice bottom-k samples in ONE action (round 13): each
+    # branch still plans as its own TakeOrderedAndProject (O(k) state
+    # per partition, merge independent of N), the union merely ships
+    # them in a single job instead of two sequential driver
+    # round-trips. Downstream only reads the samples as SETS
+    # (set/max/len), so per-branch row order is immaterial.
+    samp_rows = (
+        base.where(F.col("sl") == 0)
+        .select("sl", "h")
+        .orderBy("h")
+        .limit(_THETA_K)
+        .unionAll(
+            base.where(F.col("sl") == 1)
+            .select("sl", "h")
             .orderBy("h")
             .limit(_THETA_K)
-            .collect()
-        ]
+        )
+        .collect()
+    )
+    samples = {sl: [r.h for r in samp_rows if r.sl == sl] for sl in (0, 1)}
     sa, sb = set(samples[0]), set(samples[1])
     union_k = sorted(sa | sb)[:_THETA_K]
     theta_hk = min(max(samples[0]), max(samples[1]))
