@@ -559,26 +559,23 @@ def sketch_theta_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # BOTH per-slice bottom-k samples in ONE action (round 13): each
-    # branch still plans as its own TakeOrderedAndProject (O(k) state
-    # per partition, merge independent of N), the union merely ships
-    # them in a single job instead of two sequential driver
-    # round-trips. Downstream only reads the samples as SETS
-    # (set/max/len), so per-branch row order is immaterial.
-    samp_rows = (
-        base.where(F.col("sl") == 0)
-        .select("sl", "h")
-        .orderBy("h")
-        .limit(_THETA_K)
-        .unionAll(
-            base.where(F.col("sl") == 1)
-            .select("sl", "h")
+    # Two sequential per-slice bottom-k collects, kept deliberately
+    # (round-13 A/B): a single unionAll action was tried to merge the
+    # two driver round-trips, but it ran BOTH TakeOrdered branches over
+    # the not-yet-materialized lazy checkpoint inside one job —
+    # duplicating the post-shuffle dedup work that the sequential form
+    # amortizes (job 1 materializes base, job 2 reads it back) — and
+    # measured +17% on the 4-draw min (1.25 -> 1.46 s); reverted.
+    samples = {}
+    for sl in (0, 1):
+        samples[sl] = [
+            r.h
+            for r in base.where(F.col("sl") == sl)
+            .select("h")
             .orderBy("h")
             .limit(_THETA_K)
-        )
-        .collect()
-    )
-    samples = {sl: [r.h for r in samp_rows if r.sl == sl] for sl in (0, 1)}
+            .collect()
+        ]
     sa, sb = set(samples[0]), set(samples[1])
     union_k = sorted(sa | sb)[:_THETA_K]
     theta_hk = min(max(samples[0]), max(samples[1]))
