@@ -2676,14 +2676,17 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", _h48(F.col("s0")).alias("s"))
         .localCheckpoint(eager=False)
     )  # reused: df, prefix, verify arrays
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sets.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # sz (the doc's shingle-set size) rides the SAME doc_id-partitioned
-    # window pass as idx (round 13): count(*) over (partition by
-    # doc_id) adds a second Window op on the existing partitioning —
-    # no extra Exchange — replacing the separate groupBy(doc_id)
-    # aggregate + broadcast join the r12 plan carried (2 exchanges +
-    # 2 joins across the duplicated prefix subtrees). Per-doc buffering
-    # is bounded by doc length, the window's existing bound.
+    # sz stays a separate partial-aggregated groupBy + broadcast join ON
+    # PURPOSE (round-13 A/B at sf1): folding it into the window pass as
+    # count(*) over (partition by doc_id) removes 2 exchanges at plan
+    # level, but the unbounded-frame count turns the streaming
+    # row_number window into a buffer-the-partition pass and measured
+    # 14.5 -> 27.1 s at sf1 (noop write, median of 3) — the map-side
+    # partial aggregation is what absorbs long docs. Runtime
+    # ReusedExchange collapses the self-join's duplicated subtrees
+    # either way (verified in the executed final plan).
     ranked = (
         sets.join(dfreq, "s")
         .withColumn(
@@ -2692,9 +2695,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
             ),
         )
-        .withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-        )
+        .join(sizes, "doc_id")
     )
     # prefix length p = s - ceil(J*s) + 1, ceil as exact integer rational
     # NOT checkpointed: the candidate self-join's two sides share one
