@@ -99,3 +99,61 @@ def test_km_assign_kernels_agree(spark):
         for r in _km_assign_expr(pts, cents).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_train_rounds_matches_numpy_lloyd(spark):
+    """Focused test for the round-13 combined partial-sum trainer: a
+    multi-group _train_rounds call over one synthetic corpus must equal
+    an independent per-group NumPy Lloyd replication with the documented
+    semantics — argmin first-minimum ties (lowest cid), centroid update
+    floor(SUM/COUNT) via double division, and empty clusters carrying
+    their previous centroid. This is the unit-level guarantee behind the
+    'bit-identical to training each group in its own job chain' claim."""
+    import math
+
+    import numpy as np
+
+    from datafusion_ballista_spark.inventory.pipeline_vector import (
+        _train_rounds,
+    )
+
+    rng = [(i * 2654435761) % 97 for i in range(50 * 8)]
+    vecs = [rng[i * 8:(i + 1) * 8] for i in range(50)]
+    # group 0 = dims [0,4), group 1 = dims [4,8); one deliberately
+    # unreachable centroid in each group exercises the empty-cluster
+    # carry-over; duplicate centroids exercise the lowest-cid tie rule.
+    g0 = [[0, 0, 0, 0], [0, 0, 0, 0], [10_000] * 4]
+    g1 = [[50, 50, 50, 50], [96, 96, 96, 96], [10_000] * 4]
+    groups = {0: (0, 4, g0), 1: (4, 8, g1)}
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, q array<bigint>"
+    ).repartition(7)  # multiple Arrow batches -> real partial-sum merge
+    got = _train_rounds(pts, groups, iters=3)
+
+    m = np.array(vecs, dtype=np.int64)
+    want = {}
+    for g, (lo, hi, cents) in groups.items():
+        c = np.array(cents, dtype=np.int64)
+        for _ in range(3):
+            sub = m[:, lo:hi]
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)  # first minimum = lowest cid on ties
+            nxt = []
+            for ci in range(c.shape[0]):
+                rows = sub[cid == ci]
+                if len(rows) == 0:
+                    nxt.append(list(c[ci]))  # empty cluster: carry over
+                else:
+                    s = rows.sum(axis=0)
+                    nxt.append(
+                        [math.floor(float(x) / len(rows)) for x in s]
+                    )
+            c = np.array(nxt, dtype=np.int64)
+        want[g] = [list(map(int, row)) for row in c]
+
+    assert got == want
+    # sanity: the run actually moved the reachable centroids and kept
+    # the unreachable ones pinned at their seed values
+    assert got[0][2] == [10_000] * 4 and got[1][2] == [10_000] * 4
+    assert got[0][0] != [0, 0, 0, 0]
