@@ -337,7 +337,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     A pair is a candidate iff some band of 4 signature rows agrees exactly;
     est_jaccard is the fraction of agreeing signature rows. For J=0.9 the
     candidate probability is ~0.99; for the J<=0.1 noise floor it is ~0.
-    Never an all-pairs join: candidates come from groupBy(band_id, band_key).
+    Never an all-pairs join: candidates come from equi-joining on the
+    packed band key (k1, k2) — see the packing note below.
 
     Signature reuse (see _reusable_signatures): the sig DF feeds 4 band
     projections + 2 score-join sides and is UNCONDITIONALLY materialized
@@ -346,23 +347,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     scale, so no recompute threshold exists.
     """
     sig = _reusable_signatures(spark, sf)
+    # Band keys packed into two fixed-width bigints instead of the
+    # previous "_"-joined string (round 14, guide §2.3 "narrower
+    # types"): every h_i is min((x*a+b) % _P) with _P < 2^30, so
+    # (band_id, h0, h1) bijects into k1 = (band_id*2^30 + h0)*2^30 + h1
+    # (<= 3*2^60 + 2^60 < 2^63, exact) and (h2, h3) into
+    # k2 = h2*2^30 + h3 (< 2^60). 16 bytes of join key per band row
+    # through the candidate shuffle in place of a ~40-byte string +
+    # band_id, with the string concat/compare dropped from the probe —
+    # and the packing is COLLISION-FREE (a pure base-2^30 positional
+    # encoding), so the candidate set is bit-identical to the string
+    # form by construction.
+    _B30 = F.lit(1 << 30).cast("bigint")
     band_frames = []
     for bnd in range(_BANDS):
-        cols = [f"h{bnd * _ROWS + r}" for r in range(_ROWS)]
+        cols = [F.col(f"h{bnd * _ROWS + r}") for r in range(_ROWS)]
+        assert _ROWS == 4, "k1/k2 packing assumes 4 rows per band"
         band_frames.append(
             sig.select(
                 "doc_id",
-                F.lit(bnd).alias("band_id"),
-                F.concat_ws("_", *cols).alias("band_key"),
+                ((F.lit(bnd).cast("bigint") * _B30 + cols[0]) * _B30
+                 + cols[1]).alias("k1"),
+                (cols[2] * _B30 + cols[3]).alias("k2"),
             )
         )
     bands = band_frames[0]
     for bf in band_frames[1:]:
         bands = bands.union(bf)
-    a = bands.select("band_id", "band_key", F.col("doc_id").alias("da"))
-    b = bands.select("band_id", "band_key", F.col("doc_id").alias("db"))
+    a = bands.select("k1", "k2", F.col("doc_id").alias("da"))
+    b = bands.select("k1", "k2", F.col("doc_id").alias("db"))
     cand = (
-        a.join(b, ["band_id", "band_key"])
+        a.join(b, ["k1", "k2"])
         .where(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -954,26 +969,34 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     a 371-query gate/bench session (round-6 ADVICE)."""
     sig = _reusable_signatures(spark, sf)
     is_new = F.col("doc_id") % 3 == 0
+    # Packed fixed-width band keys, exactly dedup_minhash_lsh's round-14
+    # form (see the packing note there): h_i < _P < 2^30, so
+    # (band_id, h0, h1) -> k1 and (h2, h3) -> k2 is a collision-free
+    # base-2^30 encoding — 16 bytes of join key per band row through
+    # the asymmetric candidate shuffle instead of a ~40-byte string.
+    _B30 = F.lit(1 << 30).cast("bigint")
     bands = []
     for bnd in range(_BANDS):
-        cols = [f"h{bnd * _ROWS + r}" for r in range(_ROWS)]
+        cols = [F.col(f"h{bnd * _ROWS + r}") for r in range(_ROWS)]
+        assert _ROWS == 4, "k1/k2 packing assumes 4 rows per band"
         bands.append(
             sig.select(
                 "doc_id",
-                F.lit(bnd).alias("band_id"),
-                F.concat_ws("_", *cols).alias("band_key"),
+                ((F.lit(bnd).cast("bigint") * _B30 + cols[0]) * _B30
+                 + cols[1]).alias("k1"),
+                (cols[2] * _B30 + cols[3]).alias("k2"),
             )
         )
     all_bands = bands[0]
     for bf in bands[1:]:
         all_bands = all_bands.union(bf)
     new_b = all_bands.where(is_new).select(
-        "band_id", "band_key", F.col("doc_id").alias("n")
+        "k1", "k2", F.col("doc_id").alias("n")
     )
     corp_b = all_bands.where(~is_new).select(
-        "band_id", "band_key", F.col("doc_id").alias("c")
+        "k1", "k2", F.col("doc_id").alias("c")
     )
-    cand = new_b.join(corp_b, ["band_id", "band_key"]).select("n", "c").distinct()
+    cand = new_b.join(corp_b, ["k1", "k2"]).select("n", "c").distinct()
     sign = sig.select(
         F.col("doc_id").alias("n"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_K)],

@@ -27,6 +27,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from datafusion_ballista_spark.inventory import QuerySpec
 from datafusion_ballista_spark.inventory.pipeline_text import (
@@ -974,19 +975,43 @@ def train_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_BPE_V)
     )
     merges = _learn_bpe_merges(words)
-    # all 8 merge applications chained into ONE expression over the
-    # word-type table — a single map stage (round-11 perf fix: the
-    # previous per-round localCheckpoint ran 8 tiny jobs whose fixed
-    # stage latency dominated the sub-second fold work; the learning
-    # loop above still checkpoints per round because each round's pair
-    # statistics feed the next merge choice, which encoding never needs)
-    s_expr: Column = F.expr("regexp_extract_all(word, '[a-z]', 0)")
-    for _, a, b, m, _w in merges:
-        s_expr = _bpe_fold(a, b, m, s_expr)
+    # All 8 merge applications run in ONE Arrow-vectorized kernel over
+    # the word-type table (round 14, guide §4.2; replaces the 8 chained
+    # F.aggregate folds, whose higher-order lambdas evaluate in the
+    # INTERPRETED expression path per array element — the r13-measured
+    # encode-stage floor). The kernel exploits an exact equivalence:
+    # render the symbol sequence as ",s1,,s2,,...,sN," (every symbol
+    # wrapped in its own commas — symbols are [a-z]+ so ',' never occurs
+    # inside one); then greedy left-to-right non-overlapping application
+    # of one merge (a, b) -> ab IS C-speed str.replace of ",a,,b," with
+    # ",ab,": a match must align on full-symbol boundaries (each symbol
+    # carries its own commas, so neither a suffix like "xa" nor a split
+    # across boundaries can match), consecutive matches share no
+    # characters (adjacent symbols are separated by TWO commas, one per
+    # side), and str.replace resumes after the substituted text exactly
+    # like the fold, whose accumulator tail a||b can never re-match `a`
+    # for nonempty b. tok_len = count(",,") + 1. Bit-identity
+    # fold-vs-kernel incl. the boundary hazards is pinned in
+    # tests/test_curation_ops.py; the 8 tiny driver-side learning jobs
+    # above are unchanged. The kernel still runs ONCE per word TYPE,
+    # never per occurrence (the Heaps'-law memoization).
+    merge_pairs = [(f",{a},,{b},", f",{a + b},") for _, a, b, _m, _w in merges]
+
+    @pandas_udf("int")
+    def _tok_len(ws):
+        import pandas as pd
+
+        # word matched ^[a-z]+$ upstream, so its char list IS the
+        # initial symbol sequence (the fold's regexp_extract_all).
+        s = pd.Series(["," + ",,".join(w) + "," for w in ws], dtype="object")
+        for pat, rep in merge_pairs:
+            s = s.str.replace(pat, rep, regex=False)
+        return (s.str.count(",,") + 1).astype("int32")
+
     enc = (
         occ.select("word")
         .distinct()
-        .select("word", F.size(s_expr).alias("tok_len"))
+        .select("word", _tok_len(F.col("word")).alias("tok_len"))
     )
     return (
         occ.join(enc, "word")

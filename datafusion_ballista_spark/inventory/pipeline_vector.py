@@ -733,6 +733,16 @@ def _train_rounds(
                     cid = d.argmin(axis=1)
                     k, w = c.shape
                     sums = np.zeros((k, w), dtype=np.int64)
+                    # np.add.at wraps silently on int64 overflow (the
+                    # Spark SUM it replaced was checked), so pin the
+                    # bound: per-batch |sum| <= batch_rows * max|q|.
+                    # Micro-unit components are |q| <= ~1e6 and Arrow
+                    # batches are <= ~1e4 rows => ~1e10 << 2^63; the
+                    # assert trips loudly if a future quantization
+                    # scale or batch-size change breaks the headroom.
+                    assert len(sub) * max(
+                        1, int(np.abs(sub).max())
+                    ) < (1 << 62), "partial-sum overflow headroom lost"
                     np.add.at(sums, cid, sub)
                     cnts = np.bincount(cid, minlength=k)
                     for ci in np.nonzero(cnts)[0]:
@@ -1248,6 +1258,14 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     qrows = [
         r for r in init_rows if r.vec_id < _ADC_NQ
     ]  # bounded: _ADC_NQ rows of driver metadata
+    # The init-collect derivation assumes vec_ids are DISTINCT (the
+    # fixture's dense 0..N-1 ids): under duplicates, orderBy+limit(K)
+    # could drop a vec_id < NQ row the old where(vec_id < NQ) scan
+    # would have returned. Assert the full query set materialized so a
+    # fixture change fails loudly instead of silently shrinking it.
+    assert len(qrows) == _ADC_NQ and len(
+        {r.vec_id for r in init_rows}
+    ) == len(init_rows), "init collect did not yield the full query set"
     qids = [int(r.vec_id) for r in qrows]
     # tabs[m]: flat qid-major table, tabs[m][qi*k + code] = exact sqdist
     # from query qi's m-th subvector to centroid `code`.
@@ -1423,6 +1441,11 @@ def _ivfpq_sims(spark: SparkSession, sf: str) -> tuple:
         *[F.col(f"e.code{m}").alias(f"code{m}") for m in range(_PQ_M)],
     )
     qrows = [r for r in init_rows if r.vec_id < _IVFPQ_NQ]
+    # Same distinct-vec_id assumption as ann_pq_adc's derivation: fail
+    # loudly if a fixture change makes the init collect miss a query.
+    assert len(qrows) == _IVFPQ_NQ and len(
+        {r.vec_id for r in init_rows}
+    ) == len(init_rows), "init collect did not yield the full query set"
     # probe list: nprobe nearest coarse centroids per query (exact int
     # sqdist, ties to the lower cid) — Q x k tiny driver computation
     probes = []

@@ -402,6 +402,11 @@ def sketch_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     # independent single-pass scans of lineitem — run them as
     # concurrent Spark jobs (round 13, the ivfpq thread-pool
     # precedent): the shorter job's wall time disappears entirely.
+    # Caveat (r13 ADVICE): thread-submitted jobs don't inherit the
+    # caller's job group/description, so UI attribution and group
+    # cancellation differ from the serial form, and a failure in one
+    # job surfaces only after the other also runs to completion —
+    # acceptable for two bounded single-pass scans.
     from concurrent.futures import ThreadPoolExecutor
 
     merged = partials.groupBy(F.lit(1).alias("g")).applyInPandas(

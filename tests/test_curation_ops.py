@@ -846,6 +846,43 @@ def _apply_merge(s: list, a: str, b: str) -> list:
     return out
 
 
+def test_bpe_replace_kernel_equivalence():
+    """The round-14 train_bpe_encode kernel applies each merge via
+    str.replace on a ",s1,,s2,...," rendering of the symbol sequence.
+    Pin its equivalence to the greedy list fold on the known hazard
+    shapes: (1) a left symbol that is a SUFFIX of a neighbor ("xa" vs
+    "a" — a naive space separator would merge across the boundary),
+    (2) consecutive disjoint pairs sharing would-be boundary chars
+    ("a b a b" — a single-space separator loses the second match),
+    (3) self-pairs in runs ("a a a" must merge once, greedily), plus a
+    randomized sweep over multi-char symbols."""
+    import random
+
+    def kernel(syms, a, b):
+        s = "," + ",,".join(syms) + ","
+        s = s.replace(f",{a},,{b},", f",{a + b},")
+        return [x for x in s.split(",") if x]
+
+    cases = [
+        (["xa", "b"], "a", "b"),          # suffix hazard: must NOT merge
+        (["a", "b", "a", "b"], "a", "b"),  # both pairs must merge
+        (["a", "a", "a"], "a", "a"),       # greedy run: [aa, a]
+        (["a", "a", "a", "a"], "a", "a"),  # [aa, aa]
+        (["ab", "a", "b"], "a", "b"),      # merged twin to the left
+        ([], "a", "b"),
+    ]
+    rng = random.Random(14)
+    alpha = ["a", "b", "xa", "ab", "ba", "bb", "aab", "x"]
+    for _ in range(2000):
+        n = rng.randint(0, 8)
+        cases.append(
+            ([rng.choice(alpha) for _ in range(n)],
+             rng.choice(alpha), rng.choice(alpha))
+        )
+    for syms, a, b in cases:
+        assert kernel(syms, a, b) == _apply_merge(syms, a, b), (syms, a, b)
+
+
 # ---------------------------------------------------------------------------
 # round-7 additions: curriculum / PMI / phash / IVF-PQ / bigram-LM pins
 

@@ -65,9 +65,23 @@ def t(name: str, n: int = 3, reload: bool = False):
 def plan(name: str, path: str, reload: bool = False):
     specs = _specs(reload)
     df = specs[name].spark(spark, SF_DIR)
-    txt = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    # Prefer the public-ish explainString on the query execution; the
+    # PythonSQLUtils helper used before is a private JVM entry point
+    # that moves across PySpark versions (r13 ADVICE).
+    try:
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
     with open(path, "w") as f:
         f.write(txt)
     print(f"wrote {path} ({len(txt)} bytes)")
