@@ -80,6 +80,20 @@ def get_session(
         # excludes local-cluster[...] (multi-executor with real shuffle),
         # which keeps Spark's default like any cluster deployment.
         conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "8m"
+        # Same local-only reasoning for coalesce policy (round 14):
+        # SPARK_DEFAULTS keeps parallelismFirst=false (the Spark-docs
+        # recommendation — advisory-sized reducers are the cluster
+        # story, where a near-empty post-shuffle task costs real
+        # scheduler/network overhead). In ONE local JVM a task costs
+        # ~5 ms, and false serializes every 1-8 MiB exchange onto one
+        # core (e.g. ev_range_join_bucketed's 2.6 MiB pair-dedup
+        # exchange ran as ONE 250 ms task at sf1). Measured: flipping
+        # to true is neutral at sf0.1 (28-query same-JVM alternating
+        # A/B, geomean 0.997) and -11..-29% on the sf1 stress queries
+        # (plans/r14/confab_pf_*.json).
+        conf["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = (
+            "true"
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
