@@ -322,13 +322,83 @@ def all_queries() -> dict[str, QuerySpec]:
         "bucketed_colocated_join",
         "write_arrow_ipc_dist_roundtrip",
     ]
-    window = _r13_head + _r13_continuation
-    # Round-14 queue committed now so the next rotation is again a
-    # small swap: any round-13/14-new ops land at the head
+    # (r13 window, kept for the rotation history: _r13_head +
+    # _r13_continuation — all 50 driver-green in CORRECTNESS_r13.json.)
+    del _r13_head, _r13_continuation
+    # Round-14 window: the ops whose CODE changed this round lead
+    # (newest-code-first — train_bpe_encode's Arrow encode kernel and
+    # the packed minhash band keys must re-prove bit-identity on the
+    # driver; the ivfpq/pq/kmeans family executes the new in-path
+    # overflow/distinctness asserts), then the two queries the
+    # local-mode AQE parallelismFirst flip moved most at sf1, then the
+    # family sweep the r13 rotation note queued: sketches + events
+    # (ev_range already in the head), multimodal, streaming, and the
+    # first two h2o groupers close the 50.
+    _r14_head = [
+        "train_bpe_encode",
+        "dedup_minhash_lsh",
+        "dedup_incremental",
+        "ann_pq_adc",
+        "ann_ivfpq_topk",
+        "ann_ivfpq_refine",
+        "emb_pq_encode",
+        "emb_kmeans_lloyd",
+        "train_contamination_ngram",
+        "ev_range_join_bucketed",
+    ]
+    _r14_continuation = [
+        # sketches family in registration order
+        "sketch_quantile_bottomk",
+        "sketch_range_partition_cuts",
+        "sketch_kll_quantiles",
+        "sketch_theta_set_ops",
+        "sketch_ams_f2",
+        "sketch_moments_power_sums",
+        # events family in registration order (ev_range in the head)
+        "sketch_hll_distinct",
+        "sketch_hll_merge_hourly",
+        "sketch_hll_distinct_p12",
+        "sketch_countmin_topk",
+        "ev_hourly_rollup",
+        "ev_funnel_steps",
+        "ev_gap_fill",
+        "ev_window_bucketing",
+        "ev_sessionize",
+        "ev_type_transitions",
+        "ev_daily_retention",
+        "ev_decayed_topk",
+        "sketch_hll_sliding_3h",
+        "ev_anomaly_mad",
+        # multimodal family in registration order
+        "multimodal_audio_vad",
+        "multimodal_phash_neardup",
+        "multimodal_featurize",
+        "multimodal_wav_roundtrip",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_stats",
+        "multimodal_video_keyframes",
+        # streaming family in registration order
+        "stream_windowed_counts",
+        "stream_sliding_counts",
+        "stream_session_windows",
+        "stream_stream_join",
+        "stream_dedup_exact",
+        "stream_dedup_watermarked",
+        "stream_stateful_counter",
+        "stream_foreach_batch_sink",
+        "stream_static_enrich",
+        "stream_checkpoint_resume",
+        # first two h2o groupers close the window
+        "h2o_g1_sum_by_id1",
+        "h2o_g2_sum_by_id1_id2",
+    ]
+    window = _r14_head + _r14_continuation
+    # Round-15 queue: any new/changed ops land at the head
     # (newest-code-first); the natural pool order then resumes at the
-    # r12-checked pipeline_text greens (freshest evidence — the r14
-    # window should SKIP them, as this round's explicit continuation
-    # skipped them, and sweep the sketches/events families next).
+    # r12/r13-checked text+vector greens and should sweep the families
+    # with the oldest evidence left: h2o (g3 onward), functions_cov,
+    # udf_surface, sql_surface.
     queue: list[str] = []
 
     pool: dict[str, QuerySpec] = {}

@@ -64,35 +64,42 @@ def test_rows_only_set_is_exactly_the_documented_exception():
 
 def test_driver_window_rotation():
     """The driver verifies only the FIRST 50 registry entries. Round-13
-    window (VERDICT r12 Next #2, exactly as queued in round 12): the 2
-    round-13-touched ops lead (sketch_kll_quantiles' restructured
-    deterministic output + new oracle must earn the driver hash-green
-    that closes the registry's last rows-only row;
-    ev_range_join_bucketed is the round's perf-touched op), then the
-    natural pool order continues the round-4-era sweep — the
-    pipeline_text tail from quality_token_entropy, then the
-    pipeline_vector family (r4/r5 evidence, the oldest left). Lock the
-    composition so an accidental reorder doesn't silently waste a
-    round; the r14 continuation is the natural pool order, which
-    resumes at the r12-checked pipeline_text greens and then reaches
-    the sketches/events families."""
+    window (round 14): the ops whose code changed this round lead —
+    train_bpe_encode's Arrow encode kernel and the packed minhash band
+    keys must re-prove bit-identity on the driver, and the
+    ivfpq/pq/kmeans family executes the new in-path asserts — then the
+    two queries the local-mode parallelismFirst flip moved most at sf1,
+    then the family sweep the r13 rotation note queued (sketches +
+    events + multimodal + streaming + the first two h2o groupers).
+    Lock the composition so an accidental reorder doesn't silently
+    waste a round."""
     names = list(_ALL)[:50]
-    assert names[:2] == [
-        "sketch_kll_quantiles",
+    assert names[:10] == [
+        "train_bpe_encode",
+        "dedup_minhash_lsh",
+        "dedup_incremental",
+        "ann_pq_adc",
+        "ann_ivfpq_topk",
+        "ann_ivfpq_refine",
+        "emb_pq_encode",
+        "emb_kmeans_lloyd",
+        "train_contamination_ngram",
         "ev_range_join_bucketed",
     ]
-    # pipeline_text tail in registration order
-    assert names[2] == "quality_token_entropy"
-    assert names[6] == "text_bm25_topk"
-    assert names[12] == "text_vocab_coverage"
-    # pipeline_vector family in registration order
-    assert names[13] == "emb_covariance"
-    assert names[25] == "emb_neardup_cosine"
-    assert names[35] == "ann_recall_eval"
-    # io_ops head closes the window
-    assert names[36] == "write_parquet_roundtrip"
-    assert names[49] == "write_arrow_ipc_dist_roundtrip"
-    # r14 queue = natural pool order: the r12-checked pipeline_text
-    # greens lead (freshest evidence — the r14 head should jump them)
+    # sketches family in registration order
+    assert names[10] == "sketch_quantile_bottomk"
+    assert names[12] == "sketch_kll_quantiles"
+    # events family in registration order
+    assert names[16] == "sketch_hll_distinct"
+    assert names[29] == "ev_anomaly_mad"
+    # multimodal then streaming families
+    assert names[30] == "multimodal_audio_vad"
+    assert names[38] == "stream_windowed_counts"
+    assert names[47] == "stream_checkpoint_resume"
+    # first two h2o groupers close the window
+    assert names[48] == "h2o_g1_sum_by_id1"
+    assert names[49] == "h2o_g2_sum_by_id1_id2"
+    # r15 queue = natural pool order: the r12/r13-checked text greens
+    # lead (freshest evidence — the r15 head should jump them)
     rest = list(_ALL)[50:]
-    assert rest[0] == "text_winnow_fingerprint"
+    assert rest[0] == "quality_token_entropy"
