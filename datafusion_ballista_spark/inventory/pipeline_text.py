@@ -2485,16 +2485,19 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("w"),
     )
+    # Per-window selection as a MIN aggregation, not a row_number window
+    # (round 14, guide §2.3). The paper's rightmost-on-ties rule picks
+    # WHICH ROW wins among rows with EQUAL h, but this operator keeps
+    # only (doc_id, h) — so the selected hash is exactly min(h) per
+    # window, bit-identical to the rn=1 row's h. A doc's window rows all
+    # sit in one map partition (they explode from one gram row), so the
+    # partial HashAggregate collapses the ~w-per-gram window fan-out to
+    # one row per window BEFORE the shuffle, and the per-partition sort
+    # the window operator needed disappears (plan: Window+2xSort ->
+    # partial/final HashAggregate; see plans/r14/text_winnow_sel_*).
     sel = (
-        wrows.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id", "w").orderBy(
-                    F.asc("h"), F.desc("pos")
-                )
-            ),
-        )
-        .where(F.col("rn") == 1)
+        wrows.groupBy("doc_id", "w")
+        .agg(F.min("h").alias("h"))
         .select("doc_id", "h")
         .distinct()
     )

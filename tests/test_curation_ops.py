@@ -1658,6 +1658,50 @@ def test_winnow_spark_surfaces_constructed_pair(spark, tmp_path):
     assert all(p == (0, 1) for p in got), got
 
 
+def test_winnow_equal_hash_tie_windows(spark, tmp_path):
+    """Focused hazard test for the round-14 selection rewrite (the
+    row_number window -> min(h) aggregation): the ONLY case where the
+    paper's rightmost-on-ties rule fires is equal hashes inside one
+    window, i.e. repeated grams — and because the operator keeps only
+    the selected VALUE, min(h) must be bit-identical there too. Docs
+    built around 6-token repeat blocks ("z z z z z z" -> four identical
+    'z z z' grams per block, so every window over a block ties) must
+    yield exactly the pair count the pinned pure-Python winnow
+    (rightmost-tie form) predicts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_ballista_spark.inventory.pipeline_text import (
+        _WINNOW_MIN_SHARED,
+        text_winnow_fingerprint,
+    )
+
+    rep = ["z"] * 6
+    run = rep + ["m1", "m2", "m3"] + rep + ["n1", "n2", "n3"] + rep
+    doc_a = ["a%d" % i for i in range(10)] + run + ["a9%d" % i for i in range(10)]
+    doc_b = run + ["b%d" % i for i in range(25)]
+    doc_c = ["c%d" % i for i in range(30)]  # control: shares nothing
+    texts = [" ".join(doc_a), " ".join(doc_b), " ".join(doc_c)]
+    fa, fb = _py_winnow_fps(doc_a), _py_winnow_fps(doc_b)
+    expect_shared = len(fa & fb)
+    assert expect_shared >= _WINNOW_MIN_SHARED, "construction must qualify"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["test"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in text_winnow_fingerprint(spark, str(tmp_path)).collect()
+    }
+    assert got.get((0, 1)) == expect_shared, (got, expect_shared)
+
+
 def test_bm25_python_replication(spark):
     """Exact replication of the BM25 micro arithmetic (Lucene positive
     idf, k1=6/5 b=3/4 as the integer-rational form) from independent
