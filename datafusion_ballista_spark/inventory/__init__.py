@@ -326,15 +326,17 @@ def all_queries() -> dict[str, QuerySpec]:
     # _r13_continuation — all 50 driver-green in CORRECTNESS_r13.json.)
     del _r13_head, _r13_continuation
     # Round-14 window: the ops whose CODE changed this round lead
-    # (newest-code-first — train_bpe_encode's Arrow encode kernel and
-    # the packed minhash band keys must re-prove bit-identity on the
-    # driver; the ivfpq/pq/kmeans family executes the new in-path
+    # (newest-code-first — text_winnow_fingerprint's selection rewrite,
+    # train_bpe_encode's Arrow encode kernel and the packed minhash
+    # band keys must re-prove bit-identity on the driver; the
+    # ivfpq/pq/kmeans family executes the new in-path
     # overflow/distinctness asserts), then the two queries the
     # local-mode AQE parallelismFirst flip moved most at sf1, then the
     # family sweep the r13 rotation note queued: sketches + events
     # (ev_range already in the head), multimodal, streaming, and the
-    # first two h2o groupers close the 50.
+    # headline h2o grouper closes the 50.
     _r14_head = [
+        "text_winnow_fingerprint",
         "train_bpe_encode",
         "dedup_minhash_lsh",
         "dedup_incremental",
@@ -389,8 +391,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_foreach_batch_sink",
         "stream_static_enrich",
         "stream_checkpoint_resume",
-        # first two h2o groupers close the window
-        "h2o_g1_sum_by_id1",
+        # the headline h2o grouper closes the window (g1 yields its
+        # slot to text_winnow_fingerprint's round-14 selection rewrite)
         "h2o_g2_sum_by_id1_id2",
     ]
     window = _r14_head + _r14_continuation

@@ -63,18 +63,19 @@ def test_rows_only_set_is_exactly_the_documented_exception():
 
 
 def test_driver_window_rotation():
-    """The driver verifies only the FIRST 50 registry entries. Round-13
-    window (round 14): the ops whose code changed this round lead —
-    train_bpe_encode's Arrow encode kernel and the packed minhash band
-    keys must re-prove bit-identity on the driver, and the
-    ivfpq/pq/kmeans family executes the new in-path asserts — then the
-    two queries the local-mode parallelismFirst flip moved most at sf1,
-    then the family sweep the r13 rotation note queued (sketches +
-    events + multimodal + streaming + the first two h2o groupers).
-    Lock the composition so an accidental reorder doesn't silently
-    waste a round."""
+    """The driver verifies only the FIRST 50 registry entries. Round-14
+    window: the ops whose code changed this round lead —
+    text_winnow_fingerprint's selection rewrite, train_bpe_encode's
+    Arrow encode kernel and the packed minhash band keys must re-prove
+    bit-identity on the driver, and the ivfpq/pq/kmeans family executes
+    the new in-path asserts — then the two queries the local-mode
+    parallelismFirst flip moved most at sf1, then the family sweep the
+    r13 rotation note queued (sketches + events + multimodal +
+    streaming + the headline h2o grouper). Lock the composition so an
+    accidental reorder doesn't silently waste a round."""
     names = list(_ALL)[:50]
-    assert names[:10] == [
+    assert names[:11] == [
+        "text_winnow_fingerprint",
         "train_bpe_encode",
         "dedup_minhash_lsh",
         "dedup_incremental",
@@ -87,17 +88,16 @@ def test_driver_window_rotation():
         "ev_range_join_bucketed",
     ]
     # sketches family in registration order
-    assert names[10] == "sketch_quantile_bottomk"
-    assert names[12] == "sketch_kll_quantiles"
+    assert names[11] == "sketch_quantile_bottomk"
+    assert names[13] == "sketch_kll_quantiles"
     # events family in registration order
-    assert names[16] == "sketch_hll_distinct"
-    assert names[29] == "ev_anomaly_mad"
+    assert names[17] == "sketch_hll_distinct"
+    assert names[30] == "ev_anomaly_mad"
     # multimodal then streaming families
-    assert names[30] == "multimodal_audio_vad"
-    assert names[38] == "stream_windowed_counts"
-    assert names[47] == "stream_checkpoint_resume"
-    # first two h2o groupers close the window
-    assert names[48] == "h2o_g1_sum_by_id1"
+    assert names[31] == "multimodal_audio_vad"
+    assert names[39] == "stream_windowed_counts"
+    assert names[48] == "stream_checkpoint_resume"
+    # the headline h2o grouper closes the window
     assert names[49] == "h2o_g2_sum_by_id1_id2"
     # r15 queue = natural pool order: the r12/r13-checked text greens
     # lead (freshest evidence — the r15 head should jump them)
